@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Capability superset of the reference's ingest surface: the reference only
+  * supports driver-heap `LocalRelation` temp views
+  * (reference `DirectSparkSession.scala:129-137`); we read parquet through
+  * Spark's vectorized scan, which is what survives at 100 TB (filter pushdown,
+  * column pruning, partition pruning all apply at the source).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns stored as parquet INT64 TIMESTAMP(NANOS), which Spark has no
+    * native type for: read as long (legacy conf) and floor-divide to micros —
+    * the same ns→µs truncation DuckDB applies, so oracle values agree. */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+    }
+  }
+
+  /** Register every corpus table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,703 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.8): every operator class
+  * the reference executes, re-expressed as declarative Spark DataFrame/SQL so
+  * Catalyst plans it (pushdown, pruning, AQE, broadcast) instead of the
+  * reference's single-partition iterator backend (reference
+  * `DirectPlanConverter.scala:92-208`).
+  *
+  * Oracle-parity notes (driver hashes values after sorting columns by name):
+  *  - Double SUMs are computed exactly via DECIMAL and cast back to DOUBLE so
+  *    Spark's partial-aggregation merge order can't perturb low bits vs DuckDB.
+  *    Sums of integer-valued doubles (l_quantity) are already exact.
+  *  - Timestamps/dates are output as strings (UTC) to sidestep tz-annotation
+  *    differences between engines' parquet writers.
+  *  - Every query has a total deterministic ORDER BY (unique tiebreaker), with
+  *    NULLS FIRST made explicit in the DuckDB SQL (DuckDB defaults NULLS LAST,
+  *    Spark ASC defaults NULLS FIRST).
+  *  - DuckDB integer widths are cast to match Spark output types
+  *    (year()→INTEGER, floor()→BIGINT, sum(INTEGER)→BIGINT, …).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact sum of a double expression: round per-row to `scale` decimals
+    * (exact when the source values have <= scale true decimals), sum as
+    * DECIMAL (exact, order-independent), emit DOUBLE (exact conversion). */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 hash aggregate + §2.2 filter pushdown: TPC-H Q1 pricing summary.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.2 projection/filter with parquet pushdown (PushedFilters visible in explain).
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49 &&
+          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.3 inner equi-join chain + agg + top-k (TPC-H Q3 shape).
+    "q03_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast(StringType).as("orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.3 left outer join with null extension.
+    "q04_join_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("o_orderkey"), col("l_linenumber").asc_nulls_first)
+    }),
+
+    // §2.3 right outer join.
+    "q05_join_right" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(n, col("s_nationkey") === col("n_nationkey"), "right")
+        .select(col("n_name"), col("s_name"))
+        .orderBy(col("n_name"), col("s_name").asc_nulls_first)
+    }),
+
+    // §2.3 full outer join (reference needs NLJ defaultJoin; Spark SMJ builtin).
+    "q06_join_full" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val a = n.filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("ka"), col("n_name").as("name_a"))
+      val b = n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("kb"), col("n_name").as("name_b"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .orderBy(col("ka").asc_nulls_first, col("kb").asc_nulls_first)
+    }),
+
+    // §2.3 left semi join (EXISTS).
+    "q07_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.3 left anti join (NOT EXISTS).
+    "q08_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.3 cartesian product.
+    "q09_join_cross" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // §2.3 theta (non-equi) join — reference runs these via NLJ.
+    "q10_join_theta" -> ((s, dir) => {
+      val a = t(s, dir, "supplier").select(col("s_suppkey").as("s1"), col("s_acctbal").as("bal1"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("s2"), col("s_acctbal").as("bal2"))
+      a.join(b, col("bal1") > col("bal2") && col("s1") =!= col("s2"))
+        .select(col("s1"), col("s2"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // §2.3 five-way join + agg (TPC-H Q5 shape); small dims broadcast.
+    "q11_multi_join_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // §2.4 distinct aggregation (Expand-based rewrite).
+    "q12_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2.4 HLL++ approx distinct — engine-specific sketch, rows-only check.
+    "q13_hll" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.4 GROUPING SETS via ExpandExec.
+    "q14_grouping_sets" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // §2.4 ROLLUP.
+    "q15_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // §2.4 CUBE.
+    "q16_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // §2.5 ranking window functions.
+    "q17_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // §2.5 growing frame (running total), exact decimal arithmetic.
+    "q18_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.5 offset frames: lead/lag.
+    "q19_window_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.5 RANGE frame over numeric order key.
+    "q20_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        .rangeBetween(-2, 2)
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.6 top-k: TakeOrderedAndProject.
+    "q21_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // §2.6 multi-key sort with nulls + limit.
+    "q22_sort_nulls" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri"))
+        .orderBy(col("pri").asc_nulls_first, col("o_orderkey"))
+        .limit(500)
+    }),
+
+    // §2.7 UNION DISTINCT.
+    "q23_union" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nk"))
+    }),
+
+    // §2.7 UNION ALL.
+    "q24_union_all" -> ((s, dir) => {
+      t(s, dir, "customer").select(lit("c").as("src"), col("c_nationkey").as("nk"))
+        .union(t(s, dir, "supplier").select(lit("s"), col("s_nationkey")))
+        .orderBy(col("src"), col("nk"))
+    }),
+
+    // §2.7 INTERSECT (Catalyst rewrites to left-semi join).
+    "q25_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nk"))
+    }),
+
+    // §2.7 EXCEPT (Catalyst rewrites to left-anti join).
+    "q26_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nk"))
+    }),
+
+    // §2.10 generator / LATERAL VIEW: explode + token frequency.
+    "q27_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
+    }),
+
+    // §2.1 one-row relation (no FROM).
+    "q29_onerow" -> ((s, dir) => s.sql("SELECT 1 AS m, 'a' AS n")),
+
+    // §2.1 empty relation (WHERE 1=0 → PropagateEmptyRelation).
+    "q30_empty" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey")).filter(lit(1) === lit(0))
+    }),
+
+    // §2.11 scalar subquery — the reference THROWS on these
+    // (DirectPlanConverter.scala:34-47); we get them from Catalyst for free.
+    "q31_subquery_scalar" -> ((s, dir) => sql(s, dir,
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // IN subquery → left semi join.
+    "q32_subquery_in" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Correlated scalar subquery.
+    "q33_subquery_corr" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // §2.8 string functions.
+    "q34_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).as("len"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("tagged"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 date/time functions (string-ified outputs for cross-engine parity).
+    "q35_date_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          date_trunc("day", col("ts")).cast(StringType).as("day_str"),
+          col("ts").cast(DateType).cast(StringType).as("dt"),
+          datediff(lit("1998-01-01").cast(DateType), col("ts").cast(DateType)).as("days_to"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.8 math functions (IEEE-exact subset: no libm-divergent fns).
+    "q36_math_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          abs(col("p_retailprice") - 1000.0).as("dist"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("cl"),
+          sqrt(col("p_size")).as("sq"),
+          (col("p_size") % 7).as("md"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.8 JSON extraction.
+    "q37_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.8 conditional expressions.
+    "q38_case_expr" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.4 DISTINCT → Aggregate rewrite.
+    "q39_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // HAVING clause.
+    "q40_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Pivot (Expand + aggregate under the hood).
+    "q41_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(count(lit(1)))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.4 object-hash aggregate: collect_list (order-normalized for oracle).
+    "q42_collect_list" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(
+          transform(sort_array(collect_list(col("c_custkey"))), _.cast(StringType)),
+          ",").as("keys"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // §2.4 object/sort aggregate: exact percentile + min/max.
+    "q43_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5D)").as("med_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.9 tumbling time window over batch data (window() builtin).
+    "q44_window_time" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+        .select(col("window.start").cast(StringType).as("ws"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // Session windows (gap-based) over batch data.
+    "q45_sessionize" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_ev"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_topk" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_join_left" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+        |  ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber ASC NULLS FIRST""".stripMargin,
+
+    "q05_join_right" ->
+      """SELECT n_name, s_name
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name, s_name ASC NULLS FIRST""".stripMargin,
+
+    "q06_join_full" ->
+      """SELECT ka, name_a, kb, name_b FROM
+        | (SELECT n_nationkey AS ka, n_name AS name_a FROM nation WHERE n_nationkey < 15) a
+        | FULL JOIN
+        | (SELECT n_nationkey AS kb, n_name AS name_b FROM nation WHERE n_nationkey >= 10) b
+        | ON ka = kb
+        |ORDER BY ka ASC NULLS FIRST, kb ASC NULLS FIRST""".stripMargin,
+
+    "q07_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q10_join_theta" ->
+      """SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_acctbal > b.s_acctbal AND a.s_suppkey <> b.s_suppkey
+        |ORDER BY s1, s2""".stripMargin,
+
+    "q11_multi_join_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q12_agg_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q17_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, rn, rnk, drnk FROM (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q18_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q19_window_leadlag" ->
+      """SELECT user_id, event_id,
+        | lag(event_type, 1) OVER w AS prev_type,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_window_range" ->
+      """SELECT p_partkey, p_brand, p_size,
+        | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+        |   RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q21_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_sort_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |FROM orders ORDER BY pri ASC NULLS FIRST, o_orderkey LIMIT 500""".stripMargin,
+
+    "q23_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q24_union_all" ->
+      """SELECT 'c' AS src, c_nationkey AS nk FROM customer
+        |UNION ALL SELECT 's' AS src, s_nationkey AS nk FROM supplier
+        |ORDER BY src, nk""".stripMargin,
+
+    "q25_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q26_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+
+    "q27_explode_tokens" ->
+      """SELECT token, count(*) AS freq FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token HAVING count(*) >= 5
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q29_onerow" -> "SELECT CAST(1 AS INTEGER) AS m, 'a' AS n",
+
+    "q30_empty" -> "SELECT o_orderkey FROM orders WHERE 1 = 0",
+
+    "q31_subquery_scalar" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.9
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q32_subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q33_subquery_corr" ->
+      """SELECT c_custkey, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q34_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS pre,
+        | CAST(length(c_name) AS INTEGER) AS len,
+        | concat(c_mktsegment, '-', c_name) AS tagged,
+        | regexp_extract(c_name, '(\d+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q35_date_funcs" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+        | CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+        | CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day_str,
+        | CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        | CAST(datediff('day', CAST(ts AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q36_math_funcs" ->
+      """SELECT p_partkey, abs(p_retailprice - 1000.0) AS dist,
+        | CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        | sqrt(p_size) AS sq, p_size % 7 AS md
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q37_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q38_case_expr" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'big'
+        |      WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q39_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q40_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        |HAVING count(*) > 15 ORDER BY o_custkey""".stripMargin,
+
+    "q41_pivot" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_linestatus = 'O') AS "O",
+        | count(*) FILTER (WHERE l_linestatus = 'F') AS "F"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_collect_list" ->
+      """SELECT c_mktsegment, array_to_string(list_sort(list(c_custkey)), ',') AS keys
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_window_time" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS ws, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q45_sessionize" ->
+      """WITH gaps AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
