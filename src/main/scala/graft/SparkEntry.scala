@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,11 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (DedupOps.queries, DedupOps.oracles),
+      (SimilarityOps.queries, SimilarityOps.oracles),
+      (MultimodalOps.queries, MultimodalOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

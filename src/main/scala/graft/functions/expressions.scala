@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the LLM-data-pipeline operator family
+  * (SURVEY.md §7.2 slice 4). Scalar, deterministic, single-pass — they run
+  * inside whole-stage codegen pipelines (native `doGenCode` where the call is
+  * hot; `CodegenFallback` where the expression runs once per row on small
+  * inputs). The reference ships no such operators; this is the
+  * beyond-reference surface (BASELINE.json north_star).
+  */
+
+/** minhash signature over pre-hashed shingles: array<long> -> array<long>. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Kernels.minHashSignature(v.asInstanceOf[ArrayData], numHashes, seed))
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** 64-bit SimHash over token array: array<string> -> long. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Kernels.simHash64(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** Cosine similarity of two numeric arrays (float or double elements),
+  * accumulated in double. Codegen'd: emits a direct static kernel call so it
+  * stays inside the whole-stage-generated loop (this sits in the ANN hot
+  * path — O(|Q|·|C|) evals). */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) Kernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else Kernels.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineFloat" else "cosineDouble"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Random-hyperplane LSH bucket: array<float> -> int. */
+case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = table
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any, t: Any): Any =
+    Kernels.hyperplaneSig(v.asInstanceOf[ArrayData], t.asInstanceOf[Int], nbits)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HyperplaneSig =
+    copy(child = l, table = r)
+  override def prettyName: String = "graft_hyperplane"
+}
+
+/** Stopword-profile language identification: string -> string lang code. */
+case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = Kernels.langId(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+  override def prettyName: String = "graft_lang_id"
+}
+
+/** Rolling-hash (Rabin-Karp) document fingerprint: string -> long. */
+case class RollingFingerprint(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.rollingFingerprint(v.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+  override def prettyName: String = "graft_fingerprint"
+}
+
+/** Multimodal decode stub: binary payload -> struct(n_bytes, width, height,
+  * format). The decode itself is a deterministic fake (no image libs in this
+  * container); the binary-column plumbing, schema, and codegen boundary are
+  * the real, tested part. */
+case class FakeImageMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val n = v.asInstanceOf[Array[Byte]].length
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n, Kernels.fakeWidth(n), Kernels.fakeHeight(n),
+      UTF8String.fromString(Kernels.fakeFormat(n))))
+  }
+  override protected def withNewChildInternal(c: Expression): FakeImageMeta = copy(child = c)
+  override def prettyName: String = "graft_image_meta"
+}
+
+/** SQL registration so the operators are usable from both the DataFrame API
+  * (via expr) and plain SQL — mirroring how the reference exposes its custom
+  * expressions through the session catalog (reference
+  * `DirectSessionCatalog.makeFunctionExpression`, cited for capability
+  * parity, not design). */
+object GraftFunctions {
+
+  private def lit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal, got $e")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head, lit(es(1), "numHashes").toInt,
+        if (es.size > 2) lit(es(2), "seed") else 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lang_id", es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => RollingFingerprint(es.head, if (es.size > 1) lit(es(1), "k").toInt else 8), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_image_meta", es => FakeImageMeta(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane",
+      es => HyperplaneSig(es.head, es(1), lit(es(2), "nbits").toInt), "scala_udf")
+  }
+}

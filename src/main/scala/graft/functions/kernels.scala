@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Scalar kernels behind the custom Catalyst expressions. Static methods so
+  * generated code (doGenCode) can call them directly without boxing the
+  * expression tree. All hashes are standard public constructions (FNV-1a 64,
+  * Murmur3 fmix64) — deterministic across JVMs, no java hashCode reliance.
+  */
+object Kernels {
+
+  // --- hashing primitives -------------------------------------------------
+
+  final val FnvOffset: Long = 0xcbf29ce484222325L
+  final val FnvPrime: Long = 0x100000001b3L
+
+  /** FNV-1a 64 over UTF-8 bytes. */
+  def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** Murmur3 64-bit finalizer — cheap high-quality mix for derived hashes. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  // --- minhash ------------------------------------------------------------
+
+  /** MinHash signature: for each of `numHashes` hash functions h_i, the min
+    * over the input element hashes of fmix64(x ^ mix(seed,i)). Single pass,
+    * mergeable (elementwise min) — the shape that scales to 100 TB because a
+    * signature is computed per-row with no shuffle.
+    */
+  def minHashSignature(elems: ArrayData, numHashes: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = elems.numElements()
+    var j = 0
+    while (j < n) {
+      if (!elems.isNullAt(j)) {
+        val x = elems.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = fmix64(x ^ fmix64(seed * 0x9e3779b97f4a7c15L + i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
+  // --- simhash ------------------------------------------------------------
+
+  /** 64-bit SimHash over an array of token strings: per-bit vote weighted by
+    * each token's FNV-1a hash bits. */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = fnv64(tokens.getUTF8String(j))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // --- cosine similarity --------------------------------------------------
+
+  /** Cosine similarity of two float vectors, accumulated in double in array
+    * order (bit-compatible with DuckDB's list_cosine_similarity over
+    * DOUBLE[] on the same inputs). Returns NaN on zero norms. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // --- hyperplane LSH -----------------------------------------------------
+
+  /** Random-hyperplane (sign-of-dot-product) LSH bucket for a float vector:
+    * `nbits` Rademacher (+-1) hyperplanes derived deterministically from
+    * (table, bit, dim) hashes. Bucket ids are stable across executors/JVMs. */
+  def hyperplaneSig(v: ArrayData, table: Int, nbits: Int): Int = {
+    val d = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < nbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val r = fmix64(table.toLong * 1000003L + j.toLong * 131L + i)
+        val sign = if ((r & 1L) == 0L) 1.0 else -1.0
+        dot += v.getFloat(i) * sign
+        i += 1
+      }
+      if (dot > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  // --- rolling-hash fingerprint -------------------------------------------
+
+  /** Document fingerprint: min rolling polynomial (Rabin-Karp) hash over all
+    * character k-grams — a winnowing-style content fingerprint robust to
+    * reordering of large blocks. */
+  def rollingFingerprint(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length < k) return fmix64(fnv64(s))
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = fmix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      val m = fmix64(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+
+  // --- language id --------------------------------------------------------
+
+  private val langProfiles: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Array("der", "und", "die", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Array("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"),
+    "es" -> Array("el", "la", "de", "que", "y", "en", "los", "del", "las", "una"),
+    "zh" -> Array("的", "是", "了", "在", "我", "有", "和", "不", "这", "人"))
+
+  private val langWordSets: Array[(String, java.util.HashSet[String])] =
+    langProfiles.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }
+
+  /** Stopword-profile language ID over whitespace-ish tokens; 'und' =
+    * undetermined (no profile word seen). Deterministic n-gram-free
+    * heuristic — ties broken by profile order. */
+  def langId(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString.toLowerCase
+    val scores = new Array[Int](langWordSets.length)
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      val boundary = i == len || !Character.isLetter(s.charAt(i))
+      if (boundary) {
+        if (i > start) {
+          val w = s.substring(start, i)
+          var p = 0
+          while (p < langWordSets.length) {
+            if (langWordSets(p)._2.contains(w)) scores(p) += 1
+            p += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    // CJK characters count directly for zh
+    i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) scores(4) += 1
+      i += 1
+    }
+    var best = -1; var bestScore = 0
+    var p = 0
+    while (p < scores.length) {
+      if (scores(p) > bestScore) { bestScore = scores(p); best = p }
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (best < 0) "und" else langWordSets(best)._1)
+  }
+
+  // --- multimodal stub ----------------------------------------------------
+
+  /** Deterministic fake image-decode metadata from an opaque binary payload.
+    * Real decode would go here (image lib absent in this container — the
+    * Spark-side plumbing, schema and batching are the tested part). Derived
+    * only from byte length so a SQL oracle can reproduce it. */
+  def fakeWidth(nBytes: Int): Int = 64 + nBytes % 512
+  def fakeHeight(nBytes: Int): Int = 64 + (nBytes * 7) % 512
+  def fakeFormat(nBytes: Int): String = (nBytes % 3) match {
+    case 0 => "png"
+    case 1 => "jpeg"
+    case _ => "webp"
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Multimodal-column handling: opaque `binary` payloads + typed metadata.
+  * The decode step is a clearly-marked deterministic fake (no image/audio
+  * libs in this container — see Kernels.fakeWidth); what is real and tested
+  * is the Spark-side plumbing: binary column schema, the scalar
+  * decode-expression boundary (codegen row path), and the batched
+  * mapPartitions shape (the Scala analogue of mapInPandas: one iterator per
+  * partition, constant memory, no driver materialization).
+  */
+object MultimodalOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload -> typed metadata struct via custom expression.
+    "m60_image_meta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), expr("graft_image_meta(payload)").as("meta"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Batched frame extraction over binary payloads via mapPartitions —
+    // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
+    // use. Deterministic fake frames => rows-only driver check.
+    "m61_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          // fake "video": one frame per 200 bytes, capped at 4; feature =
+          // mean byte value of the frame's slice (a stand-in for a decoded
+          // frame embedding).
+          val nFrames = math.min(4, bytes.length / 200 + 1)
+          (0 until nFrames).iterator.map { f =>
+            val from = f * 200
+            val until = math.min(bytes.length, from + 200)
+            val mean =
+              if (until > from) {
+                var sum = 0L; var i = from
+                while (i < until) { sum += bytes(i) & 0xff; i += 1 }
+                sum.toDouble / (until - from)
+              } else 0.0
+            (id, f, mean)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "feat_mean")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Metadata is pure arithmetic on byte length => SQL-expressible.
+    "m60_image_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        | CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+        | CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS height,
+        | CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

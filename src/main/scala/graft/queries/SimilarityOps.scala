@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search over the embedding column (`array<float>`, dim 64):
+  * brute-force cosine top-k as the exact baseline, hyperplane-LSH bucketing as
+  * the approximate scale path, plus threshold near-dup pairs. Cosine runs
+  * through the codegen'd `graft_cosine` Catalyst expression (double
+  * accumulation in array order — bit-compatible with DuckDB's
+  * list_cosine_similarity over DOUBLE[]).
+  *
+  * Scale shape: query side is broadcast (top-k over 100 TB corpus = one scan,
+  * map-side partial top-k per partition via the rank window would become a
+  * TakeOrderedAndProject per query at high k — here the window over qid
+  * partitions is the general form). LSH path prunes the corpus scan to
+  * matching buckets — the bucket join is a shuffle on bucket id, no cross
+  * product.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-5 per query vector (vec_id < 10 are the
+    // queries, the rest the corpus).
+    "s56_ann_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val c = emb(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      q.crossJoin(c)
+        .select(col("qid"), col("nid"),
+          expr("graft_cosine(qv, cv)").as("sim"))
+        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Embedding near-dup pairs: exact all-pairs cosine >= 0.45 (corpus-sized
+    // baseline; the LSH bucket path below is the 100 TB variant).
+    "s58_embed_dup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val a = emb(s, dir).select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = emb(s, dir).select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      a.join(b, col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), expr("graft_cosine(va, vb)").as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // Approximate NN via random-hyperplane LSH: L=8 tables x 4 bits. The
+    // candidate set is the union over tables of same-bucket vectors; exact
+    // cosine re-rank inside candidates. Engine-specific buckets => rows-only
+    // driver check; recall vs s56 is asserted in the ScalaTest spec.
+    "s57_ann_lsh" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val sigd = emb(s, dir).select(col("vec_id"), col("embedding"),
+        posexplode(expr("transform(sequence(0, 7), t -> graft_hyperplane(embedding, t, 4))"))
+          .as(Seq("tbl", "bucket")))
+      val q = broadcast(sigd.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("tbl"), col("bucket")))
+      val c = sigd.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"),
+          col("tbl"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      q.join(c, Seq("tbl", "bucket"))
+        .select(col("qid"), col("nid"), col("qv"), col("cv")).distinct()
+        .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s56_ann_topk" ->
+      """SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "s58_embed_dup" ->
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                        CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY ida, idb""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Kernels
+
+class KernelsSpec extends AnyFunSuite {
+
+  test("fnv64 is deterministic and spreads") {
+    val a = Kernels.fnv64(UTF8String.fromString("hello"))
+    val b = Kernels.fnv64(UTF8String.fromString("hello"))
+    val c = Kernels.fnv64(UTF8String.fromString("hellp"))
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("minhash signature: elementwise min merge property") {
+    val x = new GenericArrayData(Array[Any](1L, 2L, 3L))
+    val y = new GenericArrayData(Array[Any](4L, 5L))
+    val xy = new GenericArrayData(Array[Any](1L, 2L, 3L, 4L, 5L))
+    val sx = Kernels.minHashSignature(x, 32, 42L)
+    val sy = Kernels.minHashSignature(y, 32, 42L)
+    val sxy = Kernels.minHashSignature(xy, 32, 42L)
+    assert(sxy.toSeq == sx.zip(sy).map { case (a, b) => math.min(a, b) }.toSeq)
+  }
+
+  test("minhash jaccard estimate correlates with true jaccard") {
+    val n = 512
+    val base = (0L until 100L).toArray
+    val near = (0L until 95L).toArray ++ Array(900L, 901L, 902L, 903L, 904L)
+    val far = (1000L until 1100L).toArray
+    def sig(xs: Array[Long]) =
+      Kernels.minHashSignature(new GenericArrayData(xs.map(_.asInstanceOf[Any])), n, 7L)
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / n
+    val eNear = est(sig(base), sig(near)) // true J ~ 0.905
+    val eFar = est(sig(base), sig(far)) // true J = 0
+    assert(math.abs(eNear - 0.905) < 0.1, s"near estimate $eNear")
+    assert(eFar < 0.05, s"far estimate $eFar")
+  }
+
+  test("simhash: near-identical token sets have small hamming distance") {
+    def arr(ts: String*) = new GenericArrayData(
+      ts.map(t => UTF8String.fromString(t).asInstanceOf[Any]).toArray)
+    val toks = (1 to 100).map(i => s"tok$i")
+    val a = Kernels.simHash64(arr(toks: _*))
+    val b = Kernels.simHash64(arr((toks.drop(2) ++ Seq("x", "y")): _*))
+    val c = Kernels.simHash64(arr((1 to 100).map(i => s"other$i"): _*))
+    assert(java.lang.Long.bitCount(a ^ b) < 16)
+    assert(java.lang.Long.bitCount(a ^ c) > 16)
+  }
+
+  test("cosine: unit and orthogonal vectors") {
+    def f(xs: Float*) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+    assert(math.abs(Kernels.cosineFloat(f(1f, 0f), f(1f, 0f)) - 1.0) < 1e-12)
+    assert(math.abs(Kernels.cosineFloat(f(1f, 0f), f(0f, 1f))) < 1e-12)
+    assert(math.abs(Kernels.cosineFloat(f(1f, 1f), f(-1f, -1f)) + 1.0) < 1e-12)
+  }
+
+  test("rolling fingerprint: equal content equal fp, shifted content shares") {
+    val a = UTF8String.fromString("the quick brown fox jumps over the lazy dog")
+    val b = UTF8String.fromString("the quick brown fox jumps over the lazy dog")
+    assert(Kernels.rollingFingerprint(a, 8) == Kernels.rollingFingerprint(b, 8))
+    // min-over-kgrams is invariant to prepending unless the new grams are smaller
+    val c = UTF8String.fromString("zzz " + a.toString)
+    val fa = Kernels.rollingFingerprint(a, 8)
+    val fc = Kernels.rollingFingerprint(c, 8)
+    assert(fc <= fa) // superset of k-grams => min can only decrease
+  }
+
+  test("langId picks profile languages") {
+    def lid(s: String) = Kernels.langId(UTF8String.fromString(s)).toString
+    assert(lid("the cat and the dog is in that house") == "en")
+    assert(lid("der Hund und die Katze ist nicht das Problem") == "de")
+    assert(lid("le chat et la maison est dans les arbres") == "fr")
+    assert(lid("el perro y la casa de los árboles en una calle") == "es")
+    assert(lid("我是一个人") == "zh")
+    assert(lid("xyzzy qwerty") == "und")
+  }
+
+  test("hyperplane sig: deterministic, in range, similar vectors same bucket") {
+    def f(xs: Float*) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+    val v = f(1f, 2f, 3f, 4f)
+    val s1 = Kernels.hyperplaneSig(v, 0, 8)
+    val s2 = Kernels.hyperplaneSig(f(1f, 2f, 3f, 4f), 0, 8)
+    assert(s1 == s2 && s1 >= 0 && s1 < 256)
+    // scaled vector -> identical signs
+    assert(Kernels.hyperplaneSig(f(2f, 4f, 6f, 8f), 0, 8) == s1)
+    // different table -> (almost surely) different hyperplanes
+    assert(Kernels.hyperplaneSig(v, 1, 8) != s1 ||
+      Kernels.hyperplaneSig(v, 2, 8) != s1)
+  }
+
+  test("fake image meta is stable arithmetic") {
+    assert(Kernels.fakeWidth(100) == 164)
+    assert(Kernels.fakeHeight(100) == 64 + 700 % 512)
+    assert(Kernels.fakeFormat(99) == "png")
+    assert(Kernels.fakeFormat(100) == "jpeg")
+    assert(Kernels.fakeFormat(101) == "webp")
+  }
+}
