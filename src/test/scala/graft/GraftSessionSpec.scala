@@ -1,0 +1,135 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{DataTable, GraftSession}
+
+/** Facade parity specs mirroring the reference's DirectExecSuite method:
+  * differential testing of the cached-plan path against direct spark.sql on
+  * the same session, plus the reference's own fixtures (people/people2,
+  * FIXTURES.md A.1) and its time-advance + concurrency scenarios. */
+class GraftSessionSpec extends AnyFunSuite {
+
+  private lazy val g: GraftSession = {
+    val s = GraftSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("age", IntegerType), StructField("genda", IntegerType)))
+    s.registerTable("people", DataTable(schema, Seq(
+      Row("a", 2, 0), Row("bbb", 2, 1), Row("c", 3, 0), Row("ddd", 4, 1), Row("e", 5, 1))))
+    s.registerTable("people2", DataTable(schema, Seq(
+      Row("a", 1, 0), Row("b", 2, 1), Row("c", 3, 0))))
+    s
+  }
+
+  private def viewName(n: String) = n // registered unqualified below
+
+  private def differential(sql: String): Unit = {
+    val direct = g.spark.sql(sql).collect().map(_.toString).sorted
+    val cached1 = g.sql(sql).rows.map(_.toString).sorted
+    val cached2 = g.sql(sql).rows.map(_.toString).sorted // cache hit
+    assert(cached1.sameElements(direct), s"cached vs direct for: $sql")
+    assert(cached2.sameElements(direct), s"second (cached) run for: $sql")
+  }
+
+  test("differential: joins, agg, window, union (reference DirectExecSuite queries)") {
+    differential("SELECT t1.name, t1.age, t2.age FROM people t1 JOIN people2 t2 ON t1.name = t2.name")
+    differential("SELECT t1.name, t2.age FROM people t1 LEFT JOIN people2 t2 ON t1.name = t2.name")
+    differential("SELECT t1.name, t2.age FROM people t1 RIGHT JOIN people2 t2 ON t1.name = t2.name")
+    differential("SELECT name FROM people t1 WHERE EXISTS (SELECT 1 FROM people2 t2 WHERE t1.name = t2.name)")
+    differential("SELECT age, count(name) AS n FROM people GROUP BY age")
+    differential("SELECT name, row_number() OVER (PARTITION BY genda ORDER BY age, name) AS rn FROM people")
+    differential("SELECT name FROM people UNION SELECT name FROM people2")
+    differential("SELECT name, age FROM people GROUP BY GROUPING SETS ((name), (age)) , name, age".replace("GROUP BY GROUPING SETS ((name), (age)) , name, age", "GROUP BY GROUPING SETS ((name), (age))"))
+    differential("SELECT 1 AS m, 'a' AS n")
+    differential("SELECT name FROM people WHERE 1 = 0")
+    differential("SELECT name, age FROM people ORDER BY age DESC, name LIMIT 3")
+  }
+
+  test("db.table qualified temp views (reference testTempView/db namespace)") {
+    g.executeAndRegister("SELECT name, age FROM people WHERE age >= 3", "hello.world")
+    val dt = g.table("hello.world")
+    assert(dt.rowCount == 3)
+    assert(g.sql("SELECT count(*) AS n FROM hello__g__world").rows.head.getLong(0) == 3)
+  }
+
+  test("plan cache refreshes after re-register (reference lazy-view semantics)") {
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    g.registerTable("vt", DataTable(schema, Seq(Row(1), Row(2))))
+    assert(g.sql("SELECT sum(x) AS s FROM vt").rows.head.getLong(0) == 3)
+    g.registerTable("vt", DataTable(schema, Seq(Row(10), Row(20), Row(30))))
+    assert(g.sql("SELECT sum(x) AS s FROM vt").rows.head.getLong(0) == 60)
+  }
+
+  test("exec-time clock: cached plan's current_timestamp advances (reference testTime)") {
+    val q = "SELECT current_timestamp() AS ts, name FROM people"
+    val t1 = g.sql(q).rows.map(_.getTimestamp(0)).distinct
+    assert(t1.size == 1, "clock must be frozen within one execution")
+    Thread.sleep(15)
+    val t2 = g.sql(q).rows.map(_.getTimestamp(0)).distinct
+    assert(t2.size == 1)
+    assert(t2.head.after(t1.head), s"cached plan returned stale time: $t1 vs $t2")
+    // current_date consistent with the frozen instant (UTC session)
+    val d = g.sql("SELECT current_date() AS d, current_timestamp() AS ts FROM people").rows.head
+    assert(d.getDate(0).toString == d.getTimestamp(1).toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+  }
+
+  test("concurrent execution of one cached plan is correct (reference testMultiThread)") {
+    val q = "SELECT t1.age, count(*) AS n FROM people t1 JOIN people2 t2 ON t1.name = t2.name GROUP BY t1.age"
+    val expected = g.spark.sql(q).collect().map(_.toString).sorted.mkString("|")
+    val pool = Executors.newFixedThreadPool(8)
+    val futures = (1 to 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        override def call(): Seq[String] =
+          (1 to 20).map(_ => g.sql(q).rows.map(_.toString).sorted.mkString("|"))
+      })
+    }
+    val results = futures.flatMap(_.get().toSeq)
+    pool.shutdown()
+    assert(results.forall(_ == expected), "concurrent cached executions diverged")
+  }
+
+  test("java map-list ingest coercion matrix (reference RegisterTableTest)") {
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", LongType),
+      StructField("c", TimestampType), StructField("d", DecimalType(38, 18)),
+      StructField("e", FloatType), StructField("f", DoubleType),
+      StructField("g", BooleanType), StructField("h", ShortType),
+      StructField("i", ByteType), StructField("j", DateType),
+      StructField("k", StringType)))
+    val row1 = Map[String, Object](
+      "a" -> "10", "b" -> "10", "c" -> java.lang.Long.valueOf(1565748795542L),
+      "d" -> "23", "e" -> "2.3", "f" -> "24.03", "g" -> "true", "h" -> "1",
+      "i" -> "12", "j" -> java.lang.Long.valueOf(1565748795542L),
+      "k" -> java.lang.Double.valueOf(2342.23)).asJava
+    val row2 = Map[String, Object](
+      "a" -> Integer.valueOf(200), "b" -> Integer.valueOf(10),
+      "c" -> "1565748795542", "d" -> Integer.valueOf(900000),
+      "e" -> java.lang.Double.valueOf(9.08), "f" -> java.lang.Float.valueOf(9.0008f),
+      "h" -> Integer.valueOf(12), "i" -> Integer.valueOf(23),
+      "j" -> "1565748795542", "k" -> "strtest").asJava
+    val dt = DataTable.fromJavaMapList(schema, Seq(row1, row2).asJava)
+    g.registerTable("ingest", dt)
+    val got = g.table("ingest").rows
+    assert(got.size == 2)
+    val r1 = got.head
+    assert(r1.getInt(0) == 10 && r1.getLong(1) == 10L)
+    assert(r1.getTimestamp(2).getTime == 1565748795542L)
+    assert(r1.getFloat(4) == 2.3f && r1.getDouble(5) == 24.03)
+    assert(r1.getBoolean(6) && r1.getShort(7) == 1 && r1.getByte(8) == 12)
+    assert(r1.getString(10) == "2342.23")
+    val r2 = got(1)
+    assert(r2.getInt(0) == 200)
+    assert(r2.isNullAt(6), "absent key must be null")
+    assert(r2.getString(10) == "strtest")
+  }
+}
