@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, MultimodalOps, Relational, SimilarityOps, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
-      (MultimodalOps.queries, MultimodalOps.oracles)
+      (MultimodalOps.queries, MultimodalOps.oracles),
+      (UdfOps.queries, UdfOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -445,6 +445,29 @@ object Relational {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // §2.8 unix-time family (the reference's Direct* expressions inherit
+    // these semantics; with-arg variants are deterministic, zero-arg clock
+    // versions live in graft.engine.ExecTime).
+    "q46_unixtime" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("epoch_s"))
+        .select(col("event_id"), col("epoch_s"),
+          from_unixtime(col("epoch_s")).as("formatted"),
+          unix_timestamp(from_unixtime(col("epoch_s"))).as("roundtrip"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.8 array constructors / accessors.
+    "q47_arrays" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          element_at(array(col("p_size"), col("p_size") * 2, col("p_size") * 3), 2).as("el2"),
+          array_contains(array(col("p_size"), col("p_size") * 2), 14).as("has14"),
+          size(sequence(lit(1), col("p_size") % 5 + 1)).as("seqlen"),
+          array_join(slice(sequence(lit(1), lit(5)), 2, 3), "-").as("sl"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Session windows (gap-based) over batch data.
     "q45_sessionize" -> ((s, dir) => {
       val sess = t(s, dir, "events")
@@ -690,6 +713,21 @@ object Relational {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q46_unixtime" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        | strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+        |          '%Y-%m-%d %H:%M:%S') AS formatted,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q47_arrays" ->
+      """SELECT p_partkey,
+        | [p_size, p_size * 2, p_size * 3][2] AS el2,
+        | list_contains([p_size, p_size * 2], 14) AS has14,
+        | CAST(len(generate_series(1, p_size % 5 + 1)) AS INTEGER) AS seqlen,
+        | array_to_string(list_slice([1, 2, 3, 4, 5], 2, 4), '-') AS sl
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q45_sessionize" ->
       """WITH gaps AS (

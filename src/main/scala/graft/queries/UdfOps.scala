@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** UDF/UDAF/UDTF surface (SURVEY §2.10). The reference exposes Hive
+  * simple/generic UDFs, UDAFs and UDTFs through its catalog (reference
+  * `DirectSessionCatalog.makeFunctionExpression:62-112`); the idiomatic
+  * Spark-4 equivalents are `spark.udf.register` scalars,
+  * `Aggregator[IN,BUF,OUT]` aggregates (registered via `udaf`), and
+  * generator-backed table functions (`explode` over an array-producing
+  * expression = LATERAL VIEW).
+  *
+  * Note the scalar UDF is deliberately trivial arithmetic: UDFs are opaque to
+  * Catalyst (no pushdown through them), so the engine's guidance is builtin
+  * functions first, custom Expressions second, UDFs last — this module exists
+  * to prove the surface works, not to encourage it.
+  */
+object UdfOps {
+
+  /** Exact integer sum-of-squares over an integer-valued double column —
+    * chosen so partial-aggregation merge order cannot perturb the result
+    * (Long arithmetic), keeping it oracle-checkable. */
+  private object SumSq extends Aggregator[Double, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: Double): Long = b + a.toLong * a.toLong
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  private def registerUdfs(s: SparkSession): Unit = {
+    s.udf.register("udf_discounted", (price: Double, disc: Double) => price * (1.0 - disc))
+    s.udf.register("udaf_sumsq", udaf(SumSq))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scalar Scala UDF through both DataFrame and SQL registration.
+    "u62_scalar_udf" -> ((s, dir) => {
+      registerUdfs(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, udf_discounted(o_totalprice, 0.1) AS discounted
+              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Typed Aggregator UDAF (exact integer arithmetic => oracle-checkable).
+    "u63_udaf" -> ((s, dir) => {
+      registerUdfs(s)
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, udaf_sumsq(l_quantity) AS sumsq
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Table function: LATERAL VIEW explode over a generator expression
+    // (bigram extraction) with aggregation on the generated rows.
+    "u64_table_function" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(
+          when(size(col("toks")) >= 2,
+            expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+            .otherwise(expr("array()").cast(ArrayType(StringType)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "u62_scalar_udf" ->
+      """SELECT o_orderkey, o_totalprice * (1.0 - 0.1) AS discounted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "u63_udaf" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u64_table_function" ->
+      """SELECT bigram, count(*) AS freq FROM (
+        | SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bigram
+        | FROM (SELECT string_split_regex(trim(text), '\s+') AS s FROM documents))
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin
+  )
+}
