@@ -45,7 +45,7 @@ object DataTable {
     DataTable(schema, rows)
   }
 
-  private[engine] def coerce(v: Object, dt: DataType): Any = {
+  private[graft] def coerce(v: Object, dt: DataType): Any = {
     if (v == null) return null
     dt match {
       case StringType => v.toString

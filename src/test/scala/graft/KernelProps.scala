@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.DataTable
+import graft.functions.Kernels
+
+/** Property-based checks over the pure kernels and the ingest coercion —
+  * the reference has no property tests (SURVEY §5); these pin the algebraic
+  * contracts the operators rely on. */
+object KernelProps extends Properties("graft.kernels") {
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+  private def sarr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(s => UTF8String.fromString(s).asInstanceOf[Any]).toArray)
+
+  private val longSet = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct)
+
+  property("sortedIntersectSize equals set intersection") =
+    forAll(longSet, longSet) { (a, b) =>
+      Kernels.sortedIntersectSize(arr(a.sorted), arr(b.sorted)) ==
+        a.toSet.intersect(b.toSet).size
+    }
+
+  property("minhash is order-invariant") =
+    forAll(longSet.suchThat(_.nonEmpty)) { xs =>
+      val p = scala.util.Random.shuffle(xs)
+      Kernels.minHashSignature(arr(xs), 16, 42L).toSeq ==
+        Kernels.minHashSignature(arr(p), 16, 42L).toSeq
+    }
+
+  property("minhash merge is elementwise min") =
+    forAll(longSet.suchThat(_.nonEmpty), longSet.suchThat(_.nonEmpty)) { (a, b) =>
+      val sa = Kernels.minHashSignature(arr(a), 16, 7L)
+      val sb = Kernels.minHashSignature(arr(b), 16, 7L)
+      val sab = Kernels.minHashSignature(arr(a ++ b), 16, 7L)
+      sab.toSeq == sa.zip(sb).map { case (x, y) => math.min(x, y) }.toSeq
+    }
+
+  property("identical sets get identical minhash; equal signature <=> plausible dup") =
+    forAll(longSet.suchThat(_.nonEmpty)) { xs =>
+      Kernels.minHashSignature(arr(xs), 32, 1L).toSeq ==
+        Kernels.minHashSignature(arr(xs), 32, 1L).toSeq
+    }
+
+  property("simhash identical token arrays -> zero hamming") =
+    forAll(Gen.listOf(Gen.alphaNumStr)) { ts =>
+      Kernels.simHash64(sarr(ts)) == Kernels.simHash64(sarr(ts))
+    }
+
+  property("cosine is symmetric and bounded") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-100, 100))) { (a0, b0) =>
+      val n = math.min(a0.size, b0.size)
+      val a = a0.take(n).map(_.toFloat); val b = b0.take(n).map(_.toFloat)
+      def f(xs: Seq[Float]) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+      val ab = Kernels.cosineFloat(f(a), f(b))
+      val ba = Kernels.cosineFloat(f(b), f(a))
+      (ab.isNaN && ba.isNaN) || (ab == ba && ab >= -1.0000001 && ab <= 1.0000001)
+    }
+
+  property("hyperplane signature is scale-invariant for positive scales") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-64, 64)), Gen.chooseNum(0, 3)) { (v0, t) =>
+      val v = v0.map(_.toFloat)
+      def f(xs: Seq[Float]) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+      Kernels.hyperplaneSig(f(v), t, 8) == Kernels.hyperplaneSig(f(v.map(_ * 4f)), t, 8)
+    }
+
+  property("fingerprint of superset content is <= (min over more k-grams)") =
+    forAll(Gen.alphaNumStr.suchThat(_.length >= 8), Gen.alphaNumStr) { (base, extra) =>
+      val fa = Kernels.rollingFingerprint(UTF8String.fromString(base), 8)
+      val fc = Kernels.rollingFingerprint(UTF8String.fromString(base + extra + base), 8)
+      fc <= fa
+    }
+
+  property("langId total and closed over profile codes") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      Set("en", "de", "fr", "es", "zh", "und")
+        .contains(Kernels.langId(UTF8String.fromString(s)).toString)
+    }
+
+  property("coercion: numeric strings roundtrip for int/long/double") =
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { i =>
+      DataTable.coerce(i.toString, IntegerType) == i &&
+        DataTable.coerce(i.toString, LongType) == i.toLong &&
+        DataTable.coerce(java.lang.Integer.valueOf(i), DoubleType) == i.toDouble
+    }
+
+  property("coercion: epoch millis produce matching date and timestamp") =
+    forAll(Gen.chooseNum(0L, 4102444800000L)) { ms =>
+      val ts = DataTable.coerce(java.lang.Long.valueOf(ms), TimestampType)
+        .asInstanceOf[java.sql.Timestamp]
+      val dt = DataTable.coerce(ms.toString, TimestampType)
+        .asInstanceOf[java.sql.Timestamp]
+      ts.getTime == ms && dt.getTime == ms
+    }
+}
