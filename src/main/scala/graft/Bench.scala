@@ -36,11 +36,24 @@ object Bench {
       cold(name) = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       warm(name) = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
     }
+    // Repeated-query latency through the plan-cached facade (the regime the
+    // reference's design optimizes; BASELINE.md): small cached join+agg,
+    // mean ms over 30 runs after warmup, vs re-planning each call.
+    val g = graft.engine.GraftSession(spark)
+    graft.Tables.registerAll(spark, sfDir)
+    val microSql =
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 150000 GROUP BY 1"
+    (1 to 3).foreach(_ => g.sql(microSql))
+    val cachedMs = (1 to 30).map(_ => time(g.sql(microSql))).sum / 30 * 1000
+    val uncachedMs = (1 to 10).map { i =>
+      time(spark.sql(microSql + s" /* $i */").collect())
+    }.sum / 10 * 1000
+
     def js(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${f"$cachedMs%.1f"},"uncached_query_ms":${f"$uncachedMs%.1f"}}""")
     spark.stop()
   }
 }

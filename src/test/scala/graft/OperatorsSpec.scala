@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.sources.Sinks
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted join equals plain inner join on skewed keys") {
+    import spark.implicits._
+    // 90% of left rows hit one key — the shape salting exists for
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 25 else 7L, i)).toDF("k", "v")
+    val right = (0L until 25L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val expected = left.join(right, "k").select("k", "v", "name")
+      .collect().map(_.toString).sorted
+    val got = SkewJoin.saltedInnerJoin(left, right, "k", 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
+
+  test("partitioned parquet sink roundtrips and prunes partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val orders = Tables.load(spark, dir, "orders")
+    Sinks.writePartitioned(orders, out, Seq("o_orderstatus"))
+    val back = Sinks.readPartitioned(spark, out)
+    assert(back.count() == orders.count())
+    // partition pruning: reading one status must scan only that directory
+    val one = back.filter(col("o_orderstatus") === "F")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)") ||
+      plan.contains("PartitionFilters"), "status filter should prune partitions")
+  }
+
+  test("newSession isolates temp views but keeps clock semantics") {
+    val g = graft.engine.GraftSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    g.registerTable("parent_only", graft.engine.DataTable(schema, Seq(Row(1))))
+    val child = g.newSession()
+    intercept[Exception] { child.sql("SELECT * FROM parent_only") }
+    // clock rule still present in the child session
+    val t1 = child.sql("SELECT current_timestamp() AS ts").rows.head.getTimestamp(0)
+    Thread.sleep(10)
+    val t2 = child.sql("SELECT current_timestamp() AS ts").rows.head.getTimestamp(0)
+    assert(t2.after(t1))
+  }
+}
