@@ -36,6 +36,7 @@ object MultimodalOps {
       import s.implicits._
       val src = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .repartition(s.sparkContext.defaultParallelism) // decode runs per partition
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.flatMap { case (id, bytes) =>

@@ -34,8 +34,12 @@ object SimilarityOps {
       GraftFunctions.register(s)
       val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      // corpus arrives as one parquet split — spread the streamed side of
+      // the BNLJ across the cluster (on real data this comes free from the
+      // file layout)
       val c = emb(s, dir).filter(col("vec_id") >= 10)
         .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+        .repartition(s.sparkContext.defaultParallelism)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
       q.crossJoin(c)
@@ -51,6 +55,7 @@ object SimilarityOps {
     "s58_embed_dup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val a = emb(s, dir).select(col("vec_id").as("ida"), col("embedding").as("va"))
+        .repartition(s.sparkContext.defaultParallelism) // parallel BNLJ stream side
       val b = emb(s, dir).select(col("vec_id").as("idb"), col("embedding").as("vb"))
       a.join(b, col("ida") < col("idb"))
         .select(col("ida"), col("idb"), expr("graft_cosine(va, vb)").as("sim"))
