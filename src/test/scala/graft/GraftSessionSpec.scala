@@ -98,6 +98,12 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(results.forall(_ == expected), "concurrent cached executions diverged")
   }
 
+  test("facade pins lenient (pre-ANSI) cast semantics like the reference") {
+    val r = g.sql("SELECT CAST('abc' AS INT) AS x, 'a' || 1 AS y FROM people LIMIT 1").rows.head
+    assert(r.isNullAt(0), "bad cast must yield null, not error (Spark 2.4 parity)")
+    assert(r.getString(1) == "a1")
+  }
+
   test("java map-list ingest coercion matrix (reference RegisterTableTest)") {
     val schema = StructType(Seq(
       StructField("a", IntegerType), StructField("b", LongType),
