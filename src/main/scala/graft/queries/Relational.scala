@@ -468,6 +468,30 @@ object Relational {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.8 string functions, second batch.
+    "q48_string_funcs2" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, "*").as("lp"),
+          rpad(col("n_name"), 12, ".").as("rp"),
+          reverse(col("n_name")).as("rev"),
+          translate(col("n_name"), "AEI", "aei").as("tr"),
+          repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+          element_at(split(col("n_name"), " "), 1).as("first_word"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // §2.8 conditional/null functions.
+    "q49_null_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("gt"),
+          least(col("o_totalprice"), lit(100000.0)).as("lt"),
+          expr("nvl(nullif(o_orderstatus, 'O'), 'none')").as("nv"),
+          expr("if(o_totalprice > 200000, 'hi', 'lo')").as("cond"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Session windows (gap-based) over batch data.
     "q45_sessionize" -> ((s, dir) => {
       val sess = t(s, dir, "events")
@@ -713,6 +737,22 @@ object Relational {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q48_string_funcs2" ->
+      """SELECT n_nationkey,
+        | lpad(n_name, 12, '*') AS lp, rpad(n_name, 12, '.') AS rp,
+        | reverse(n_name) AS rev, translate(n_name, 'AEI', 'aei') AS tr,
+        | repeat(substring(n_name, 1, 2), 3) AS rep,
+        | string_split(n_name, ' ')[1] AS first_word
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q49_null_funcs" ->
+      """SELECT o_orderkey,
+        | greatest(o_totalprice, 100000.0) AS gt,
+        | least(o_totalprice, 100000.0) AS lt,
+        | coalesce(nullif(o_orderstatus, 'O'), 'none') AS nv,
+        | CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END AS cond
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q46_unixtime" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

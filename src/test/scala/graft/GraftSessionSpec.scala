@@ -52,6 +52,11 @@ class GraftSessionSpec extends AnyFunSuite {
     differential("SELECT 1 AS m, 'a' AS n")
     differential("SELECT name FROM people WHERE 1 = 0")
     differential("SELECT name, age FROM people ORDER BY age DESC, name LIMIT 3")
+    // reference example queries (SparkDirectSQLExample): LATERAL VIEW,
+    // substring over join, approx_count_distinct
+    differential("SELECT name, genda, pair FROM people LATERAL VIEW explode(split(name, '')) t AS pair")
+    differential("SELECT substring(t1.name, 1, 2) AS pre, t2.age FROM people t1 LEFT JOIN people2 t2 ON t1.name = t2.name")
+    differential("SELECT genda, approx_count_distinct(name) AS n FROM people GROUP BY genda")
   }
 
   test("db.table qualified temp views (reference testTempView/db namespace)") {
