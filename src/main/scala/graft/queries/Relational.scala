@@ -492,6 +492,53 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.5 remaining frame kinds: first/last/nth value, cume_dist/percent_rank.
+    "q50_window_frames" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val entire = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val growing = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          first(col("c_custkey")).over(growing).as("top_cust"),
+          last(col("c_custkey")).over(entire).as("bottom_cust"),
+          nth_value(col("c_custkey"), 2).over(entire).as("second_cust"),
+          cume_dist().over(ord).as("cd"),
+          percent_rank().over(ord).as("pr"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 interval arithmetic.
+    "q51_interval" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (col("ts") + expr("INTERVAL 1 DAY")).cast(StringType).as("plus_day"),
+          (col("ts") - expr("INTERVAL 2 HOUR")).cast(StringType).as("minus_2h"),
+          date_add(col("ts").cast(DateType), 7).cast(StringType).as("week_later"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 min_by/max_by/count_if/bool aggregates.
+    "q52_agg_misc" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2.8 map construction/access.
+    "q53_maps" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          element_at(map(lit("k"), col("n_nationkey"), lit("r"), col("n_regionkey")), "k").as("mk"),
+          size(map_keys(map(lit("k"), col("n_nationkey"), lit("r"), col("n_regionkey")))).as("nkeys"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Session windows (gap-based) over batch data.
     "q45_sessionize" -> ((s, dir) => {
       val sess = t(s, dir, "events")
@@ -737,6 +784,43 @@ object Relational {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q50_window_frames" ->
+      """SELECT c_custkey, c_mktsegment,
+        | first_value(c_custkey) OVER wg AS top_cust,
+        | last_value(c_custkey) OVER we AS bottom_cust,
+        | nth_value(c_custkey, 2) OVER we AS second_cust,
+        | cume_dist() OVER wo AS cd,
+        | percent_rank() OVER wo AS pr
+        |FROM customer
+        |WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |  wg AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  we AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q51_interval" ->
+      """SELECT event_id,
+        | CAST(ts + INTERVAL 1 DAY AS VARCHAR) AS plus_day,
+        | CAST(ts - INTERVAL 2 HOUR AS VARCHAR) AS minus_2h,
+        | CAST(CAST(ts AS DATE) + 7 AS VARCHAR) AS week_later
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q52_agg_misc" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, o_totalprice) AS best_order,
+        | arg_min(o_orderkey, o_totalprice) AS worst_order,
+        | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        | bool_or(o_orderstatus = 'F') AS any_f,
+        | bool_and(o_totalprice > 0) AS all_pos
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q53_maps" ->
+      """SELECT n_nationkey,
+        | map(['k','r'], [n_nationkey, n_regionkey])['k'][1] AS mk,
+        | CAST(cardinality(map(['k','r'], [n_nationkey, n_regionkey])) AS INTEGER) AS nkeys
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q48_string_funcs2" ->
       """SELECT n_nationkey,

@@ -28,4 +28,15 @@ object Sinks {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed managed table: pre-shuffles once at write so joins/aggs on the
+    * bucket key need NO exchange at read — the canonical way to co-locate a
+    * 100 TB fact table with its dimensions for repeated joins.
+    * Requires a managed table (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }

@@ -45,6 +45,42 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("PartitionFilters"), "status filter should prune partitions")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.internal.SQLConf
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Sinks.writeBucketed(Tables.load(spark, dir, "orders"), "orders_b", "o_custkey", 8)
+      Sinks.writeBucketed(Tables.load(spark, dir, "customer"), "customer_b", "c_custkey", 8)
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.load(spark, dir, "orders").join(
+          Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("streaming dropDuplicates converges to batch distinct") {
+    val events = graft.streaming.StreamingOps.eventsStream(spark, dir)
+    val q = graft.streaming.StreamingOps.runToMemorySink(
+      events.select(col("event_id"), col("event_type")).dropDuplicates("event_id"),
+      "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("dedup_stream").count()
+      val batch = Tables.load(spark, dir, "events")
+        .select(col("event_id")).distinct().count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("newSession isolates temp views but keeps clock semantics") {
     val g = graft.engine.GraftSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
