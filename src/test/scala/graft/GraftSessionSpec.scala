@@ -57,6 +57,9 @@ class GraftSessionSpec extends AnyFunSuite {
     differential("SELECT name, genda, pair FROM people LATERAL VIEW explode(split(name, '')) t AS pair")
     differential("SELECT substring(t1.name, 1, 2) AS pre, t2.age FROM people t1 LEFT JOIN people2 t2 ON t1.name = t2.name")
     differential("SELECT genda, approx_count_distinct(name) AS n FROM people GROUP BY genda")
+    // null-aware anti join (NOT IN), incl. a null-producing subquery
+    differential("SELECT name FROM people WHERE name NOT IN (SELECT name FROM people2)")
+    differential("SELECT name FROM people WHERE name NOT IN (SELECT nullif(name, 'a') FROM people2)")
   }
 
   test("db.table qualified temp views (reference testTempView/db namespace)") {

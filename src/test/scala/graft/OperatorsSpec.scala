@@ -81,6 +81,22 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("csv and json sources roundtrip the events table") {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-src-").toString
+    events.write.option("header", "true").csv(s"$base/csv")
+    events.write.json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+    val fromJson = spark.read.json(s"$base/json")
+    assert(fromCsv.count() == events.count())
+    assert(fromJson.count() == events.count())
+    val expected = events.collect().map(_.toString).sorted
+    assert(fromJson.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(_.toString).sorted.sameElements(expected))
+  }
+
   test("newSession isolates temp views but keeps clock semantics") {
     val g = graft.engine.GraftSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
