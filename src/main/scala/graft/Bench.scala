@@ -22,6 +22,10 @@ object Bench {
       // real multi-file layout would (overridable for A/B)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
+      // RAM-resident corpus (the reference's data model) via Spark's
+      // columnar cache; the correctness path (Verify) stays on parquet
+      .config("graft.cache.tables",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -539,6 +539,34 @@ object Relational {
         .orderBy(col("n_nationkey"))
     }),
 
+    // §2.3 as-of join — an operator neither Spark nor the reference has
+    // (SURVEY §2.3: "as-of needs custom logic"). Composed scale-first: tag
+    // both inputs, union, and take last-known order date per key over an
+    // ordered growing window — one shuffle + one sort, no range-join blowup,
+    // the merge-interleave shape that survives 100 TB. Ties (order and event
+    // at the same instant) sort the order first = inclusive `>=` semantics,
+    // matching DuckDB's native ASOF JOIN oracle.
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("k"), col("ts").as("t"),
+        lit(null).cast(TimestampType).as("od"),
+        lit(1).as("is_event"), col("event_id"))
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        col("o_orderdate").as("od"),
+        lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.union(ev)
+        .select(col("k"), col("is_event"), col("event_id"),
+          last(col("od"), ignoreNulls = true).over(w).as("asof"))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("asof").cast(StringType).as("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
     // Session windows (gap-based) over batch data.
     "q45_sessionize" -> ((s, dir) => {
       val sess = t(s, dir, "events")
@@ -784,6 +812,12 @@ object Relational {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q54_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS VARCHAR) AS asof_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q50_window_frames" ->
       """SELECT c_custkey, c_mktsegment,
