@@ -303,6 +303,15 @@ object Relational {
         .limit(100)
     }),
 
+    // §2.10 posexplode (generator with ordinality).
+    "q28_posexplode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // §2.1 one-row relation (no FROM).
     "q29_onerow" -> ((s, dir) => s.sql("SELECT 1 AS m, 'a' AS n")),
 
@@ -731,6 +740,14 @@ object Relational {
         | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token HAVING count(*) >= 5
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q28_posexplode" ->
+      """SELECT doc_id,
+        | CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS pos,
+        | unnest(s) AS token
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q29_onerow" -> "SELECT CAST(1 AS INTEGER) AS m, 'a' AS n",
 

@@ -106,6 +106,17 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(results.forall(_ == expected), "concurrent cached executions diverged")
   }
 
+  test("hive udf surface: CREATE TEMPORARY FUNCTION AS '<hive class>' (reference testHiveUdf)") {
+    val h = graft.engine.GraftSession.builder()
+      .master("local[4]").withHiveSupport().getOrCreate()
+    // catalog implementation is SharedState-static; if another suite's
+    // in-memory session won the race, this surface can't activate here
+    assume(h.spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive",
+      "needs to be the first session in the JVM")
+    h.spark.sql("CREATE TEMPORARY FUNCTION hive_conv AS 'org.apache.hadoop.hive.ql.udf.UDFConv'")
+    assert(h.sql("SELECT hive_conv('255', 10, 16) AS h").rows.head.getString(0) == "FF")
+  }
+
   test("facade pins lenient (pre-ANSI) cast semantics like the reference") {
     val r = g.sql("SELECT CAST('abc' AS INT) AS x, 'a' || 1 AS y FROM people LIMIT 1").rows.head
     assert(r.isNullAt(0), "bad cast must yield null, not error (Spark 2.4 parity)")

@@ -67,6 +67,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t49_fingerprint is deterministic and groups known near-dup docs") {
+    val a = SparkEntry.queries("t49_fingerprint")(spark, dir)
+      .collect().map(_.toString)
+    val b = SparkEntry.queries("t49_fingerprint")(spark, dir)
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+    // docs sharing a fingerprint exist (the corpus has planted near-dups,
+    // and min-rolling-hash collides on heavily shared content)
+    val grouped = SparkEntry.queries("t49_fingerprint")(spark, dir)
+      .filter(col("n_docs") > 1).count()
+    assert(grouped > 0, "expected at least one multi-doc fingerprint group")
+  }
+
   test("m61_frame_sample emits bounded deterministic frames") {
     val rows = SparkEntry.queries("m61_frame_sample")(spark, dir).collect()
     assert(rows.nonEmpty)
