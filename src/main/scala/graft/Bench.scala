@@ -26,6 +26,7 @@ object Bench {
       // columnar cache; the correctness path (Verify) stays on parquet
       .config("graft.cache.tables",
         sys.env.getOrElse("SPARK_GRAFT_CACHE", "true"))
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,8 +42,13 @@ object Bench {
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      cold(name) = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
-      warm(name) = time { try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      def run(): Unit =
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      cold(name) = time(run())
+      warm(name) = time(run())
     }
     // Repeated-query latency through the plan-cached facade (the regime the
     // reference's design optimizes; BASELINE.md): small cached join+agg,
@@ -57,11 +63,15 @@ object Bench {
       time(spark.sql(microSql + s" /* $i */").collect())
     }.sum / 10 * 1000
 
+    // Locale.ROOT formatting: f"%.3f" under a comma-decimal locale would
+    // emit invalid JSON and lose the round's bench line
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def js(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${f"$cachedMs%.1f"},"uncached_query_ms":${f"$uncachedMs%.1f"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)}}""")
     spark.stop()
   }
 }

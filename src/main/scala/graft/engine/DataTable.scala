@@ -89,8 +89,9 @@ object DataTable {
         case n: Number => new Timestamp(n.longValue())
         case s =>
           val str = s.toString.trim
-          if (str.forall(c => c.isDigit || c == '-') && str.nonEmpty)
-            new Timestamp(str.toLong)
+          // epoch branch must be a strict integer — "2020-01-01" contains
+          // only digits and dashes but is NOT an epoch
+          if (str.matches("-?\\d+")) new Timestamp(str.toLong)
           else Timestamp.valueOf(str)
       }
       case DateType => v match {
@@ -99,8 +100,7 @@ object DataTable {
         case n: Number => new Date(n.longValue())
         case s =>
           val str = s.toString.trim
-          if (str.forall(c => c.isDigit || c == '-') && str.nonEmpty)
-            new Date(str.toLong)
+          if (str.matches("-?\\d+")) new Date(str.toLong)
           else Date.valueOf(str)
       }
       case BinaryType => v match {

@@ -4,12 +4,12 @@ import java.time.ZoneId
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, LeafExpression, Now, TimeZoneAwareExpression}
+import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, LeafExpression, LocalTimestamp, Now, TimeZoneAwareExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
 
 /** Execution-time clock semantics for cached plans.
   *
@@ -83,6 +83,21 @@ case class ExecCurrentDate(timeZoneId: Option[String] = None)
   override def prettyName: String = "exec_current_date"
 }
 
+/** localtimestamp() against the frozen execution clock (TIMESTAMP_NTZ in the
+  * session zone) — ComputeCurrentTime folds the stock LocalTimestamp too. */
+case class ExecLocalTimestamp(timeZoneId: Option[String] = None)
+    extends LeafExpression with TimeZoneAwareExpression with CodegenFallback {
+  override def dataType: DataType = TimestampNTZType
+  override def nullable: Boolean = false
+  override def withTimeZone(timeZoneId: String): TimeZoneAwareExpression =
+    copy(timeZoneId = Option(timeZoneId))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DateTimeUtils.localDateTimeToMicros(
+      DateTimeUtils.microsToInstant(GraftExecutionContext.currentMicros())
+        .atZone(zoneId).toLocalDateTime)
+  override def prettyName: String = "exec_localtimestamp"
+}
+
 /** Analyzer rule: swap clock expressions for execution-time variants before
   * the optimizer can constant-fold them (`ComputeCurrentTime` matches the
   * stock classes only). */
@@ -91,6 +106,7 @@ object ExecTimeRewrite extends Rule[LogicalPlan] {
     case CurrentTimestamp() => ExecCurrentTimestamp()
     case Now() => ExecCurrentTimestamp()
     case cd: CurrentDate => ExecCurrentDate(cd.timeZoneId)
+    case lt: LocalTimestamp => ExecLocalTimestamp(lt.timeZoneId)
   }
 }
 

@@ -44,6 +44,17 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        // same-typed sides required: the kernel reads both arrays with one
+        // element accessor; a float/double mix would read garbage strides
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine requires two array<float> or two array<double> args, got $l / $r")
+    }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     if (isFloat) Kernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

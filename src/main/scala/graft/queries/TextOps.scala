@@ -26,7 +26,7 @@ object TextOps {
         size(split(trim(col("text")), "\\s+")).as("n_tokens"),
         length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"),
         (length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
-          length(col("text"))).as("space_ratio"))
+          nullif(length(col("text")), lit(0))).as("space_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -66,7 +66,7 @@ object TextOps {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
         | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
-        | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio
+        | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t47_token_count" ->

@@ -89,6 +89,13 @@ class GraftSessionSpec extends AnyFunSuite {
     val d = g.sql("SELECT current_date() AS d, current_timestamp() AS ts FROM people").rows.head
     assert(d.getDate(0).toString == d.getTimestamp(1).toInstant
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+    // localtimestamp() is also exec-time under the cache (ComputeCurrentTime
+    // folds the stock LocalTimestamp; our rule swaps it too)
+    val lq = "SELECT localtimestamp() AS lt FROM people LIMIT 1"
+    val l1 = g.sql(lq).rows.head.getAs[java.time.LocalDateTime](0)
+    Thread.sleep(15)
+    val l2 = g.sql(lq).rows.head.getAs[java.time.LocalDateTime](0)
+    assert(l2.isAfter(l1), s"cached localtimestamp went stale: $l1 vs $l2")
   }
 
   test("concurrent execution of one cached plan is correct (reference testMultiThread)") {
