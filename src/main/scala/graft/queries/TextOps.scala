@@ -69,6 +69,31 @@ object TextOps {
         | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Exact SQL mirror of Kernels.langId for an ASCII corpus: tokens are
+    // [a-z]+ runs of lower(text) (Character.isLetter == [a-z] on ASCII),
+    // per-occurrence stopword counts, first-profile-order tie-breaking
+    // (a later profile needs a STRICTLY greater score to win), 'und' when
+    // no profile word appears. CJK counting is identically zero on ASCII.
+    "t48_lang_id" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS t
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        | count(*) FILTER (WHERE t IN ('the','and','of','to','is','in','that','it','was','for')) AS s_en,
+        | count(*) FILTER (WHERE t IN ('der','und','die','das','ist','nicht','ein','mit','auf','zu')) AS s_de,
+        | count(*) FILTER (WHERE t IN ('le','la','et','les','des','est','un','une','dans','que')) AS s_fr,
+        | count(*) FILTER (WHERE t IN ('el','la','de','que','y','en','los','del','las','una')) AS s_es
+        | FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id, CASE
+        | WHEN coalesce(s_en,0) > 0 AND s_en >= coalesce(s_de,0) AND s_en >= coalesce(s_fr,0) AND s_en >= coalesce(s_es,0) THEN 'en'
+        | WHEN coalesce(s_de,0) > 0 AND s_de > coalesce(s_en,0) AND s_de >= coalesce(s_fr,0) AND s_de >= coalesce(s_es,0) THEN 'de'
+        | WHEN coalesce(s_fr,0) > 0 AND s_fr > coalesce(s_en,0) AND s_fr > coalesce(s_de,0) AND s_fr >= coalesce(s_es,0) THEN 'fr'
+        | WHEN coalesce(s_es,0) > 0 AND s_es > coalesce(s_en,0) AND s_es > coalesce(s_de,0) AND s_es > coalesce(s_fr,0) THEN 'es'
+        | ELSE 'und' END AS lang_pred
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "t47_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws,

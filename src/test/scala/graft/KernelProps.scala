@@ -90,6 +90,15 @@ object KernelProps extends Properties("graft.kernels") {
         DataTable.coerce(java.lang.Integer.valueOf(i), DoubleType) == i.toDouble
     }
 
+  property("coercion: ISO date/timestamp strings parse (regression: dash-digit guard)") =
+    forAll(Gen.chooseNum(1970, 2100), Gen.chooseNum(1, 12), Gen.chooseNum(1, 28)) {
+      (y, m, d) =>
+        val iso = f"$y%04d-$m%02d-$d%02d"
+        DataTable.coerce(iso, DateType).toString == iso &&
+          DataTable.coerce(s"$iso 12:30:00", TimestampType)
+            .asInstanceOf[java.sql.Timestamp].toString.startsWith(s"$iso 12:30:00")
+    }
+
   property("coercion: epoch millis produce matching date and timestamp") =
     forAll(Gen.chooseNum(0L, 4102444800000L)) { ms =>
       val ts = DataTable.coerce(java.lang.Long.valueOf(ms), TimestampType)
