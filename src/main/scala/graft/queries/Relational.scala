@@ -548,6 +548,30 @@ object Relational {
         .orderBy(col("n_nationkey"))
     }),
 
+    // TPC-H Q4 shape: EXISTS semi-join feeding an aggregate.
+    "q55_semi_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q8 shape: conditional market-share ratio of exact sums.
+    "q56_market_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg((dsum(when(col("n_name") === "CHINA",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0), 4) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("share"))
+        .orderBy(col("y"))
+    }),
+
     // §2.3 as-of join — an operator neither Spark nor the reference has
     // (SURVEY §2.3: "as-of needs custom logic"). Composed scale-first: tag
     // both inputs, union, and take last-known order date per key over an
@@ -829,6 +853,24 @@ object Relational {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q55_semi_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q56_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(sum(CAST(CASE WHEN n_name = 'CHINA'
+        |       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        | / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS share
+        |FROM orders
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q54_asof_join" ->
       """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS VARCHAR) AS asof_date
