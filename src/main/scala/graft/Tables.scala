@@ -49,7 +49,14 @@ object Tables {
     spark.table(view)
   }
 
-  /** Register every corpus table as a temp view named after the table. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every corpus table as a temp view named after the table.
+    * Memoized per (session, dir): SQL-based queries call this on every
+    * invocation, and re-reading ten parquet footers each time is waste. */
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
+  def registerAll(spark: SparkSession, dir: String): Unit = registered.synchronized {
+    if (registered.get(spark) != dir) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
+  }
 }

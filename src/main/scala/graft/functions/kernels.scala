@@ -197,7 +197,9 @@ object Kernels {
     * undetermined (no profile word seen). Deterministic n-gram-free
     * heuristic — ties broken by profile order. */
   def langId(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: default-locale lowercasing (e.g. tr-TR dotless i) would
+    // change results per executor JVM and break the exact t48 oracle
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val scores = new Array[Int](langWordSets.length)
     var start = 0
     val len = s.length

@@ -40,20 +40,19 @@ object MultimodalOps {
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          // fake "video": one frame per 200 bytes, capped at 4; feature =
-          // mean byte value of the frame's slice (a stand-in for a decoded
-          // frame embedding).
-          val nFrames = math.min(4, bytes.length / 200 + 1)
-          (0 until nFrames).iterator.map { f =>
-            val from = f * 200
-            val until = math.min(bytes.length, from + 200)
-            val mean =
-              if (until > from) {
-                var sum = 0L; var i = from
-                while (i < until) { sum += bytes(i) & 0xff; i += 1 }
-                sum.toDouble / (until - from)
-              } else 0.0
-            (id, f, mean)
+          // fake "video": one frame per started 200-byte block, capped at 4;
+          // feature = mean byte value of the frame's slice (a stand-in for a
+          // decoded frame embedding). Null payloads produce no frames.
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            val nFrames = math.min(4, (bytes.length + 199) / 200)
+            (0 until nFrames).iterator.map { f =>
+              val from = f * 200
+              val until = math.min(bytes.length, from + 200)
+              var sum = 0L; var i = from
+              while (i < until) { sum += bytes(i) & 0xff; i += 1 }
+              (id, f, sum.toDouble / (until - from))
+            }
           }
         }
       }.toDF("doc_id", "frame_idx", "feat_mean")

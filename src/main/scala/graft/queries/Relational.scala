@@ -415,12 +415,15 @@ object Relational {
         .orderBy(col("o_custkey"))
     }),
 
-    // Pivot (Expand + aggregate under the hood).
+    // Pivot (Expand + aggregate under the hood). Absent cells are filled to
+    // 0: Spark's pivot-count yields NULL for a missing combination while the
+    // oracle's count FILTER yields 0.
     "q41_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("O", "F"))
         .agg(count(lit(1)))
+        .na.fill(0, Seq("O", "F"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -458,8 +461,11 @@ object Relational {
     // these semantics; with-arg variants are deterministic, zero-arg clock
     // versions live in graft.engine.ExecTime).
     "q46_unixtime" -> ((s, dir) => {
+      // floor (not `div`, which truncates toward zero): matches DuckDB's
+      // floor(epoch(ts)) for pre-epoch timestamps too
       t(s, dir, "events")
-        .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("epoch_s"))
+        .select(col("event_id"),
+          expr("CAST(floor(unix_micros(ts) / 1000000.0) AS BIGINT)").as("epoch_s"))
         .select(col("event_id"), col("epoch_s"),
           from_unixtime(col("epoch_s")).as("formatted"),
           unix_timestamp(from_unixtime(col("epoch_s"))).as("roundtrip"))
@@ -527,12 +533,16 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
-    // §2.4 min_by/max_by/count_if/bool aggregates.
+    // §2.4 min_by/max_by/count_if/bool aggregates. The ordering value is an
+    // exact decimal (price * 1e8 + orderkey) so extreme-price ties cannot
+    // make the nondeterministic arg-extreme pick diverge between engines.
     "q52_agg_misc" -> ((s, dir) => {
+      val tieKey = col("o_totalprice").cast(DecimalType(14, 2)) * lit(100000000L) +
+        col("o_orderkey")
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        .agg(max_by(col("o_orderkey"), tieKey).as("best_order"),
+          min_by(col("o_orderkey"), tieKey).as("worst_order"),
           count_if(col("o_totalprice") > 200000).as("n_big"),
           expr("bool_or(o_orderstatus = 'F')").as("any_f"),
           expr("bool_and(o_totalprice > 0)").as("all_pos"))
@@ -902,8 +912,8 @@ object Relational {
 
     "q52_agg_misc" ->
       """SELECT o_orderpriority,
-        | arg_max(o_orderkey, o_totalprice) AS best_order,
-        | arg_min(o_orderkey, o_totalprice) AS worst_order,
+        | arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) * 100000000 + o_orderkey) AS best_order,
+        | arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) * 100000000 + o_orderkey) AS worst_order,
         | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         | bool_or(o_orderstatus = 'F') AS any_f,
         | bool_and(o_totalprice > 0) AS all_pos

@@ -65,10 +65,8 @@ object UdfOps {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), explode(
-          when(size(col("toks")) >= 2,
-            expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-            .otherwise(expr("array()").cast(ArrayType(StringType)))).as("bigram"))
+        .select(col("doc_id"),
+          explode(QueryUtil.wordNgrams(col("toks"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram"))
