@@ -44,6 +44,13 @@ class GraftSession private (val spark: SparkSession) {
     * deterministic name mangling inside the facade. */
   private def mangle(name: String): String = name.replace(".", "__g__")
 
+  private def isCommand(df: DataFrame): Boolean =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
+      case _ => false
+    }
+
   private def cachedPlan(sqlText: String): DataFrame = {
     val key = catalogVersion.get() + "\n" + sqlText
     val hit = planCache.synchronized(planCache.get(key))
@@ -52,9 +59,23 @@ class GraftSession private (val spark: SparkSession) {
       // compile outside the lock so unrelated statements analyze in
       // parallel; a racing duplicate compile is harmless (last put wins)
       val df = spark.sql(sqlText)
-      planCache.synchronized(planCache.put(key, df))
+      if (isCommand(df)) {
+        // commands (INSERT/DDL) execute eagerly at construction: caching one
+        // would turn a re-issued statement into a silent no-op replay, and a
+        // catalog mutation invalidates every cached SELECT — bump + bypass.
+        bumpVersion()
+      } else {
+        planCache.synchronized(planCache.put(key, df))
+      }
       df
     }
+  }
+
+  private def bumpVersion(): Unit = {
+    catalogVersion.incrementAndGet()
+    // entries under old versions are unreachable by any future key; drop
+    // them now instead of pinning up to 1000 stale materialized plans
+    planCache.synchronized(planCache.clear())
   }
 
   /** Parse/analyze/optimize once per (catalog version, SQL text); execute
@@ -72,12 +93,12 @@ class GraftSession private (val spark: SparkSession) {
   def registerTable(name: String, table: DataTable): Unit = {
     spark.createDataFrame(table.rows.asJava, table.schema)
       .createOrReplaceTempView(mangle(name))
-    catalogVersion.incrementAndGet()
+    bumpVersion()
   }
 
   def registerTable(name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(mangle(name))
-    catalogVersion.incrementAndGet()
+    bumpVersion()
   }
 
   def table(name: String): DataTable = {
@@ -89,7 +110,7 @@ class GraftSession private (val spark: SparkSession) {
     * isolates temp views, conf and plan cache (reference `newSession`,
     * `DirectSparkSession.scala:81-86`). Extensions (exec-time clock rule)
     * carry over to the child. */
-  def newSession(): GraftSession = new GraftSession(spark.newSession())
+  def newSession(): GraftSession = GraftSession(spark.newSession())
 
   /** Execute and register the result as a temp view; returns row count
     * (reference `executeAndRegisterTempView`, `DirectSparkSession.scala:
@@ -103,6 +124,32 @@ class GraftSession private (val spark: SparkSession) {
 }
 
 object GraftSession {
+
+  /** One facade per SparkSession: two facades over one session would each
+    * hold an independent catalog-version/plan-cache, so an invalidation in
+    * one would not reach the other's cached plans. */
+  private val facades = new java.util.WeakHashMap[SparkSession, GraftSession]()
+
+  private def facadeFor(spark: SparkSession): GraftSession = facades.synchronized {
+    var f = facades.get(spark)
+    if (f == null) { f = new GraftSession(spark); facades.put(spark, f) }
+    f
+  }
+
+  private val convertToLocalRelation =
+    "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+
+  /** Ensure ConvertToLocalRelation is excluded on a session we did not
+    * build — it would pre-evaluate Exec* clock expressions at optimization
+    * time for local-relation plans, freezing them into cached plans. */
+  private def ensureClockSafety(spark: SparkSession): Unit = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).getOrElse("")
+    if (!cur.contains(convertToLocalRelation)) {
+      spark.conf.set(key,
+        if (cur.isEmpty) convertToLocalRelation else s"$cur,$convertToLocalRelation")
+    }
+  }
 
   def builder(): Builder = new Builder
 
@@ -137,7 +184,7 @@ object GraftSession {
             System.err.println("[graft] reusing existing graft session: " +
               "withHiveSupport/config settings on this builder are ignored")
           }
-          return new GraftSession(s)
+          return facadeFor(s)
         case Some(_) =>
           SparkSession.clearDefaultSession()
           SparkSession.clearActiveSession()
@@ -163,11 +210,14 @@ object GraftSession {
         .withExtensions(new GraftExtensions)
       if (hive) b = b.enableHiveSupport()
       extraConf.foreach { case (k, v) => b = b.config(k, v) }
-      new GraftSession(b.getOrCreate())
+      facadeFor(b.getOrCreate())
     }
   }
 
   /** Wrap an existing session (extensions must already include
     * GraftExtensions for exec-time clock semantics). */
-  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+  def apply(spark: SparkSession): GraftSession = {
+    ensureClockSafety(spark)
+    facadeFor(spark)
+  }
 }

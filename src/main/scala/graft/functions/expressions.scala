@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -17,9 +18,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * beyond-reference surface (BASELINE.json north_star).
   */
 
+
+/** Manual input-type validation shared by the custom expressions
+  * (AbstractDataType/ExpectsInputTypes is private[sql], so each expression
+  * checks its children explicitly — silent wrong-stride ArrayData reads on
+  * mistyped inputs are the failure mode this prevents). */
+private[functions] object TypeChecks {
+  def check(name: String, pairs: (DataType, String)*): TypeCheckResult = {
+    val bad = pairs.zipWithIndex.collectFirst {
+      case ((dt, want), i) if !ok(dt, want) =>
+        s"$name argument ${i + 1} must be $want, got ${dt.simpleString}"
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+  private def ok(dt: DataType, want: String): Boolean = (dt, want) match {
+    case (ArrayType(LongType, _), "array<bigint>") => true
+    case (ArrayType(_: StringType, _), "array<string>") => true
+    case (ArrayType(FloatType, _), "array<float>") => true
+    case (IntegerType, "int") => true
+    case (_: StringType, "string") => true
+    case (BinaryType, "binary") => true
+    case _ => false
+  }
+}
+
 /** minhash signature over pre-hashed shingles: array<long> -> array<long>. */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "array<bigint>")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Kernels.minHashSignature(v.asInstanceOf[ArrayData], numHashes, seed))
@@ -28,7 +55,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 }
 
 /** 64-bit SimHash over token array: array<string> -> long. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "array<string>")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = Kernels.simHash64(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
@@ -44,15 +74,15 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
            (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         // same-typed sides required: the kernel reads both arrays with one
         // element accessor; a float/double mix would read garbage strides
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        TypeCheckResult.TypeCheckFailure(
           s"graft_cosine requires two array<float> or two array<double> args, got $l / $r")
     }
   override def dataType: DataType = DoubleType
@@ -69,7 +99,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 }
 
 /** Intersection size of two sorted array<long> columns: codegen'd merge. */
-case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, left.dataType -> "array<bigint>", right.dataType -> "array<bigint>")
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     Kernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -85,6 +118,8 @@ case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = child
   override def right: Expression = table
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "array<float>", table.dataType -> "int")
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any, t: Any): Any =
     Kernels.hyperplaneSig(v.asInstanceOf[ArrayData], t.asInstanceOf[Int], nbits)
@@ -94,7 +129,10 @@ case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
 }
 
 /** Stopword-profile language identification: string -> string lang code. */
-case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+case class LangId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "string")
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = Kernels.langId(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
@@ -104,6 +142,9 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
 /** Rolling-hash (Rabin-Karp) document fingerprint: string -> long. */
 case class RollingFingerprint(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"fingerprint k-gram size must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "string")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Kernels.rollingFingerprint(v.asInstanceOf[UTF8String], k)
@@ -115,7 +156,10 @@ case class RollingFingerprint(child: Expression, k: Int)
   * format). The decode itself is a deterministic fake (no image libs in this
   * container); the binary-column plumbing, schema, and codegen boundary are
   * the real, tested part. */
-case class FakeImageMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+case class FakeImageMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
   override def dataType: DataType = StructType(Seq(
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -41,14 +41,20 @@ object Kernels {
     */
   def minHashSignature(elems: ArrayData, numHashes: Int, seed: Long): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    // per-hash seed mixes are element-independent — hoist out of the loop
+    val mixes = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      mixes(i) = fmix64(seed * 0x9e3779b97f4a7c15L + i); i += 1
+    }
     val n = elems.numElements()
     var j = 0
     while (j < n) {
       if (!elems.isNullAt(j)) {
         val x = elems.getLong(j)
-        var i = 0
+        i = 0
         while (i < numHashes) {
-          val h = fmix64(x ^ fmix64(seed * 0x9e3779b97f4a7c15L + i))
+          val h = fmix64(x ^ mixes(i))
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -132,18 +138,38 @@ object Kernels {
 
   /** Random-hyperplane (sign-of-dot-product) LSH bucket for a float vector:
     * `nbits` Rademacher (+-1) hyperplanes derived deterministically from
-    * (table, bit, dim) hashes. Bucket ids are stable across executors/JVMs. */
+    * (table, bit, dim) hashes. Bucket ids are stable across executors/JVMs.
+    * The sign matrix is row-invariant, so it is memoized per
+    * (table, nbits, dim) — the per-row cost is pure multiply-adds. */
+  private val signMatrices =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  private def signMatrix(table: Int, nbits: Int, d: Int): Array[Byte] =
+    signMatrices.computeIfAbsent((table, nbits, d), _ => {
+      val m = new Array[Byte](nbits * d)
+      var j = 0
+      while (j < nbits) {
+        var i = 0
+        while (i < d) {
+          val r = fmix64(table.toLong * 1000003L + j.toLong * 131L + i)
+          m(j * d + i) = if ((r & 1L) == 0L) 1 else -1
+          i += 1
+        }
+        j += 1
+      }
+      m
+    })
+
   def hyperplaneSig(v: ArrayData, table: Int, nbits: Int): Int = {
     val d = v.numElements()
+    val signs = signMatrix(table, nbits, d)
     var bucket = 0
     var j = 0
     while (j < nbits) {
       var dot = 0.0
       var i = 0
       while (i < d) {
-        val r = fmix64(table.toLong * 1000003L + j.toLong * 131L + i)
-        val sign = if ((r & 1L) == 0L) 1.0 else -1.0
-        dot += v.getFloat(i) * sign
+        dot += v.getFloat(i) * signs(j * d + i)
         i += 1
       }
       if (dot > 0) bucket |= (1 << j)

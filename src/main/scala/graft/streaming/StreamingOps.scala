@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: windowed counts are partial-aggregated per micro-batch and
   * merged in the state store (no per-event shuffle amplification); the
-  * sessionization state is per-user and bounded by watermark-driven eviction
-  * in production (the spec uses a single replay batch, so no watermark races).
+  * sessionization state is per-user (NoTimeout here for finite replay; production
+  * streams add EventTimeTimeout so the watermark evicts idle keys).
   */
 /** Per-user sessionization state (top-level so the Catalyst encoder can
   * construct it in generated code). */
@@ -30,13 +30,23 @@ object StreamingOps {
 
   /** Streaming source over the events parquet file. The file-stream source
     * only accepts directories, so the (read-only) single file is exposed via
-    * a symlinked staging directory. */
+    * a symlinked staging directory — memoized per source dir (repeated calls
+    * would otherwise litter /tmp) and removed on JVM exit. Note the
+    * nanosAsLong conf is session-wide, same as Tables.load. */
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staging = java.nio.file.Files.createTempDirectory("graft-events-")
-    java.nio.file.Files.createSymbolicLink(
-      staging.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val staging = stagingDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-events-")
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      p.resolve("events.parquet").toFile.deleteOnExit()
+      p.toFile.deleteOnExit()
+      p
+    })
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(staging.toString)
@@ -54,7 +64,10 @@ object StreamingOps {
   /** Stateful sessionization via mapGroupsWithState: per-user session count
     * with a 30-minute gap, equivalent to the batch session_window query
     * (q45_sessionize). Events inside one micro-batch are sorted per group;
-    * across batches the state carries (lastTs, counts). */
+    * across batches the state carries (lastTs, counts). State here is
+    * per-user and never times out (NoTimeout) — right for the finite-replay
+    * use; an unbounded-key production stream would use EventTimeTimeout so
+    * the watermark can evict idle keys. */
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val gapMicros = 30L * 60 * 1000 * 1000
