@@ -200,6 +200,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => RollingFingerprint(es.head, if (es.size > 1) lit(es(1), "k").toInt else 8), "scala_udf")
     reg.createOrReplaceTempFunction("graft_image_meta", es => FakeImageMeta(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_mg_topk",
+      es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
+        .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane",

@@ -59,6 +59,26 @@ object UdfOps {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // TypedImperativeAggregate sketch: Misra-Gries candidates (any token
+    // with freq > n/257 survives — the tiny vocabulary clears that by two
+    // orders of magnitude), exact recount over candidates only, exact
+    // top-100. Same answer as the full aggregation, but at 100 TB the first
+    // pass ships a 256-counter sketch per partition instead of a full
+    // frequency map.
+    "u65_sketch_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      val cand = toks.agg(expr("graft_mg_topk(token, 256)").as("cands"))
+        .select(explode(col("cands")).as("token"))
+      toks.join(broadcast(cand), "token")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
+    }),
+
     // Table function: LATERAL VIEW explode over a generator expression
     // (bigram extraction) with aggregation on the generated rows.
     "u64_table_function" -> ((s, dir) => {
@@ -83,6 +103,12 @@ object UdfOps {
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u65_sketch_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token HAVING count(*) >= 5
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "u64_table_function" ->
       """SELECT bigram, count(*) AS freq FROM (

@@ -83,6 +83,37 @@ object KernelProps extends Properties("graft.kernels") {
         .contains(Kernels.langId(UTF8String.fromString(s)).toString)
     }
 
+  property("misra-gries: every value with freq > n/(cap+1) survives, any merge split") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 30)), Gen.chooseNum(1, 50)) { (xs, splitRaw) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val cap = 8
+      val agg = graft.functions.MisraGriesTopK(Literal("x"), cap)
+      def sketch(part: Seq[Int]) = {
+        val buf = agg.createAggregationBuffer()
+        part.foreach { v =>
+          val key = UTF8String.fromString(v.toString)
+          buf.get(key) match {
+            case Some(c) => buf.update(key, c + 1)
+            case None if buf.size < cap => buf.update(key, 1L)
+            case None =>
+              val dead = buf.iterator.filter(_._2 <= 1).map(_._1).toList
+              buf.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(buf.remove)
+          }
+        }
+        buf
+      }
+      val split = if (xs.isEmpty) 0 else splitRaw % (xs.size + 1)
+      val (a, b) = xs.splitAt(split)
+      val merged = agg.merge(sketch(a), sketch(b))
+      val survivors = merged.keySet.map(_.toString)
+      val n = xs.size
+      val mustSurvive = xs.groupBy(identity).collect {
+        case (v, occ) if occ.size > n.toDouble / (cap + 1) => v.toString
+      }
+      mustSurvive.forall(survivors.contains) && merged.size <= cap
+    }
+
   property("coercion: numeric strings roundtrip for int/long/double") =
     forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { i =>
       DataTable.coerce(i.toString, IntegerType) == i &&
