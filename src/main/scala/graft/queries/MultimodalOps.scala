@@ -29,6 +29,20 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio-shaped payload metadata: duration/sample-rate stubs derived from
+    // byte length (real decode would use an audio lib; arithmetic keeps it
+    // oracle-checkable). Same binary plumbing as m60 with a second modality.
+    "m62_audio_meta" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          (octet_length(col("payload")).cast("double") / 16000.0).as("duration_s"),
+          (lit(8000) + (octet_length(col("payload")) % 3) * lit(8000)).as("sample_rate"),
+          (octet_length(col("payload")) % 2 === 0).as("stereo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batched frame extraction over binary payloads via mapPartitions —
     // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
     // use. Deterministic fake frames => rows-only driver check.
@@ -61,6 +75,13 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m62_audio_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        | CAST(strlen(text) AS DOUBLE) / 16000.0 AS duration_s,
+        | CAST(8000 + (strlen(text) % 3) * 8000 AS INTEGER) AS sample_rate,
+        | strlen(text) % 2 = 0 AS stereo
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Metadata is pure arithmetic on byte length => SQL-expressible.
     "m60_image_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
