@@ -124,6 +124,16 @@ object DedupOps {
           countDistinct(md5(col("text"))).as("n_unique"))
     }),
 
+    // The actual dedup decision: keep-list after near-dup removal. A doc is
+    // dropped iff some SMALLER doc_id is near-identical (J >= 0.8) — greedy
+    // keep-first-by-id, deterministic, one anti-join over the exact pair set.
+    "d51_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val dropped = jaccardPairs(s, dir, 0.8).select(col("idb").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir, 0.4)),
 
@@ -182,6 +192,11 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "d51_dedup_keep" ->
+      s"""WITH pairs AS (${oracleJaccard(0.8).replace("ORDER BY ida, idb", "")})
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT idb FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8)
   )

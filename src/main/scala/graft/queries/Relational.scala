@@ -246,6 +246,17 @@ object Relational {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.5 ntile + offset-with-default window functions.
+    "q57_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("c_custkey"), 2, -1L).over(w).as("lag2"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -743,6 +754,14 @@ object Relational {
         | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
         |   RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | coalesce(lag(c_custkey, 2) OVER w, -1) AS lag2
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q21_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

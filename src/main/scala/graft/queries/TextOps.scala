@@ -40,6 +40,20 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Readability-style stats: words per sentence-ish segment, vowel-group
+    // (syllable proxy) density — the flesch-kincaid shape without the
+    // magic constants, exact-arithmetic so it oracle-checks.
+    "t51_readability" -> ((s, dir) => {
+      val nWords = size(split(trim(col("text")), "\\s+"))
+      val nSegs = size(split(col("text"), "[.!?]")) // segments = separators+1
+      val nVowelGroups = size(regexp_extract_all(col("text"), lit("[aeiouAEIOU]+"), lit(0)))
+      docs(s, dir).select(col("doc_id"),
+        nWords.as("n_words"), nSegs.as("n_segs"), nVowelGroups.as("n_vgroups"),
+        (nWords.cast(DoubleType) / nSegs).as("words_per_seg"),
+        (nVowelGroups.cast(DoubleType) / nullif(nWords, lit(0))).as("vgroups_per_word"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID via stopword-profile heuristic (custom Catalyst
     // expression graft_lang_id; engine-specific => rows-only check).
     "t48_lang_id" -> ((s, dir) => {
@@ -67,6 +81,17 @@ object TextOps {
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
         | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
         | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t51_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+        | CAST(len(string_split_regex(text, '[.!?]')) AS INTEGER) AS n_segs,
+        | CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS INTEGER) AS n_vgroups,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |   / len(string_split_regex(text, '[.!?]')) AS words_per_seg,
+        | CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS DOUBLE)
+        |   / nullif(len(string_split_regex(trim(text), '\s+')), 0) AS vgroups_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Exact SQL mirror of Kernels.langId for an ASCII corpus: tokens are

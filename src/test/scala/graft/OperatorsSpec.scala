@@ -90,8 +90,11 @@ class OperatorsSpec extends AnyFunSuite {
     val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$base/csv")
     val fromJson = spark.read.json(s"$base/json")
+    events.write.orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
     assert(fromCsv.count() == events.count())
     assert(fromJson.count() == events.count())
+    assert(fromOrc.count() == events.count())
     val expected = events.collect().map(_.toString).sorted
     assert(fromJson.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .collect().map(_.toString).sorted.sameElements(expected))
