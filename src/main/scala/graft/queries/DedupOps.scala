@@ -100,6 +100,10 @@ object DedupOps {
   }
 
   private def oracleJaccard(threshold: Double): String =
+    oracleJaccardCore(threshold) + "\nORDER BY ida, idb"
+
+  /** Unordered pair query, composable as a CTE body (d51). */
+  private def oracleJaccardCore(threshold: Double): String =
     s"""WITH sh AS (
        | SELECT doc_id, unnest(list_distinct(
        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
@@ -113,8 +117,7 @@ object DedupOps {
        |FROM common
        | JOIN sizes sa ON sa.doc_id = ida
        | JOIN sizes sb ON sb.doc_id = idb
-       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold
-       |ORDER BY ida, idb""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one-row corpus summary (total vs content-distinct rows).
@@ -124,11 +127,14 @@ object DedupOps {
           countDistinct(md5(col("text"))).as("n_unique"))
     }),
 
-    // The actual dedup decision: keep-list after near-dup removal. A doc is
-    // dropped iff some SMALLER doc_id is near-identical (J >= 0.8) — greedy
-    // keep-first-by-id, deterministic, one anti-join over the exact pair set.
+    // The actual dedup decision: keep-list after near-dup removal. Rule:
+    // drop a doc iff ANY smaller doc_id is near-identical (J >= 0.8) — one
+    // deterministic anti-join, no iteration. Note this is deliberately NOT
+    // transitive greedy selection: on a chain A~B~C (A!~C) it drops both B
+    // and C, trading a little over-dropping for a single-pass shuffle plan
+    // (transitive keep-first needs connected components / iterative passes).
     "d51_dedup_keep" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val docs = hashedDocs(s, dir).select(col("doc_id")) // already persisted
       val dropped = jaccardPairs(s, dir, 0.8).select(col("idb").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
@@ -193,7 +199,7 @@ object DedupOps {
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "d51_dedup_keep" ->
-      s"""WITH pairs AS (${oracleJaccard(0.8).replace("ORDER BY ida, idb", "")})
+      s"""WITH pairs AS (${oracleJaccardCore(0.8)})
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT idb FROM pairs)
          |ORDER BY doc_id""".stripMargin,

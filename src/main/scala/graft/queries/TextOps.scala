@@ -23,7 +23,7 @@ object TextOps {
     "t46_text_stats" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         length(col("text")).as("n_char"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        QueryUtil.tokenCount(col("text")).as("n_tokens"),
         length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"),
         (length(regexp_replace(col("text"), "[^ ]", "")).cast(DoubleType) /
           nullif(length(col("text")), lit(0))).as("space_ratio"))
@@ -34,7 +34,7 @@ object TextOps {
     // chars/4 heuristic LLM-token estimate.
     "t47_token_count" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws"),
+        QueryUtil.tokenCount(col("text")).as("n_ws"),
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_bpeish"),
         ceil(length(col("text")) / 4.0).as("n_est"))
         .orderBy(col("doc_id"))
@@ -44,8 +44,12 @@ object TextOps {
     // (syllable proxy) density — the flesch-kincaid shape without the
     // magic constants, exact-arithmetic so it oracle-checks.
     "t51_readability" -> ((s, dir) => {
-      val nWords = size(split(trim(col("text")), "\\s+"))
-      val nSegs = size(split(col("text"), "[.!?]")) // segments = separators+1
+      val nWords = QueryUtil.tokenCount(col("text"))
+      // segments = separators + 1 (trailing empty kept by both engines:
+      // Spark split(limit=-1) and DuckDB string_split_regex agree on
+      // 'Hi. Bye.' -> [Hi, ' Bye', ''] — pinned in PipelineOpsSpec; this
+      // corpus contains no sentence punctuation, so n_segs is 1 here)
+      val nSegs = size(split(col("text"), "[.!?]"))
       val nVowelGroups = size(regexp_extract_all(col("text"), lit("[aeiouAEIOU]+"), lit(0)))
       docs(s, dir).select(col("doc_id"),
         nWords.as("n_words"), nSegs.as("n_segs"), nVowelGroups.as("n_vgroups"),
@@ -75,23 +79,25 @@ object TextOps {
     })
   )
 
+  private val tok = QueryUtil.oracleTokenCount
+
   val oracles: Map[String, String] = Map(
     "t46_text_stats" ->
-      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
+        | CAST($tok AS INTEGER) AS n_tokens,
         | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
         | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS space_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t51_readability" ->
-      """SELECT doc_id,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+      s"""SELECT doc_id,
+        | CAST($tok AS INTEGER) AS n_words,
         | CAST(len(string_split_regex(text, '[.!?]')) AS INTEGER) AS n_segs,
         | CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS INTEGER) AS n_vgroups,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        | CAST($tok AS DOUBLE)
         |   / len(string_split_regex(text, '[.!?]')) AS words_per_seg,
         | CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS DOUBLE)
-        |   / nullif(len(string_split_regex(trim(text), '\s+')), 0) AS vgroups_per_word
+        |   / nullif($tok, 0) AS vgroups_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Exact SQL mirror of Kernels.langId for an ASCII corpus: tokens are
@@ -120,9 +126,9 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
 
     "t47_token_count" ->
-      """SELECT doc_id,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws,
-        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpeish,
+      s"""SELECT doc_id,
+        | CAST($tok AS INTEGER) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpeish,
         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est
         |FROM documents ORDER BY doc_id""".stripMargin
   )

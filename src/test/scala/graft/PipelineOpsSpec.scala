@@ -80,6 +80,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(grouped > 0, "expected at least one multi-doc fingerprint group")
   }
 
+  test("split semantics pin: trailing empties kept (t51 segment counting)") {
+    import spark.implicits._
+    // DuckDB string_split_regex('Hi. Bye.','[.!?]') = ['Hi',' Bye','']
+    // (verified against DuckDB 1.0); Spark must agree for the t51 oracle to
+    // hold on any future corpus that contains sentence punctuation.
+    val got = Seq("Hi. Bye.", "a..b", "none").toDF("text")
+      .select(split(col("text"), "[.!?]").as("segs"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("Hi", " Bye", ""))
+    assert(got(1) == Seq("a", "", "b"))
+    assert(got(2) == Seq("none"))
+  }
+
   test("m61_frame_sample emits bounded deterministic frames") {
     val rows = SparkEntry.queries("m61_frame_sample")(spark, dir).collect()
     assert(rows.nonEmpty)
