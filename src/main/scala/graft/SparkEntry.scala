@@ -17,7 +17,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (TextOps.queries, TextOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
-      (SimilarityOps.queries, SimilarityOps.oracles),
+      (SimilarityOps.queries ++ SimilarityOps.queries2, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
       (UdfOps.queries, UdfOps.oracles)
     )

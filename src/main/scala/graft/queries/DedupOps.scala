@@ -140,6 +140,18 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified train/val split — the dataset-assembly step
+    // after dedup: stable id-based assignment (no RNG, reproducible across
+    // runs/clusters), per-language counts as the audit output.
+    "d55_train_split" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir, 0.4)),
 
@@ -203,6 +215,10 @@ object DedupOps {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT idb FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    "d55_train_split" ->
+      """SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8)
   )

@@ -89,7 +89,30 @@ object SimilarityOps {
     })
   )
 
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label embedding centroids: posexplode to (label, dim, value) and
+    // aggregate — the shape that scales (no vector UDAF state, plain
+    // shuffle-on-(label,dim) partial aggregation). Decimal-exact sums keep
+    // the mean bit-deterministic under partial-merge reordering.
+    "s59_centroids" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(20, 9))).cast(DoubleType) /
+          count(lit(1))).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "s59_centroids" ->
+      """SELECT label, CAST(gs - 1 AS INTEGER) AS dim,
+        | CAST(sum(CAST(v AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS centroid
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS gs,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "s56_ann_topk" ->
       """SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS nid,
