@@ -257,6 +257,22 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // §2.4 deterministic variance/stddev: builtin stddev merges partial
+    // moments in nondeterministic order (low bits drift run to run); the
+    // decimal-exact moments formulation var = (Σx² - (Σx)²/n)/(n-1) is
+    // bit-stable under any partial-aggregation order — the form you want
+    // when results feed hash-verified reproducibility checks at 100 TB.
+    "q58_stddev_exact" -> ((s, dir) => {
+      val s1 = sum(col("value").cast(DecimalType(24, 8))).cast(DoubleType)
+      val s2 = sum((col("value") * col("value")).cast(DecimalType(30, 10))).cast(DoubleType)
+      val n = count(lit(1)).cast(DoubleType)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))).as("stddev_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -754,6 +770,14 @@ object Relational {
         | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
         |   RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q58_stddev_exact" ->
+      """SELECT event_type, count(*) AS n,
+        | sqrt((CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE)
+        |       - CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
+        |         * CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*))
+        |      / (count(*) - 1.0)) AS stddev_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q57_ntile" ->
       """SELECT c_custkey, c_mktsegment,
