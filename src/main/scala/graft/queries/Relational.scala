@@ -273,6 +273,25 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // §2.5 RANGE frame over a time order key (trailing one hour per user).
+    "q59_window_time_range" -> ((s, dir) => sql(s, dir,
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // §2.8 edit distance + bitwise operations.
+    "q60_edit_bits" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          levenshtein(col("n_name"), lit("CHINA")).as("dist"),
+          (col("n_nationkey").bitwiseAND(lit(3))).as("band"),
+          (col("n_nationkey").bitwiseOR(lit(8))).as("bor"),
+          (col("n_nationkey").bitwiseXOR(lit(5))).as("bxor"),
+          shiftleft(col("n_nationkey"), 2).as("shl"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -770,6 +789,21 @@ object Relational {
         | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
         |   RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q59_window_time_range" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q60_edit_bits" ->
+      """SELECT n_nationkey,
+        | CAST(levenshtein(n_name, 'CHINA') AS INTEGER) AS dist,
+        | n_nationkey & 3 AS band,
+        | n_nationkey | 8 AS bor,
+        | xor(n_nationkey, 5) AS bxor,
+        | CAST(n_nationkey * 4 AS INTEGER) AS shl
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q58_stddev_exact" ->
       """SELECT event_type, count(*) AS n,
