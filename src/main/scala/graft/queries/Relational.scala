@@ -292,6 +292,26 @@ object Relational {
         .orderBy(col("n_nationkey"))
     }),
 
+    // §2.8 date formatting + pattern parsing (the reference's
+    // directDatetimeExpressions family: format/parse with explicit
+    // patterns; reference directDatetimeExpressions.scala:35-345).
+    "q61_date_parse" -> ((s, dir) => {
+      val formatted = date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")
+      t(s, dir, "events")
+        .select(col("event_id"), formatted.as("formatted"),
+          to_timestamp(formatted, "dd/MM/yyyy HH:mm:ss").cast(StringType).as("reparsed"),
+          to_date(date_format(col("ts"), "yyyy-MM-dd"), "yyyy-MM-dd")
+            .cast(StringType).as("as_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 FILTER-clause conditional aggregation.
+    "q62_filter_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        | sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -789,6 +809,19 @@ object Relational {
         | count(*) OVER (PARTITION BY p_brand ORDER BY p_size
         |   RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q61_date_parse" ->
+      """SELECT event_id,
+        | strftime(ts, '%d/%m/%Y %H:%M:%S') AS formatted,
+        | CAST(strptime(strftime(ts, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS VARCHAR) AS reparsed,
+        | strftime(ts, '%Y-%m-%d') AS as_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q62_filter_agg" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        | sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q59_window_time_range" ->
       """SELECT event_id, user_id,
