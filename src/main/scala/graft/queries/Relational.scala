@@ -258,13 +258,17 @@ object Relational {
     }),
 
     // §2.4 deterministic variance/stddev: builtin stddev merges partial
-    // moments in nondeterministic order (low bits drift run to run); the
-    // decimal-exact moments formulation var = (Σx² - (Σx)²/n)/(n-1) is
-    // bit-stable under any partial-aggregation order — the form you want
-    // when results feed hash-verified reproducibility checks at 100 TB.
+    // moments in nondeterministic order (low bits drift run to run). The
+    // moments here are fixed-point FLOOR-scaled integers summed exactly in
+    // decimal — floor (unlike decimal rounding) has no tie semantics, so
+    // HALF_UP-vs-half-even divergence on dyadic midpoints cannot occur;
+    // var = (Σx² - (Σx)²/n)/(n-1) on the exact moments is then bit-stable
+    // under any partial-aggregation order and across engines.
     "q58_stddev_exact" -> ((s, dir) => {
-      val s1 = sum(col("value").cast(DecimalType(24, 8))).cast(DoubleType)
-      val s2 = sum((col("value") * col("value")).cast(DecimalType(30, 10))).cast(DoubleType)
+      val s1 = sum(floor(col("value") * 1e6).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / 1e6
+      val s2 = sum(floor(col("value") * col("value") * 1e8).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / 1e8
       val n = count(lit(1)).cast(DoubleType)
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -840,9 +844,9 @@ object Relational {
 
     "q58_stddev_exact" ->
       """SELECT event_type, count(*) AS n,
-        | sqrt((CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE)
-        |       - CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE)
-        |         * CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*))
+        | sqrt((CAST(sum(CAST(floor(value * value * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+        |       - (CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |         * (CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) / count(*))
         |      / (count(*) - 1.0)) AS stddev_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

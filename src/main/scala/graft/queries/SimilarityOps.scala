@@ -92,14 +92,16 @@ object SimilarityOps {
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids: posexplode to (label, dim, value) and
     // aggregate — the shape that scales (no vector UDAF state, plain
-    // shuffle-on-(label,dim) partial aggregation). Decimal-exact sums keep
-    // the mean bit-deterministic under partial-merge reordering.
+    // shuffle-on-(label,dim) partial aggregation). Elements are FLOOR-scaled
+    // to fixed-point integers before the exact sum: float values are 24-bit
+    // dyadics that can land exactly on decimal rounding midpoints, where
+    // Spark (HALF_UP) and DuckDB (half-even) disagree — floor has no ties.
     "s59_centroids" -> ((s, dir) => {
       emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
-        .agg((sum(col("v").cast(DecimalType(20, 9))).cast(DoubleType) /
-          count(lit(1))).as("centroid"))
+        .agg((sum(floor(col("v").cast(DoubleType) * 1e9).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / (lit(1e9) * count(lit(1)))).as("centroid"))
         .orderBy(col("label"), col("dim"))
     })
   )
@@ -107,7 +109,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "s59_centroids" ->
       """SELECT label, CAST(gs - 1 AS INTEGER) AS dim,
-        | CAST(sum(CAST(v AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS centroid
+        | CAST(sum(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * count(*)) AS centroid
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS gs,
         |             CAST(unnest(embedding) AS DOUBLE) AS v
         |      FROM embeddings)
