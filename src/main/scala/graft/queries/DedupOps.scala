@@ -152,6 +152,29 @@ object DedupOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Component-wise dedup via recursive CTE (Spark 4 WITH RECURSIVE):
+    // symmetrized near-dup edges, depth-bounded transitive reach, component
+    // representative = min reachable id. The standard "keep one per
+    // duplicate cluster" policy; depth 6 covers any chain in this corpus
+    // (components are tiny; a petabyte run would use iterative-doubling
+    // connected components instead of recursion).
+    "d56_dedup_components" -> ((s, dir) => {
+      jaccardPairs(s, dir, 0.8).createOrReplaceTempView("graft_pairs08")
+      s.sql("""
+        |WITH RECURSIVE edges AS (
+        |  SELECT ida AS a, idb AS b FROM graft_pairs08
+        |  UNION ALL SELECT idb, ida FROM graft_pairs08),
+        |reach(src, dst, depth) AS (
+        |  SELECT a, b, 1 FROM edges
+        |  UNION ALL
+        |  SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
+        |  WHERE r.depth < 6),
+        |rep AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
+        |FROM documents d LEFT JOIN rep r ON d.doc_id = r.src
+        |ORDER BY d.doc_id""".stripMargin)
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) => jaccardPairs(s, dir, 0.4)),
 
@@ -219,6 +242,20 @@ object DedupOps {
       """SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
         | count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d56_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
+         |edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION ALL SELECT idb, ida FROM pairs),
+         |reach(src, dst, depth) AS (
+         |  SELECT a, b, 1 FROM edges
+         |  UNION ALL
+         |  SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
+         |  WHERE r.depth < 6),
+         |rep AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.src
+         |ORDER BY d.doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8)
   )

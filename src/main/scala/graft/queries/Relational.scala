@@ -316,6 +316,13 @@ object Relational {
         | sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // §2.4 ordered string aggregation (listagg WITHIN GROUP).
+    "q63_listagg" -> ((s, dir) => sql(s, dir,
+      """SELECT c_mktsegment,
+        | listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 100
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -826,6 +833,12 @@ object Relational {
         | count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
         | sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_listagg" ->
+      """SELECT c_mktsegment,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 100
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q59_window_time_range" ->
       """SELECT event_id, user_id,
