@@ -113,6 +113,40 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(results.forall(_ == expected), "concurrent cached executions diverged")
   }
 
+  test("commands bypass the plan cache: repeated INSERT executes twice") {
+    g.spark.sql("DROP TABLE IF EXISTS cmdtest")
+    // a crashed prior run can leave the managed location behind without a
+    // catalog entry; CREATE TABLE then fails on LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File(
+      g.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "cmdtest")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+    g.sql("CREATE TABLE cmdtest (x INT) USING parquet")
+    g.sql("INSERT INTO cmdtest VALUES (1)")
+    g.sql("INSERT INTO cmdtest VALUES (1)") // identical text: must NOT replay from cache
+    assert(g.sql("SELECT count(*) AS n FROM cmdtest").rows.head.getLong(0) == 2)
+    g.spark.sql("DROP TABLE cmdtest")
+  }
+
+  test("DDL through sql() invalidates cached SELECT plans") {
+    g.sql("CREATE OR REPLACE TEMPORARY VIEW ddlv AS SELECT 1 AS x")
+    assert(g.sql("SELECT sum(x) AS s FROM ddlv").rows.head.getLong(0) == 1)
+    g.sql("CREATE OR REPLACE TEMPORARY VIEW ddlv AS SELECT 5 AS x")
+    assert(g.sql("SELECT sum(x) AS s FROM ddlv").rows.head.getLong(0) == 5,
+      "cached plan must not survive a view replacement issued via sql()")
+  }
+
+  test("one facade per SparkSession (invalidation cannot split-brain)") {
+    val g2 = graft.engine.GraftSession.builder().getOrCreate()
+    val g3 = graft.engine.GraftSession.builder().getOrCreate()
+    assert(g2 eq g3)
+    assert(graft.engine.GraftSession(g2.spark) eq g2)
+  }
+
   test("hive udf surface: CREATE TEMPORARY FUNCTION AS '<hive class>' (reference testHiveUdf)") {
     val h = graft.engine.GraftSession.builder()
       .master("local[4]").withHiveSupport().getOrCreate()
