@@ -44,12 +44,14 @@ class GraftSession private (val spark: SparkSession) {
     * deterministic name mangling inside the facade. */
   private def mangle(name: String): String = name.replace(".", "__g__")
 
-  private def isCommand(df: DataFrame): Boolean =
-    df.queryExecution.logical match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Command => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => true
-      case _ => false
-    }
+  private def isCommand(df: DataFrame): Boolean = {
+    // the parsed plan of e.g. INSERT is an InsertIntoStatement (not yet a
+    // Command) — only the ANALYZED plan reliably reveals command-ness
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, CommandResult}
+    df.queryExecution.logical.isInstanceOf[CommandResult] ||
+      df.queryExecution.analyzed.isInstanceOf[Command] ||
+      df.queryExecution.analyzed.isInstanceOf[CommandResult]
+  }
 
   private def cachedPlan(sqlText: String): DataFrame = {
     val key = catalogVersion.get() + "\n" + sqlText
