@@ -26,6 +26,15 @@ object KernelProps extends Properties("graft.kernels") {
         a.toSet.intersect(b.toSet).size
     }
 
+  property("sortedIntersectSize on duplicates = multiset intersection (min multiplicities)") =
+    forAll(Gen.listOf(Gen.chooseNum(-20L, 20L)), Gen.listOf(Gen.chooseNum(-20L, 20L))) {
+      (a, b) =>
+        val expected = (a.toSet ++ b.toSet).toSeq.map { v =>
+          math.min(a.count(_ == v), b.count(_ == v))
+        }.sum
+        Kernels.sortedIntersectSize(arr(a.sorted), arr(b.sorted)) == expected
+    }
+
   property("minhash is order-invariant") =
     forAll(longSet.suchThat(_.nonEmpty)) { xs =>
       val p = scala.util.Random.shuffle(xs)
