@@ -3,10 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: one JSON line with per-query seconds over
-  * SPARK_GRAFT_SF_DIR. Each query runs twice — cold (includes analysis +
-  * codegen + parquet footer reads) and warm (the cached-plan regime the
-  * reference optimizes for; BASELINE.md) — and the reported figures are the
-  * warm pass, with the cold total in an auxiliary key.
+  * SPARK_GRAFT_SF_DIR. Each query runs once cold (analysis + codegen +
+  * parquet footer reads) and then in three interleaved warm passes — the
+  * reported per-query figure is the MIN across warm passes, which is robust
+  * to the driver's own background activity on this box (a single sample can
+  * be 10× inflated; the minimum of interleaved passes is not).
+  *
+  * Output robustness (round-1 `BENCH_r01.json` had `parsed: null` despite
+  * rc=0): the JSON line is emitted (a) to stdout as the very LAST line after
+  * `spark.stop()` so no log output can trail it, (b) to stderr, and (c) to a
+  * well-known file — `$SPARK_GRAFT_OUT/BENCH.json` if set, else
+  * `./BENCH.json` — so the driver can recover it even if a log framework
+  * interleaves with stdout.
+  *
+  * Failures are first-class: a query that throws gets `-1` as its timing in
+  * every map and its name in the top-level `"failed"` array — a broken query
+  * can never masquerade as a fast pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,19 +49,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
-    names.foreach { name =>
+
+    // Returns the elapsed seconds, or -1.0 on failure (also recorded in
+    // `failed`). The timing of a failed run is deliberately discarded — an
+    // exception path is usually much faster than the real query.
+    def sample(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      def run(): Unit =
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-      cold(name) = time(run())
-      warm(name) = time(run())
+      try time(fn(spark, sfDir).count())
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+      }
     }
+
+    names.foreach { name => cold(name) = sample(name) }
+    // Interleaved warm passes: sweep the whole suite warmPasses times and
+    // take the per-query minimum, so a transient load spike during one pass
+    // cannot distort any single query's figure.
+    (1 to warmPasses).foreach { _ =>
+      names.foreach { name =>
+        val t = sample(name)
+        val prev = warm.getOrElse(name, Double.MaxValue)
+        if (t >= 0) warm(name) = math.min(prev, t)
+        else if (!warm.contains(name)) warm(name) = -1.0
+      }
+    }
+    names.foreach { n => if (failed.contains(n)) { warm(n) = -1.0; cold(n) = -1.0 } }
+
     // Repeated-query latency through the plan-cached facade (the regime the
     // reference's design optimizes; BASELINE.md): small cached join+agg,
     // mean ms over 30 runs after warmup, vs re-planning each call.
@@ -69,9 +102,24 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def js(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
-    val total = warm.values.sum
-    val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)}}""")
-    spark.stop()
+    val ok = names.filterNot(failed.contains)
+    val total = ok.map(warm).sum
+    val coldTotal = ok.map(cold).sum
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs}"""
+
+    // Stop Spark BEFORE emitting so no executor/log line can trail the JSON.
+    try spark.stop() catch { case _: Throwable => () }
+
+    // (c) well-known file — survives any stdout decoration/interleaving
+    val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty).getOrElse(".")
+    try {
+      val p = java.nio.file.Paths.get(outDir, "BENCH.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    System.err.println(line)
+    println(line)
+    System.out.flush()
   }
 }

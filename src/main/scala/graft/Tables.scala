@@ -39,7 +39,10 @@ object Tables {
     * (`LocalRelation`); Spark's equivalent is the columnar table cache.
     * Bench enables it; Verify keeps the plain parquet path. */
   private def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val view = s"graft_cached_${name}_${Integer.toHexString(dir.hashCode)}"
+    // the full sanitized path keys the view — a hash of the path could
+    // collide between two corpus dirs in one session and silently serve
+    // data from the wrong directory
+    val view = s"graft_cached_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     synchronized {
       if (!spark.catalog.tableExists(view)) {
         raw(spark, dir, name).createOrReplaceTempView(view)

@@ -117,11 +117,23 @@ class GraftSession private (val spark: SparkSession) {
   /** Execute and register the result as a temp view; returns row count
     * (reference `executeAndRegisterTempView`, `DirectSparkSession.scala:
     * 181-219`). Materialized eagerly so downstream queries read a stable
-    * snapshot. */
+    * snapshot — but DISTRIBUTED: `localCheckpoint` pins the computed
+    * partitions in executor storage (the reference collects to the driver
+    * heap because it is single-node; at 100 TB that is the one thing this
+    * method must never do). Checkpointing also severs plan lineage, so the
+    * snapshot cannot be re-matched by the CacheManager against later
+    * executions of the same SQL — which keeps exec-time clock expressions
+    * in *future* `sql()` calls live rather than frozen to this snapshot. */
   def executeAndRegister(sqlText: String, name: String): Long = {
-    val dt = sql(sqlText)
-    registerTable(name, dt)
-    dt.rowCount.toLong
+    val df = cachedPlan(sqlText)
+    GraftExecutionContext.begin(spark)
+    val snap =
+      try df.localCheckpoint(true)
+      finally GraftExecutionContext.end(spark)
+    snap.createOrReplaceTempView(mangle(name))
+    bumpVersion()
+    // counts over the checkpointed partitions — no recompute, no driver rows
+    snap.count()
   }
 }
 

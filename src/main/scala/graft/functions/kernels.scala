@@ -107,9 +107,14 @@ object Kernels {
 
   /** Cosine similarity of two float vectors, accumulated in double in array
     * order (bit-compatible with DuckDB's list_cosine_similarity over
-    * DOUBLE[] on the same inputs). Returns NaN on zero norms. */
+    * DOUBLE[] on the same inputs).
+    *
+    * Contract: throws on dimension mismatch (an upstream schema bug must
+    * fail the job, not yield plausible-looking similarities over a silent
+    * truncation — DuckDB's list_cosine_similarity errors the same way);
+    * returns NaN when either norm is zero (0/0), matching DuckDB. */
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -121,8 +126,16 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private def checkedDim(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb) throw new IllegalArgumentException(
+      s"graft_cosine: vector dimension mismatch ($na vs $nb)")
+    na
+  }
+
+  /** Same contract as [[cosineFloat]]. */
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

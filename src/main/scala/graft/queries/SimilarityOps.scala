@@ -50,15 +50,47 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // Embedding near-dup pairs: exact all-pairs cosine >= 0.45 (corpus-sized
-    // baseline; the LSH bucket path below is the 100 TB variant).
+    // Embedding near-dup pairs: exact cosine >= 0.45 via a BLOCK-TILED
+    // self-join — each vector is hashed to one of B blocks, the B*(B+1)/2
+    // block-pair tiles become equi-join keys, and each tile's cross product
+    // is evaluated by whatever executor the shuffle lands it on. No
+    // broadcast, no full-corpus BNLJ: memory per task is two blocks
+    // (~n/B vectors each), work is spread evenly over tiles, and B scales
+    // with the cluster (here sqrt(2*parallelism)).
+    //
+    // Why not LSH candidates here: measured on this corpus, true near-dup
+    // pairs sit at cosine 0.45-0.60, where a random hyperplane agrees with
+    // probability only 1 - acos(0.45)/pi = 0.649 per bit — at 72 bands x 4
+    // bits (the banding needed for a 1e-6 miss bound at the threshold) ~99%
+    // of RANDOM pairs still collide in some band, so "bucketing" would be
+    // an all-pairs join with extra shuffle. An exact dense threshold join
+    // this loose is inherently O(n^2) compare work; the scale fix is
+    // distributing and memory-bounding that work, which the tiling does.
+    // (At tight thresholds the LSH machinery of s57 is the candidate
+    // generator of choice — that path carries a per-pair miss bound, so it
+    // stays the approximate variant.)
     "s58_embed_dup" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val a = emb(s, dir).select(col("vec_id").as("ida"), col("embedding").as("va"))
-        .repartition(s.sparkContext.defaultParallelism) // parallel BNLJ stream side
-      val b = emb(s, dir).select(col("vec_id").as("idb"), col("embedding").as("vb"))
-      a.join(b, col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), expr("graft_cosine(va, vb)").as("sim"))
+      val nBlocks = math.max(2,
+        math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+      // left role: vector owns tiles (blk, j) for j >= blk; right role:
+      // tiles (i, blk) for i <= blk — the equi-join on (bi, bj) enumerates
+      // every unordered block pair exactly once
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+      a.join(b, Seq("bi", "bj"))
+        // same-block tiles see each unordered pair twice — keep one; cosine
+        // is argument-symmetric bit-for-bit (IEEE multiply commutes), so
+        // least/greatest emission matches the id-ordered oracle exactly
+        .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+        .filter(col("ida") =!= col("idb"))
+        .select(least(col("ida"), col("idb")).as("ida"),
+          greatest(col("ida"), col("idb")).as("idb"),
+          expr("graft_cosine(va, vb)").as("sim"))
         .filter(col("sim") >= 0.45)
         .orderBy(col("ida"), col("idb"))
     }),

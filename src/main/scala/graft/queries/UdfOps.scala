@@ -59,22 +59,26 @@ object UdfOps {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
-    // TypedImperativeAggregate sketch: Misra-Gries candidates (any token
-    // with freq > n/257 survives — the tiny vocabulary clears that by two
-    // orders of magnitude), exact recount over candidates only, exact
-    // top-100. Same answer as the full aggregation, but at 100 TB the first
-    // pass ships a 256-counter sketch per partition instead of a full
-    // frequency map.
+    // TypedImperativeAggregate sketch: Misra-Gries candidates, exact recount
+    // over candidates only, exact top-100. The reported set is every token
+    // with freq >= max(5, floor(n/257)+1): the second bound IS the MG-256
+    // survival guarantee (any token with freq > n/(capacity+1) cannot be
+    // fully decremented out of the sketch), so the result is provably exact
+    // at EVERY corpus size — the threshold scales with n instead of silently
+    // outgrowing the sketch's guarantee. At 100 TB the first pass ships a
+    // 256-counter sketch per partition instead of a full frequency map.
     "u65_sketch_topk" -> ((s, dir) => {
       GraftFunctions.register(s)
       val toks = Tables.load(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-      val cand = toks.agg(expr("graft_mg_topk(token, 256)").as("cands"))
-        .select(explode(col("cands")).as("token"))
-      toks.join(broadcast(cand), "token")
+      val cand = toks.agg(expr("graft_mg_topk(token, 256)").as("cands"),
+          count(lit(1)).as("n"))
+        .select(explode(col("cands")).as("token"), col("n"))
+      toks.join(cand, "token") // one-row-aggregate side: AQE broadcasts it
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("freq"))
-        .filter(col("freq") >= 5)
+        .agg(count(lit(1)).as("freq"), first(col("n")).as("n"))
+        .filter(col("freq") >= greatest(lit(5L), floor(col("n") / 257L) + 1L))
+        .select(col("token"), col("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(100)
     }),
@@ -105,9 +109,12 @@ object UdfOps {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u65_sketch_topk" ->
-      """SELECT token, count(*) AS freq FROM (
-        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
-        |GROUP BY token HAVING count(*) >= 5
+      """WITH t AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT token, count(*) AS freq FROM t, tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) >= greatest(5, CAST(floor(tot.n / 257.0) AS BIGINT) + 1)
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "u64_table_function" ->

@@ -69,6 +69,35 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) AS n FROM hello__g__world").rows.head.getLong(0) == 3)
   }
 
+  test("executeAndRegister stays distributed: snapshot view is not a driver-heap LocalRelation") {
+    val n = g.executeAndRegister(
+      "SELECT id, id * 2 AS v FROM range(100000)", "snap.big")
+    assert(n == 100000L)
+    val view = g.spark.table("snap__g__big")
+    // the old collect-and-recreate path produced a LocalRelation (all rows on
+    // the driver); the checkpointed path scans executor-held partitions
+    val analyzed = view.queryExecution.analyzed.toString
+    assert(!analyzed.contains("LocalRelation"),
+      s"snapshot materialized on the driver:\n$analyzed")
+    assert(view.count() == 100000L)
+    // snapshot is stable: re-registering under the same name replaces it,
+    // but the handle we already resolved still reads the old snapshot data
+    g.executeAndRegister("SELECT id FROM range(5)", "snap.big")
+    assert(g.table("snap.big").rowCount == 5)
+  }
+
+  test("executeAndRegister snapshot does not pollute clock semantics of later sql() calls") {
+    // a snapshot freezes its own clock values (correct: it is a
+    // materialization), but a later sql() of the SAME text must see a live
+    // clock — lineage severing keeps the CacheManager from matching it
+    val sqlText = "SELECT current_timestamp() AS ts"
+    g.executeAndRegister(sqlText, "snap.ts")
+    val t1 = g.sql(sqlText).rows.head.getAs[java.sql.Timestamp](0).getTime
+    Thread.sleep(15)
+    val t2 = g.sql(sqlText).rows.head.getAs[java.sql.Timestamp](0).getTime
+    assert(t2 > t1, s"clock frozen after executeAndRegister snapshot: $t1 vs $t2")
+  }
+
   test("plan cache refreshes after re-register (reference lazy-view semantics)") {
     val schema = StructType(Seq(StructField("x", IntegerType)))
     g.registerTable("vt", DataTable(schema, Seq(Row(1), Row(2))))

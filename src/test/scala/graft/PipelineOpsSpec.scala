@@ -100,4 +100,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = SparkEntry.queries("m61_frame_sample")(spark, dir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("connected components collapses a >6-hop chain (depth-capped recursion would split it)") {
+    import spark.implicits._
+    // chain 0-1-2-...-19: diameter 19, far beyond the oracle CTE's depth-6
+    // cap; one isolated node 100 keeps its own label
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = ((0L to 19L) :+ 100L).toDF("id")
+    val comp = graft.operators.ConnectedComponents.labels(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 19L).forall(comp(_) == 0L), s"chain split: $comp")
+    assert(comp(100L) == 100L)
+  }
+
+  test("connected components matches union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // reference: driver-side union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = graft.operators.ConnectedComponents.labels(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
+  test("jaccard verify path runs without any broadcast of the docs table") {
+    // with broadcast thresholds disabled, the declarative plan must execute
+    // entirely via shuffle joins (the 100 TB regime, where every side is
+    // too big to broadcast) and still produce the oracle-identical pairs
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("d52_jaccard_pairs")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"broadcast join present under disabled thresholds:\n$plan")
+      val shuffled = df.collect().map(_.getLong(0)).toSeq
+      assert(shuffled.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("s58 tiled exact join equals brute-force all-pairs cosine") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), expr("graft_cosine(va, vb)").as("sim"))
+      .filter(col("sim") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiled = SparkEntry.queries("s58_embed_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tiled == brute,
+      s"missing ${brute.diff(tiled)}, extra ${tiled.diff(brute)}")
+  }
 }
