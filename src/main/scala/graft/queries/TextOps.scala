@@ -81,7 +81,52 @@ object TextOps {
 
   private val tok = QueryUtil.oracleTokenCount
 
+  /** DuckDB mirror of Kernels.rollingFingerprint(text, 16): the rolling
+    * 64-bit Rabin-Karp hash is computed per window directly (each window's
+    * polynomial hash = sum of byte * B^(15-j), with B^j mod 2^64 precomputed
+    * as literals — Scala's wrapping Long multiply IS mod-2^64), then fmix64
+    * is applied through list_transform lambdas. All arithmetic runs in
+    * HUGEINT with explicit mod 2^64; a 64x64 wrapping multiply is split into
+    * 32-bit halves so no intermediate exceeds HUGEINT range; xor() supports
+    * HUGEINT natively; >>> 33 is integer division by 2^33. The final value
+    * is re-signed to BIGINT, and the min is taken over SIGNED values
+    * (matching the kernel's Long comparison).
+    *
+    * Preconditions (hold for this corpus, asserted in the t49 spec): text is
+    * pure ASCII (so DuckDB's per-character ord == the kernel's UTF-8 bytes)
+    * and every doc has >= 16 chars (no short-string fallback branch). */
+  private val fingerprintOracle: String = {
+    val B = 1000003L
+    val pows = Iterator.iterate(1L)(_ * B).take(16).toArray // B^j mod 2^64
+    def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+    val M64 = "18446744073709551616::HUGEINT"
+    def mul64(a: String, c: Long): String = {
+      val c1 = u(c >>> 32); val c0 = u(c & 0xffffffffL)
+      s"(($a % 4294967296) * $c0::HUGEINT + " +
+        s"((($a % 4294967296) * $c1::HUGEINT + ($a // 4294967296) * $c0::HUGEINT) % 4294967296) * 4294967296) % $M64"
+    }
+    def xorShift33(a: String): String = s"xor($a, $a // 8589934592)"
+    val poly = (0 until 16)
+      .map(j => s"ord(t[i+$j]) * ${u(pows(15 - j))}::HUGEINT").mkString(" + ")
+    s"""WITH fp AS (
+       |  SELECT doc_id, list_aggregate(list_transform(list_transform(
+       |      list_transform(list_transform(list_transform(
+       |        [($poly) % $M64 FOR i IN range(1, length(t) - 14)],
+       |        (h) -> ${xorShift33("h")}),
+       |      (h) -> ${mul64("h", 0xff51afd7ed558ccdL)}),
+       |      (h) -> ${xorShift33("h")}),
+       |      (h) -> ${mul64("h", 0xc4ceb9fe1a85ec53L)}),
+       |      (h) -> CASE WHEN ${xorShift33("h")} >= 9223372036854775808::HUGEINT
+       |                  THEN CAST(${xorShift33("h")} - $M64 AS BIGINT)
+       |                  ELSE CAST(${xorShift33("h")} AS BIGINT) END),
+       |    'min') AS fp
+       |  FROM (SELECT doc_id, text AS t FROM documents))
+       |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM fp GROUP BY fp ORDER BY first_doc""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t49_fingerprint" -> fingerprintOracle,
     "t46_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
         | CAST($tok AS INTEGER) AS n_tokens,

@@ -78,6 +78,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val grouped = SparkEntry.queries("t49_fingerprint")(spark, dir)
       .filter(col("n_docs") > 1).count()
     assert(grouped > 0, "expected at least one multi-doc fingerprint group")
+    // preconditions of the DuckDB fingerprint oracle (TextOps.fingerprintOracle):
+    // ASCII text (per-char ord == UTF-8 bytes) and no doc shorter than k=16
+    val bad = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) < 16 || col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad == 0, s"$bad docs violate the fingerprint-oracle preconditions")
   }
 
   test("split semantics pin: trailing empties kept (t51 segment counting)") {
