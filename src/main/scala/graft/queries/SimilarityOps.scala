@@ -27,6 +27,32 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** All unordered pair cosines via a BLOCK-TILED self-join: vectors hash to
+    * one of B blocks, the B*(B+1)/2 block-pair tiles are equi-join keys, and
+    * each tile's cross product lands on one shuffle partition. Memory per
+    * task = two blocks; no broadcast; B grows with the cluster. Every
+    * unordered pair appears exactly once (cross-block pairs only exist in
+    * the (min,max) block tile; same-block pairs are halved on id), in
+    * arbitrary orientation — `graft_cosine` is bit-symmetric in its
+    * arguments (IEEE multiply commutes), so orientation cannot perturb sim. */
+  private def tiledPairSims(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val nBlocks = math.max(2,
+      math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    a.join(b, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"),
+        expr("graft_cosine(va, vb)").as("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-5 per query vector (vec_id < 10 are the
     // queries, the rest the corpus).
@@ -69,31 +95,10 @@ object SimilarityOps {
     // (At tight thresholds the LSH machinery of s57 is the candidate
     // generator of choice — that path carries a per-pair miss bound, so it
     // stays the approximate variant.)
-    "s58_embed_dup" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val nBlocks = math.max(2,
-        math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
-      // left role: vector owns tiles (blk, j) for j >= blk; right role:
-      // tiles (i, blk) for i <= blk — the equi-join on (bi, bj) enumerates
-      // every unordered block pair exactly once
-      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
-        col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"))
-      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-        explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
-      a.join(b, Seq("bi", "bj"))
-        // same-block tiles see each unordered pair twice — keep one; cosine
-        // is argument-symmetric bit-for-bit (IEEE multiply commutes), so
-        // least/greatest emission matches the id-ordered oracle exactly
-        .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
-        .filter(col("ida") =!= col("idb"))
-        .select(least(col("ida"), col("idb")).as("ida"),
-          greatest(col("ida"), col("idb")).as("idb"),
-          expr("graft_cosine(va, vb)").as("sim"))
+    "s58_embed_dup" -> ((s, dir) =>
+      tiledPairSims(s, dir)
         .filter(col("sim") >= 0.45)
-        .orderBy(col("ida"), col("idb"))
-    }),
+        .orderBy(col("ida"), col("idb"))),
 
     // Approximate NN via random-hyperplane LSH: L=8 tables x 4 bits. The
     // candidate set is the union over tables of same-bucket vectors; exact
@@ -121,7 +126,96 @@ object SimilarityOps {
     })
   )
 
+  /** Spherical-k-means coarse quantizer for the IVF index: C centroids,
+    * Lloyd iterations entirely as DataFrame jobs (assign = argmax cosine
+    * against the broadcast centroid set; update = per-dim mean via
+    * posexplode — the same shuffle shape as s59). Only the C centroid
+    * vectors themselves ever reach the driver (C*dim floats — the legitimate
+    * scalar-sized result of each round, exactly how MLlib's k-means loops).
+    * Deterministic: seeds are the C corpus vectors with the smallest
+    * murmur3(vec_id), iteration count fixed. */
+  private def trainCentroids(s: SparkSession, dir: String,
+      c: Int, iters: Int): DataFrame = {
+    val corpus = emb(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"))
+    var centroids = corpus
+      .orderBy(pmod(hash(col("vec_id")), lit(1 << 30)), col("vec_id")).limit(c)
+      .orderBy(col("vec_id"))
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+        col("embedding").as("cv"))
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          expr("graft_cosine(embedding, cv)").as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rk") === 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v").cast(DoubleType)).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          expr("transform(dm, x -> cast(x.m as float))").as("cv"))
+        .localCheckpoint(true) // C rows; truncates the per-iteration lineage
+    }
+    centroids
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF approximate NN — the other classic ANN scale path next to
+    // hyperplane LSH (s57): a C-cell coarse quantizer partitions the corpus
+    // into inverted lists; each query probes only its nprobe nearest cells
+    // and exact-reranks inside them. At 100 TB the corpus is stored
+    // partitioned BY cell (partition pruning turns a probe into reading
+    // nprobe/C of the data); the quantizer is trained once on a sample and
+    // broadcast. Engine-specific cells => rows-only driver check; recall vs
+    // exact s56 is asserted in the ScalaTest spec.
+    "s60_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val c = 16; val nprobe = 4
+      val centroids = trainCentroids(s, dir, c, iters = 3)
+      val corpusCells = emb(s, dir).filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(centroids))
+        .select(col("vec_id").as("nid"), col("embedding").as("cv2"), col("cell"),
+          expr("graft_cosine(embedding, cv)").as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nid")).orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("nid"), col("cv2"), col("cell"))
+      val queryProbes = emb(s, dir).filter(col("vec_id") < 10)
+        .crossJoin(broadcast(centroids))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
+          expr("graft_cosine(embedding, cv)").as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rk") <= nprobe)
+        .select(col("qid"), col("qv"), col("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      queryProbes.join(corpusCells, "cell") // shuffle on cell id — the probe
+        .select(col("qid"), col("nid"),
+          expr("graft_cosine(qv, cv2)").as("sim"))
+        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Exact k-NN graph (k=3) over ALL vectors — the neighborhood structure
+    // that downstream clustering / graph-dedup / diversity sampling reads.
+    // Pair generation is the tiled exact self-join (no broadcast, no BNLJ);
+    // cross-block orientation is recovered by unioning the swap of the
+    // one-per-pair sims (cosine is bit-symmetric, so no recompute).
+    "s61_knn_graph" -> ((s, dir) => {
+      val pairs = tiledPairSims(s, dir)
+      val ordered = pairs
+        .select(col("ida").as("src"), col("idb").as("nbr"), col("sim"))
+        .union(pairs.select(col("idb").as("src"), col("ida").as("nbr"), col("sim")))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
+      ordered.select(col("src"), col("nbr"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("src"), col("rnk"))
+    }),
     // Per-label embedding centroids: posexplode to (label, dim, value) and
     // aggregate — the shape that scales (no vector UDAF state, plain
     // shuffle-on-(label,dim) partial aggregation). Elements are FLOOR-scaled
@@ -139,6 +233,15 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s61_knn_graph" ->
+      """SELECT src, nbr, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                          CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rnk
+        | FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+        |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
     "s59_centroids" ->
       """SELECT label, CAST(gs - 1 AS INTEGER) AS dim,
         | CAST(sum(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * count(*)) AS centroid

@@ -44,6 +44,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
   }
 
+  test("s60_ann_ivf achieves nontrivial recall vs exact s56 top-5") {
+    val exact = SparkEntry.queries("s56_ann_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("s60_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@5 $recall too low")
+    assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
+    // determinism: quantizer seeds and iterations are fixed
+    val again = SparkEntry.queries("s60_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == again)
+  }
+
   test("t48_lang_id emits only known codes, deterministically") {
     val a = SparkEntry.queries("t48_lang_id")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
