@@ -48,7 +48,8 @@ object SimilarityOps {
     a.join(b, Seq("bi", "bj"))
       .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
       .filter(col("ida") =!= col("idb"))
-      .select(least(col("ida"), col("idb")).as("ida"),
+      .select(col("bi"), col("bj"),
+        least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"),
         expr("graft_cosine(va, vb)").as("sim"))
   }
@@ -97,6 +98,7 @@ object SimilarityOps {
     // stays the approximate variant.)
     "s58_embed_dup" -> ((s, dir) =>
       tiledPairSims(s, dir)
+        .select(col("ida"), col("idb"), col("sim"))
         .filter(col("sim") >= 0.45)
         .orderBy(col("ida"), col("idb"))),
 
@@ -207,12 +209,25 @@ object SimilarityOps {
     // cross-block orientation is recovered by unioning the swap of the
     // one-per-pair sims (cosine is bit-symmetric, so no recompute).
     "s61_knn_graph" -> ((s, dir) => {
-      val pairs = tiledPairSims(s, dir)
-      val ordered = pairs
-        .select(col("ida").as("src"), col("idb").as("nbr"), col("sim"))
-        .union(pairs.select(col("idb").as("src"), col("ida").as("nbr"), col("sim")))
+      // Both orientations come from ONE pass over the tile join (explode of
+      // a 2-struct array — a union of the helper would recompute the whole
+      // cosine subtree twice). The per-(src, tile) partial top-3 runs with
+      // NO extra shuffle — rows are already hash-partitioned on (bi, bj),
+      // which clusters (src, bi, bj) — and shrinks the final global window's
+      // input from every pair to <= 3 * B rows per source: the partial/final
+      // top-k shape that survives scale.
+      val oriented = tiledPairSims(s, dir)
+        .select(col("bi"), col("bj"), explode(array(
+          struct(col("ida").as("src"), col("idb").as("nbr"), col("sim")),
+          struct(col("idb").as("src"), col("ida").as("nbr"), col("sim")))).as("p"))
+        .select(col("bi"), col("bj"), col("p.src"), col("p.nbr"), col("p.sim"))
+      val wTile = Window.partitionBy(col("src"), col("bi"), col("bj"))
+        .orderBy(col("sim").desc, col("nbr"))
+      val partial = oriented
+        .withColumn("rk", row_number().over(wTile)).filter(col("rk") <= 3)
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
-      ordered.select(col("src"), col("nbr"), row_number().over(w).as("rnk"))
+      partial.select(col("src"), col("nbr"), col("sim"))
+        .select(col("src"), col("nbr"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 3)
         .orderBy(col("src"), col("rnk"))
     }),

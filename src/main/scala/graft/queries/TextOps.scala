@@ -67,6 +67,24 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // The end-to-end quality gate a training pipeline applies before dedup:
+    // length / token-count / vowel-density thresholds composed into one
+    // boolean keep decision per document (thresholds chosen to split this
+    // corpus non-trivially). Pure scalar pipeline — codegen, scan-bound,
+    // no shuffle; ratios are single double divisions of exact ints (IEEE-
+    // identical in DuckDB).
+    "t50_quality_filter" -> ((s, dir) => {
+      val nTok = QueryUtil.tokenCount(col("text"))
+      val vowelRatio =
+        length(regexp_replace(col("text"), "[^aeiou]", "")).cast(DoubleType) /
+          length(col("text"))
+      docs(s, dir).select(col("doc_id"), nTok.as("n_tokens"),
+          vowelRatio.as("vowel_ratio"),
+          (nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 &&
+            length(col("text")) <= 450).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rolling-hash (Rabin-Karp) fingerprint per document + agreement count
     // across the corpus (identical fingerprints = near-identical content).
     "t49_fingerprint" -> ((s, dir) => {
@@ -127,6 +145,16 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t49_fingerprint" -> fingerprintOracle,
+
+    "t50_quality_filter" ->
+      s"""SELECT doc_id, CAST($tok AS INTEGER) AS n_tokens,
+        | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+        |   / length(text) AS vowel_ratio,
+        | ($tok >= 30 AND $tok <= 200
+        |   AND CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+        |     / length(text) >= 0.27
+        |   AND length(text) <= 450) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t46_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
         | CAST($tok AS INTEGER) AS n_tokens,
