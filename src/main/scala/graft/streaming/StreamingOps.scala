@@ -89,6 +89,27 @@ object StreamingOps {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Stream-stream INNER JOIN with event-time range bounds: click→purchase
+    * attribution per user within 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event time in both directions, so the state
+    * store provably evicts rows once the watermark passes — the only
+    * stream-stream join shape that is safe on an unbounded stream. Append
+    * mode; identical semantics to the batch theta-join (StreamingSpec
+    * asserts convergence). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("p_ts"))
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

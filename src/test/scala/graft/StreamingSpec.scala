@@ -53,4 +53,31 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${streamed.take(3).toSeq} vs batch ${batch.take(3).toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join converges to the batch theta join") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
+      "attribution", OutputMode.Append)
+    try {
+      val streamed = spark.table("attribution")
+        .select(col("user_id"), col("click_ts").cast("string"),
+          col("p_ts").cast("string"))
+        .collect().map(_.toString).sorted
+      val ev = Tables.load(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val batch = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_ts").cast("string"),
+          col("p_ts").cast("string"))
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty, "no attributed pairs — join never fired")
+      assert(streamed.length == batch.length && streamed.sameElements(batch),
+        s"stream ${streamed.length} rows vs batch ${batch.length}")
+    } finally q.stop()
+  }
 }
