@@ -86,15 +86,25 @@ object Bench {
     // Repeated-query latency through the plan-cached facade (the regime the
     // reference's design optimizes; BASELINE.md): small cached join+agg,
     // mean ms over 30 runs after warmup, vs re-planning each call.
-    val g = graft.engine.GraftSession(spark)
-    graft.Tables.registerAll(spark, sfDir)
-    val microSql =
-      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 150000 GROUP BY 1"
-    (1 to 3).foreach(_ => g.sql(microSql))
-    val cachedMs = (1 to 30).map(_ => time(g.sql(microSql))).sum / 30 * 1000
-    val uncachedMs = (1 to 10).map { i =>
-      time(spark.sql(microSql + s" /* $i */").collect())
-    }.sum / 10 * 1000
+    // Guarded: a failure here (e.g. bad SPARK_GRAFT_SF_DIR) must never cost
+    // the round its bench JSON.
+    val (cachedMs, uncachedMs) =
+      try {
+        val g = graft.engine.GraftSession(spark)
+        graft.Tables.registerAll(spark, sfDir)
+        val microSql =
+          "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 150000 GROUP BY 1"
+        (1 to 3).foreach(_ => g.sql(microSql))
+        val c = (1 to 30).map(_ => time(g.sql(microSql))).sum / 30 * 1000
+        val u = (1 to 10).map { i =>
+          time(spark.sql(microSql + s" /* $i */").collect())
+        }.sum / 10 * 1000
+        (c, u)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] facade micro-benchmark FAILED: ${e.getMessage}")
+          (-1.0, -1.0)
+      }
 
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal locale would
     // emit invalid JSON and lose the round's bench line

@@ -37,25 +37,8 @@ object DedupOps {
     * (24.7s -> ~3s at sf0.1, and the same property is what makes this
     * survive at 100 TB). The doc-frequency table is broadcast here; with a
     * web-scale vocabulary it would stay a shuffle join. */
-  /** Memoized persist: one cached DataFrame per (session, key), returned to
-    * every invocation — repeated runs (bench cold+warm, verify) reuse the
-    * same cache entry instead of stacking up orphaned persisted copies.
-    * Session-weak keying: entries die with their SparkSession (an identity
-    * hash key could collide with a later session and serve a DataFrame
-    * bound to a stopped context). */
-  private val persistedMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-  private def persistKeyed(s: SparkSession, key: String, mk: => DataFrame): DataFrame = {
-    val perSession = persistedMemo.synchronized {
-      var m = persistedMemo.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        persistedMemo.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(key, _ => mk.persist())
-  }
+  private def persistKeyed(s: SparkSession, key: String, mk: => DataFrame): DataFrame =
+    QueryUtil.persistKeyed(s, key, mk) // shared session-weak memo (QueryUtil)
 
   /** doc_id + sorted distinct shingle hashes, persisted (read multiple times
     * by index building and candidate verification). */

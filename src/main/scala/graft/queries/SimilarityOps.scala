@@ -137,7 +137,7 @@ object SimilarityOps {
     * Deterministic: seeds are the C corpus vectors with the smallest
     * murmur3(vec_id), iteration count fixed. */
   private def trainCentroids(s: SparkSession, dir: String,
-      c: Int, iters: Int): DataFrame = {
+      c: Int, iters: Int): DataFrame = QueryUtil.persistKeyed(s, s"ivf:$dir:$c:$iters", {
     val corpus = emb(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("embedding"))
     var centroids = corpus
@@ -163,7 +163,7 @@ object SimilarityOps {
         .localCheckpoint(true) // C rows; truncates the per-iteration lineage
     }
     centroids
-  }
+  })
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF approximate NN — the other classic ANN scale path next to
