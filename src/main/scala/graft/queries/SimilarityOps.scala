@@ -209,25 +209,21 @@ object SimilarityOps {
     // cross-block orientation is recovered by unioning the swap of the
     // one-per-pair sims (cosine is bit-symmetric, so no recompute).
     "s61_knn_graph" -> ((s, dir) => {
-      // Both orientations come from ONE pass over the tile join (explode of
-      // a 2-struct array — a union of the helper would recompute the whole
-      // cosine subtree twice). The per-(src, tile) partial top-3 runs with
-      // NO extra shuffle — rows are already hash-partitioned on (bi, bj),
-      // which clusters (src, bi, bj) — and shrinks the final global window's
-      // input from every pair to <= 3 * B rows per source: the partial/final
-      // top-k shape that survives scale.
-      val oriented = tiledPairSims(s, dir)
-        .select(col("bi"), col("bj"), explode(array(
-          struct(col("ida").as("src"), col("idb").as("nbr"), col("sim")),
-          struct(col("idb").as("src"), col("ida").as("nbr"), col("sim")))).as("p"))
-        .select(col("bi"), col("bj"), col("p.src"), col("p.nbr"), col("p.sim"))
-      val wTile = Window.partitionBy(col("src"), col("bi"), col("bj"))
-        .orderBy(col("sim").desc, col("nbr"))
-      val partial = oriented
-        .withColumn("rk", row_number().over(wTile)).filter(col("rk") <= 3)
+      // Orientation recovery is a UNION of the two role-assignments of the
+      // one-per-unordered-pair sims (cosine is bit-symmetric, no recompute
+      // of the values matters — measured: the re-run join branches are
+      // cheaper than an explode that breaks the codegen'd join pipeline,
+      // 3.5s vs 5.7s at sf0.1, and a manual per-tile pre-window is 2×
+      // slower again). The rank filter lets Spark insert a PARTIAL
+      // WindowGroupLimit below the exchange (plan-audited), so each map
+      // task ships only its local top-3 per source into the shuffle — the
+      // partial/final top-k shape comes free from the optimizer.
+      val pairs = tiledPairSims(s, dir)
+      val oriented = pairs
+        .select(col("ida").as("src"), col("idb").as("nbr"), col("sim"))
+        .union(pairs.select(col("idb").as("src"), col("ida").as("nbr"), col("sim")))
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("nbr"))
-      partial.select(col("src"), col("nbr"), col("sim"))
-        .select(col("src"), col("nbr"), row_number().over(w).as("rnk"))
+      oriented.select(col("src"), col("nbr"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 3)
         .orderBy(col("src"), col("rnk"))
     }),
