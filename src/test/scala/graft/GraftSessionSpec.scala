@@ -69,6 +69,14 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) AS n FROM hello__g__world").rows.head.getLong(0) == 3)
   }
 
+  test("executeAndRegister of a command statement still registers its result rows") {
+    // commands execute eagerly at plan construction; the snapshot path
+    // (localCheckpoint of a CommandResult) must not choke on them
+    val n = g.executeAndRegister("SHOW FUNCTIONS LIKE 'abs'", "cmd.out")
+    assert(n == 1L)
+    assert(g.table("cmd.out").rows.head.getString(0).contains("abs"))
+  }
+
   test("executeAndRegister stays distributed: snapshot view is not a driver-heap LocalRelation") {
     val n = g.executeAndRegister(
       "SELECT id, id * 2 AS v FROM range(100000)", "snap.big")

@@ -133,6 +133,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(comp(100L) == 100L)
   }
 
+  test("connected components: empty edge set and self-loops are identity") {
+    import spark.implicits._
+    val nodes = (0L to 9L).toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val a = graft.operators.ConnectedComponents.labels(nodes, noEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 9L).forall(i => a(i) == i))
+    val selfLoops = Seq((3L, 3L), (5L, 5L)).toDF("src", "dst")
+    val b = graft.operators.ConnectedComponents.labels(nodes, selfLoops)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 9L).forall(i => b(i) == i))
+  }
+
   test("connected components matches union-find on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
