@@ -219,7 +219,51 @@ object DedupOps {
     })
   )
 
+  /** DuckDB mirror of Kernels.simHash64 + the d54 pair query. Valid because
+    * the 8x8 banding is pigeonhole-COMPLETE for hamming <= 7 and the output
+    * filter is <= 6 (spec-proven vs brute force), so the result set is
+    * exactly "all pairs with hamming(sig_a, sig_b) <= 6" — no approximation
+    * left to mirror. FNV-1a runs as a list_reduce with HUGEINT mod-2^64
+    * arithmetic (xor touches only the low 8 bits, so it stays in range; see
+    * TextOps.fingerprintOracle for the technique); per-bit votes and the
+    * final signature are plain aggregations; NOTE DuckDB's `^` is POWER
+    * (2^b builds the bit masks) while xor is the xor() function. */
+  private val simhashOracle: String = {
+    val m64 = "18446744073709551616::HUGEINT"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(1, length(tok) + 1),
+       |        (i) -> CAST(ord(tok[i]) AS HUGEINT))),
+       |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $m64) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN (h // (2::HUGEINT ^ b.b)::HUGEINT) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM hashes, (SELECT unnest(range(0, 64)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT
+       |        ELSE 0::HUGEINT END) AS sig
+       |  FROM bits GROUP BY doc_id),
+       |signed AS (
+       |  SELECT doc_id, CASE WHEN sig >= 9223372036854775808::HUGEINT
+       |    THEN CAST(sig - $m64 AS BIGINT) ELSE CAST(sig AS BIGINT) END AS sig
+       |  FROM sigs)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d54_simhash" -> simhashOracle,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "d51_dedup_keep" ->
