@@ -163,6 +163,20 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic corpus rebalancing — the mixture-weighting step of
+    // dataset assembly: downsample the majority language (en keeps 1 doc in
+    // 4 by id residue, others keep all) with NO RNG, so the sample is
+    // reproducible across runs/clusters and the decision is a scan-local
+    // scalar predicate (zero shuffle beyond the audit aggregation).
+    "d57_lang_rebalance" -> ((s, dir) => {
+      val keep = col("lang") =!= "en" || col("doc_id") % 4 === 0
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+          count(when(keep, 1)).as("n_after"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -264,6 +278,10 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+    "d57_lang_rebalance" ->
+      """SELECT lang, count(*) AS n_before,
+        | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "d51_dedup_keep" ->

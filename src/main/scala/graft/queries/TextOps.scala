@@ -85,6 +85,24 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition signals (the Gopher-style quality heuristic): fraction of
+    // duplicate tokens and duplicate word-bigrams per document — high values
+    // flag boilerplate/TEMPLATED text. Scalar + array ops only, scan-bound.
+    "t52_repetition" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val bigrams = QueryUtil.wordNgrams(toks, 2)
+      val nBi = size(bigrams)
+      val nUniqBi = size(array_distinct(bigrams))
+      docs(s, dir).select(col("doc_id"),
+          nTok.as("n_tok"),
+          (lit(1.0) - nUniq.cast(DoubleType) / nTok).as("dup_tok_frac"),
+          when(nBi > 0, lit(1.0) - nUniqBi.cast(DoubleType) / nBi)
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rolling-hash (Rabin-Karp) fingerprint per document + agreement count
     // across the corpus (identical fingerprints = near-identical content).
     "t49_fingerprint" -> ((s, dir) => {
@@ -145,6 +163,18 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t49_fingerprint" -> fingerprintOracle,
+
+    "t52_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(s) AS INTEGER) AS n_tok,
+        | 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_tok_frac,
+        | CASE WHEN len(s) >= 2 THEN
+        |   1.0 - CAST(len(list_distinct(
+        |     [s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))])) AS DOUBLE)
+        |     / (len(s) - 1)
+        | ELSE 0.0 END AS dup_bigram_frac
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "t50_quality_filter" ->
       s"""SELECT doc_id, CAST($tok AS INTEGER) AS n_tokens,
