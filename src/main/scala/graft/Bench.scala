@@ -49,7 +49,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    // clamped: 0/negative/garbage must not be able to cost the round its
+    // JSON line (warm would stay empty and the total would throw)
+    val warmPasses = math.max(1,
+      sys.env.get("SPARK_GRAFT_WARM_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -113,8 +116,8 @@ object Bench {
     def js(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val ok = names.filterNot(failed.contains)
-    val total = ok.map(warm).sum
-    val coldTotal = ok.map(cold).sum
+    val total = ok.map(warm.getOrElse(_, 0.0)).sum
+    val coldTotal = ok.map(cold.getOrElse(_, 0.0)).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"sf":"$sfDir","cold_value":$coldTotal,"queries_cold":${js(cold)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs}"""

@@ -39,10 +39,11 @@ object Tables {
     * (`LocalRelation`); Spark's equivalent is the columnar table cache.
     * Bench enables it; Verify keeps the plain parquet path. */
   private def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // the full sanitized path keys the view — a hash of the path could
-    // collide between two corpus dirs in one session and silently serve
-    // data from the wrong directory
-    val view = s"graft_cached_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // sanitized path + hex hash: the path part keeps the name debuggable,
+    // the hash restores injectivity (sanitizing alone would collapse
+    // /a/b-c and /a/b_c; a hash alone could collide across dirs)
+    val view = s"graft_cached_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      Integer.toHexString(dir.hashCode)
     synchronized {
       if (!spark.catalog.tableExists(view)) {
         raw(spark, dir, name).createOrReplaceTempView(view)

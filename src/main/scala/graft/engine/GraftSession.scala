@@ -130,8 +130,7 @@ class GraftSession private (val spark: SparkSession) {
     val snap =
       try df.localCheckpoint(true)
       finally GraftExecutionContext.end(spark)
-    snap.createOrReplaceTempView(mangle(name))
-    bumpVersion()
+    registerTable(name, snap)
     // counts over the checkpointed partitions — no recompute, no driver rows
     snap.count()
   }

@@ -50,8 +50,12 @@ object ConnectedComponents {
         .join(comp.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src")).agg(min(col("dcomp")).as("nmin"))
         .select(col("src").as("id"), col("nmin"))
+      // materialized before the jump: both sides of the self-join read it,
+      // and without this the propagate join+agg subtree would run twice per
+      // round
       val stepped = comp.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       // jump: label(v) <- label(label(v)). Labels are always node ids (mins
       // of ids), so the self-join on comp = id always matches.
       val next = stepped.as("a")
@@ -67,6 +71,12 @@ object ConnectedComponents {
       converged = changed == 0L
       iter += 1
     }
+    if (!converged)
+      // labels are still an upper bound (monotone non-increasing) but may
+      // not be component minima yet — surface it rather than return silently
+      System.err.println(
+        s"[graft] ConnectedComponents: NOT converged after $maxIter rounds " +
+          "(diameter > 2^maxIter?) — labels may split components")
     comp
   }
 }

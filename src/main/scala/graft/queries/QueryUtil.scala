@@ -24,7 +24,19 @@ private[queries] object QueryUtil {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => mk.persist())
+    // NOT computeIfAbsent: `mk` may itself call persistKeyed on the same map
+    // (d56's components builder runs the jaccard pipeline, which memoizes
+    // its own intermediates) and CHM forbids recursive updates inside a
+    // mapping function. get-then-putIfAbsent tolerates nesting; a racing
+    // duplicate build is harmless (one copy wins, the loser's persist is
+    // unpinned).
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else {
+      val built = mk.persist()
+      val prev = perSession.putIfAbsent(key, built)
+      if (prev == null) built else { built.unpersist(); prev }
+    }
   }
 
   /** Word n-grams of a token array as space-joined strings; empty array when

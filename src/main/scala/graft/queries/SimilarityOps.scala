@@ -152,10 +152,15 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
         .filter(col("rk") === 1)
+      // fixed-point integer sums (the s59 trick): double partial-sum order
+      // varies across shuffles, so a raw avg() would drift in the low bits
+      // between runs/clusters and the claimed determinism would be false
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v").cast(DoubleType)).as("m"))
+        .agg((sum(floor(col("v").cast(DoubleType) * 1e9)
+            .cast(DecimalType(38, 0))).cast(DoubleType) /
+          (lit(1e9) * count(lit(1)))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"),

@@ -35,9 +35,28 @@ class HiveSurfaceSpec extends AnyFunSuite {
     pb.directory(scratch)
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    val rc = p.waitFor()
-    assert(rc == 0 && out.contains("HIVECHECK OK"),
-      s"HiveCheck rc=$rc, tail:\n${out.takeRight(6000)}")
+    // drain concurrently — readAllBytes before waitFor deadlocks if the
+    // child fills the pipe; and bound the wait so a wedged Spark/Derby init
+    // fails THIS test instead of hanging the whole suite
+    val drained = new java.util.concurrent.CompletableFuture[String]()
+    val drainer = new Thread(() =>
+      drained.complete(new String(p.getInputStream.readAllBytes(), "UTF-8")))
+    drainer.setDaemon(true)
+    drainer.start()
+    val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    val out =
+      try drained.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Throwable => "<output drain timed out>" }
+    try {
+      assert(finished, s"HiveCheck timed out after 300s, tail:\n${out.takeRight(6000)}")
+      assert(p.exitValue() == 0 && out.contains("HIVECHECK OK"),
+        s"HiveCheck rc=${p.exitValue()}, tail:\n${out.takeRight(6000)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(scratch)
+    }
   }
 }
