@@ -43,6 +43,23 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Modality routing + per-format corpus stats: the aggregation a
+    // pipeline runs to decide how to shard decode work across format-
+    // specific workers. Groups on decoded (stub) format, exact byte
+    // accounting (integer sums — no float drift).
+    "m63_format_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("text").cast("binary").as("payload"))
+        .select(expr("graft_image_meta(payload)").as("meta"))
+        .select(col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy(col("format"))
+    }),
+
     // Batched frame extraction over binary payloads via mapPartitions —
     // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
     // use. Deterministic fake frames => rows-only driver check.
@@ -81,6 +98,14 @@ object MultimodalOps {
         | CAST(8000 + (strlen(text) % 3) * 8000 AS INTEGER) AS sample_rate,
         | strlen(text) % 2 = 0 AS stereo
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m63_format_stats" ->
+      """SELECT CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   ELSE 'webp' END AS format,
+        | count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | CAST(max(strlen(text)) AS INTEGER) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Metadata is pure arithmetic on byte length => SQL-expressible.
     "m60_image_meta" ->
