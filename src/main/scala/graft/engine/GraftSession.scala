@@ -54,7 +54,7 @@ class GraftSession private (val spark: SparkSession) {
   }
 
   private def cachedPlan(sqlText: String): DataFrame = {
-    val key = catalogVersion.get() + "\n" + sqlText
+    val key = s"${catalogVersion.get()}\n$sqlText"
     val hit = planCache.synchronized(planCache.get(key))
     if (hit != null) hit
     else {
