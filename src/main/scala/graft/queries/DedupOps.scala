@@ -177,6 +177,33 @@ object DedupOps {
         .orderBy(col("lang"))
     }),
 
+    // The END-TO-END dataset assembly pipeline in ONE declarative DAG —
+    // quality gate (t50's thresholds) → near-dup removal (d51's anti-join
+    // over the exact J>=0.8 pair set) → language rebalancing (d57's
+    // deterministic residue rule) → train/val split (d55's rule) → audit
+    // counts. Catalyst fuses the scalar gates into the scan and the
+    // anti-join is the only extra shuffle over d51 — the composition costs
+    // what its most expensive stage costs, which is the point of building
+    // each stage as a DataFrame transform.
+    "d58_pipeline_e2e" -> ((s, dir) => {
+      val nTok = QueryUtil.tokenCount(col("text"))
+      val vowelRatio =
+        length(regexp_replace(col("text"), "[^aeiou]", "")).cast(DoubleType) /
+          length(col("text"))
+      val quality = Tables.load(s, dir, "documents")
+        .filter(nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 &&
+          length(col("text")) <= 450)
+        .select(col("doc_id"), col("lang"))
+      val dropped = jaccardPairs(s, dir, 0.8).select(col("idb").as("doc_id"))
+      quality.join(dropped, Seq("doc_id"), "left_anti")
+        .filter(col("lang") =!= "en" || col("doc_id") % 4 === 0)
+        .select(col("lang"),
+          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -278,6 +305,25 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+    "d58_pipeline_e2e" ->
+      s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
+         |toks AS (SELECT doc_id, lang, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS vr
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id, lang FROM toks
+         |  WHERE n_tok >= 30 AND n_tok <= 200 AND vr >= 0.27
+         |    AND length(text) <= 450),
+         |kept AS (
+         |  SELECT doc_id, lang FROM quality
+         |  WHERE doc_id NOT IN (SELECT idb FROM pairs)
+         |    AND (lang != 'en' OR doc_id % 4 = 0))
+         |SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "d57_lang_rebalance" ->
       """SELECT lang, count(*) AS n_before,
         | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
