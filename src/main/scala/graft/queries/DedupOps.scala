@@ -186,13 +186,8 @@ object DedupOps {
     // what its most expensive stage costs, which is the point of building
     // each stage as a DataFrame transform.
     "d58_pipeline_e2e" -> ((s, dir) => {
-      val nTok = QueryUtil.tokenCount(col("text"))
-      val vowelRatio =
-        length(regexp_replace(col("text"), "[^aeiou]", "")).cast(DoubleType) /
-          length(col("text"))
       val quality = Tables.load(s, dir, "documents")
-        .filter(nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 &&
-          length(col("text")) <= 450)
+        .filter(QueryUtil.qualityKeep(col("text")))
         .select(col("doc_id"), col("lang"))
       val dropped = jaccardPairs(s, dir, 0.8).select(col("idb").as("doc_id"))
       quality.join(dropped, Seq("doc_id"), "left_anti")
@@ -307,15 +302,9 @@ object DedupOps {
     "d54_simhash" -> simhashOracle,
     "d58_pipeline_e2e" ->
       s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
-         |toks AS (SELECT doc_id, lang, text,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-         |    CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-         |      / length(text) AS vr
-         |  FROM documents),
          |quality AS (
-         |  SELECT doc_id, lang FROM toks
-         |  WHERE n_tok >= 30 AND n_tok <= 200 AND vr >= 0.27
-         |    AND length(text) <= 450),
+         |  SELECT doc_id, lang FROM documents
+         |  WHERE ${QueryUtil.oracleQualityPredicate}),
          |kept AS (
          |  SELECT doc_id, lang FROM quality
          |  WHERE doc_id NOT IN (SELECT idb FROM pairs)

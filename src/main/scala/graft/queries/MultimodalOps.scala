@@ -50,6 +50,10 @@ object MultimodalOps {
     "m63_format_stats" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
+        // explicit null guard BOTH sides: without it a NULL payload would
+        // group under a NULL format here but under 'webp' in the oracle
+        // (CASE NULL%3 falls to ELSE) — don't leave that to corpus luck
+        .filter(col("text").isNotNull)
         .select(col("text").cast("binary").as("payload"))
         .select(expr("graft_image_meta(payload)").as("meta"))
         .select(col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
@@ -105,7 +109,7 @@ object MultimodalOps {
         | count(*) AS n_docs,
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | CAST(max(strlen(text)) AS INTEGER) AS max_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Metadata is pure arithmetic on byte length => SQL-expressible.
     "m60_image_meta" ->

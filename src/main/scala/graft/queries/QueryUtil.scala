@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 private[queries] object QueryUtil {
 
@@ -50,6 +50,24 @@ private[queries] object QueryUtil {
   /** DuckDB fragment mirroring [[tokenCount]] (INTEGER-width cast is left to
     * the call site). */
   val oracleTokenCount: String = """len(string_split_regex(trim(text), '\s+'))"""
+
+  /** The corpus quality gate (token count / vowel density / length bounds)
+    * — single definition shared by t50_quality_filter and the d58 pipeline
+    * so the two can't drift; [[oracleQualityPredicate]] is its DuckDB
+    * mirror. */
+  def qualityKeep(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val vowelRatio =
+      length(regexp_replace(text, "[^aeiou]", "")).cast(DoubleType) / length(text)
+    nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 && length(text) <= 450
+  }
+
+  /** DuckDB fragment mirroring [[qualityKeep]] over the `text` column. */
+  val oracleQualityPredicate: String =
+    s"""($oracleTokenCount >= 30 AND $oracleTokenCount <= 200
+       |   AND CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+       |     / length(text) >= 0.27
+       |   AND length(text) <= 450)""".stripMargin
 
   def wordNgrams(tokens: Column, n: Int): Column =
     when(size(tokens) >= n,

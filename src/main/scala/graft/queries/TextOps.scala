@@ -80,8 +80,7 @@ object TextOps {
           length(col("text"))
       docs(s, dir).select(col("doc_id"), nTok.as("n_tokens"),
           vowelRatio.as("vowel_ratio"),
-          (nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 &&
-            length(col("text")) <= 450).as("keep"))
+          QueryUtil.qualityKeep(col("text")).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -180,10 +179,7 @@ object TextOps {
       s"""SELECT doc_id, CAST($tok AS INTEGER) AS n_tokens,
         | CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
         |   / length(text) AS vowel_ratio,
-        | ($tok >= 30 AND $tok <= 200
-        |   AND CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-        |     / length(text) >= 0.27
-        |   AND length(text) <= 450) AS keep
+        | ${QueryUtil.oracleQualityPredicate} AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t46_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char,
