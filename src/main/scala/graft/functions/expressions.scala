@@ -38,6 +38,8 @@ private[functions] object TypeChecks {
     case (IntegerType, "int") => true
     case (_: StringType, "string") => true
     case (BinaryType, "binary") => true
+    case (DoubleType, "double") => true
+    case (LongType, "bigint") => true
     case _ => false
   }
 }
@@ -202,6 +204,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_image_meta", es => FakeImageMeta(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mg_topk",
       es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_topk_pairs",
+      es => TopKPairs(es.head, es(1), lit(es(2), "k").toInt)
         .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")

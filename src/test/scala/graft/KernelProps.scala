@@ -123,6 +123,29 @@ object KernelProps extends Properties("graft.kernels") {
       mustSurvive.forall(survivors.contains) && merged.size <= cap
     }
 
+
+  property("TopKBuffer: any insertion order + arbitrary merge splits = exact top-k") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-100, 100).map(_ / 10.0),
+        Gen.chooseNum(0L, 50L))), Gen.chooseNum(1, 5)) { (pairs, k) =>
+      import graft.functions.TopKBuffer
+      // reference: global sort by (score desc, id asc), distinct not needed
+      val expect = pairs.sortBy { case (s, i) => (-s, i) }.take(k)
+      // single buffer
+      val one = new TopKBuffer(k)
+      pairs.foreach { case (s, i) => one.insert(s, i) }
+      // split into chunks, separate buffers, merged pairwise
+      val chunks = pairs.grouped(math.max(1, pairs.size / 3 + 1)).toList
+      val merged = chunks.map { c =>
+        val b = new TopKBuffer(k); c.foreach { case (s, i) => b.insert(s, i) }; b
+      }.reduceOption { (x, y) =>
+        var j = 0
+        while (j < y.size) { x.insert(y.scores(j), y.ids(j)); j += 1 }
+        x
+      }.getOrElse(new TopKBuffer(k))
+      def dump(b: TopKBuffer) = (0 until b.size).map(j => (b.scores(j), b.ids(j)))
+      dump(one) == expect && dump(merged) == expect
+    }
+
   property("coercion: numeric strings roundtrip for int/long/double") =
     forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { i =>
       DataTable.coerce(i.toString, IntegerType) == i &&
