@@ -97,9 +97,22 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
+  /** SQL-compatible double ordering: NaN is LARGEST (Spark's sort and
+    * DuckDB agree), -0.0 == 0.0. A raw `>`/`==` comparator is NOT a total
+    * order under NaN — a NaN landing in the last slot would freeze the
+    * buffer (both comparisons false for every challenger). */
+  @inline private def cmpScore(a: Double, b: Double): Int =
+    if (a == b) 0
+    else if (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)) 0
+    else if (java.lang.Double.isNaN(a)) 1
+    else if (java.lang.Double.isNaN(b)) -1
+    else java.lang.Double.compare(a, b)
+
   /** true if (s1, i1) ranks strictly better than (s2, i2). */
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = cmpScore(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (size == k && !better(s, i, scores(k - 1), ids(k - 1))) return

@@ -39,8 +39,13 @@ object SimilarityOps {
     GraftFunctions.register(s)
     val nBlocks = math.max(2,
       math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+    // explicit null guard, mirrored by IS NOT NULL in the s61 oracle: a
+    // null embedding would otherwise produce null sims that the window
+    // ranks last but the bounded aggregate skips — keep both engines on
+    // the same explicit rule instead of relying on corpus luck
+    val e = emb(s, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
       col("blk").as("bi"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
@@ -259,7 +264,8 @@ object SimilarityOps {
         |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                          CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rnk
-        | FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+        | FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
         |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
 
     "s59_centroids" ->

@@ -124,12 +124,17 @@ object KernelProps extends Properties("graft.kernels") {
     }
 
 
-  property("TopKBuffer: any insertion order + arbitrary merge splits = exact top-k") =
-    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-100, 100).map(_ / 10.0),
+  property("TopKBuffer: any insertion order + merge splits + serde = exact top-k (incl. NaN)") =
+    forAll(Gen.listOf(Gen.zip(
+        Gen.frequency(9 -> Gen.chooseNum(-100, 100).map(_ / 10.0),
+          1 -> Gen.const(Double.NaN)),
         Gen.chooseNum(0L, 50L))), Gen.chooseNum(1, 5)) { (pairs, k) =>
-      import graft.functions.TopKBuffer
-      // reference: global sort by (score desc, id asc), distinct not needed
-      val expect = pairs.sortBy { case (s, i) => (-s, i) }.take(k)
+      import graft.functions.{TopKBuffer, TopKPairs}
+      // reference: SQL double ordering (NaN largest) desc, then id asc
+      val expect = pairs.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2) // NaN sorts largest
+        c > 0 || (c == 0 && i1 < i2)
+      }.take(k)
       // single buffer
       val one = new TopKBuffer(k)
       pairs.foreach { case (s, i) => one.insert(s, i) }
@@ -142,8 +147,15 @@ object KernelProps extends Properties("graft.kernels") {
         while (j < y.size) { x.insert(y.scores(j), y.ids(j)); j += 1 }
         x
       }.getOrElse(new TopKBuffer(k))
+      // serde roundtrip through the aggregate's wire format
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val agg = TopKPairs(Literal(0.0), Literal(0L), k)
+      val rt = agg.deserialize(agg.serialize(one))
       def dump(b: TopKBuffer) = (0 until b.size).map(j => (b.scores(j), b.ids(j)))
-      dump(one) == expect && dump(merged) == expect
+      def eqNaN(a: Seq[(Double, Long)], b: Seq[(Double, Long)]) =
+        a.size == b.size && a.zip(b).forall { case ((s1, i1), (s2, i2)) =>
+          i1 == i2 && (s1 == s2 || (s1.isNaN && s2.isNaN)) }
+      eqNaN(dump(one), expect) && eqNaN(dump(merged), expect) && eqNaN(dump(rt), dump(one))
     }
 
   property("coercion: numeric strings roundtrip for int/long/double") =
