@@ -107,31 +107,47 @@ object SimilarityOps {
         .filter(col("sim") >= 0.45)
         .orderBy(col("ida"), col("idb"))),
 
-    // Approximate NN via random-hyperplane LSH: L=8 tables x 4 bits. The
-    // candidate set is the union over tables of same-bucket vectors; exact
-    // cosine re-rank inside candidates. Engine-specific buckets => rows-only
-    // driver check; recall vs s56 is asserted in the ScalaTest spec.
-    "s57_ann_lsh" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val sigd = emb(s, dir).select(col("vec_id"), col("embedding"),
-        posexplode(expr("transform(sequence(0, 7), t -> graft_hyperplane(embedding, t, 4))"))
-          .as(Seq("tbl", "bucket")))
-      val q = broadcast(sigd.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("tbl"), col("bucket")))
-      val c = sigd.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("nid"), col("embedding").as("cv"),
-          col("tbl"), col("bucket"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      q.join(c, Seq("tbl", "bucket"))
-        .select(col("qid"), col("nid"), col("qv"), col("cv")).distinct()
-        .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
-        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= 5)
-        .orderBy(col("qid"), col("rnk"))
-    })
+    // Approximate NN via random-hyperplane LSH (parameters tuned by
+    // graft.tools.RecallProbe — see annLsh). Engine-specific buckets =>
+    // rows-only driver check; recall vs s56 is asserted in the ScalaTest
+    // spec at the tuned floor.
+    "s57_ann_lsh" -> ((s, dir) => annLsh(s, dir, LshTables, LshBits))
   )
+
+  /** s57's tuned operating point: measured by `graft.tools.RecallProbe`
+    * against exact s56 (recall@5 table in SCALE.md; 16x4 = 0.90 on the test
+    * corpus, vs 0.76 at the untuned 8x4). More tables = more candidates =
+    * higher recall at linearly more bucket-join work. */
+  val LshTables = 16
+  val LshBits = 4
+
+  /** Approximate NN via random-hyperplane LSH: `tables` tables x `bits`
+    * bits. The candidate set is the union over tables of same-bucket
+    * vectors; exact cosine re-rank inside candidates. The bucket join is a
+    * shuffle on (table, bucket) — no cross product; at 100 TB the corpus
+    * signatures are precomputed and the per-table bucket lists stored
+    * partitioned by bucket id. */
+  def annLsh(s: SparkSession, dir: String, tables: Int, bits: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val sigd = emb(s, dir).select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        s"transform(sequence(0, ${tables - 1}), t -> graft_hyperplane(embedding, t, $bits))"))
+        .as(Seq("tbl", "bucket")))
+    val q = broadcast(sigd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("tbl"), col("bucket")))
+    val c = sigd.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("cv"),
+        col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    q.join(c, Seq("tbl", "bucket"))
+      .select(col("qid"), col("nid"), col("qv"), col("cv")).distinct()
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
 
   /** Spherical-k-means coarse quantizer for the IVF index: C centroids,
     * Lloyd iterations entirely as DataFrame jobs (assign = argmax cosine
@@ -151,12 +167,20 @@ object SimilarityOps {
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
         col("embedding").as("cv"))
     (1 to iters).foreach { _ =>
+      // Argmax-per-vector as a bounded aggregate, not a rank window: the
+      // window form forces a full shuffle+sort of n*C rows keyed by vec_id
+      // per Lloyd iteration; graft_topk_pairs(k=1) gets the same argmax
+      // (score DESC, id ASC ties — identical to `sim desc, cell asc`) with
+      // map-side partial aggregation and no sort. `first(embedding)` is
+      // deterministic here: every row of a vec_id group carries the same
+      // embedding value.
       val assigned = corpus.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cell"),
           expr("graft_cosine(embedding, cv)").as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          expr("cast(graft_topk_pairs(sim, cast(cell as bigint), 1)[0].id as int)")
+            .as("cell"))
       // fixed-point integer sums (the s59 trick): double partial-sum order
       // varies across shuffles, so a raw avg() would drift in the low bits
       // between runs/clusters and the claimed determinism would be false
@@ -175,6 +199,59 @@ object SimilarityOps {
     centroids
   })
 
+  /** s60's tuned operating point: measured by `graft.tools.RecallProbe`
+    * against exact s56 (recall@5 table in SCALE.md; C=16/nprobe=8 = 0.84 on
+    * the test corpus, vs 0.60 at the untuned nprobe=4). Recall rises with
+    * nprobe/C, the fraction of the corpus scanned per query — this corpus is
+    * small and nearly unclustered, so half the cells must be probed for
+    * 0.8+; real embedding corpora with cluster structure sustain the same
+    * recall at far smaller nprobe/C. */
+  val IvfCells = 16
+  val IvfNprobe = 8
+
+  /** IVF approximate NN: a `c`-cell spherical-k-means coarse quantizer
+    * partitions the corpus into inverted lists; each query probes only its
+    * `nprobe` nearest cells and exact-reranks inside them. At 100 TB the
+    * corpus is stored partitioned BY cell (partition pruning turns a probe
+    * into reading nprobe/C of the data); the quantizer is trained once on a
+    * sample and broadcast.
+    *
+    * Cell assignment runs through the bounded top-k aggregate (k=1 argmax,
+    * k=nprobe probe list) instead of rank windows: the corpus-side window
+    * would shuffle+sort n*C rows; the aggregate ships 1-row (resp.
+    * nprobe-row) partial states through a plain partial/final hash
+    * aggregate. Tie rule (score DESC, id ASC) is identical to the windows'
+    * `sim desc, cell asc`. */
+  def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val centroids = trainCentroids(s, dir, c, iters)
+    val corpusCells = emb(s, dir).filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("nid"), col("embedding").as("cv2"), col("cell"),
+        expr("graft_cosine(embedding, cv)").as("sim"))
+      .groupBy(col("nid"))
+      .agg(first(col("cv2")).as("cv2"),
+        expr("cast(graft_topk_pairs(sim, cast(cell as bigint), 1)[0].id as int)")
+          .as("cell"))
+      .select(col("nid"), col("cv2"), col("cell"))
+    val queryProbes = emb(s, dir).filter(col("vec_id") < 10)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
+        expr("graft_cosine(embedding, cv)").as("sim"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        expr(s"graft_topk_pairs(sim, cast(cell as bigint), $nprobe)").as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, x -> cast(x.id as int))")).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    queryProbes.join(corpusCells, "cell") // shuffle on cell id — the probe
+      .select(col("qid"), col("nid"),
+        expr("graft_cosine(qv, cv2)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF approximate NN — the other classic ANN scale path next to
     // hyperplane LSH (s57): a C-cell coarse quantizer partitions the corpus
@@ -184,34 +261,7 @@ object SimilarityOps {
     // nprobe/C of the data); the quantizer is trained once on a sample and
     // broadcast. Engine-specific cells => rows-only driver check; recall vs
     // exact s56 is asserted in the ScalaTest spec.
-    "s60_ann_ivf" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val c = 16; val nprobe = 4
-      val centroids = trainCentroids(s, dir, c, iters = 3)
-      val corpusCells = emb(s, dir).filter(col("vec_id") >= 10)
-        .crossJoin(broadcast(centroids))
-        .select(col("vec_id").as("nid"), col("embedding").as("cv2"), col("cell"),
-          expr("graft_cosine(embedding, cv)").as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("nid")).orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("nid"), col("cv2"), col("cell"))
-      val queryProbes = emb(s, dir).filter(col("vec_id") < 10)
-        .crossJoin(broadcast(centroids))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
-          expr("graft_cosine(embedding, cv)").as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rk") <= nprobe)
-        .select(col("qid"), col("qv"), col("cell"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      queryProbes.join(corpusCells, "cell") // shuffle on cell id — the probe
-        .select(col("qid"), col("nid"),
-          expr("graft_cosine(qv, cv2)").as("sim"))
-        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
-        .filter(col("rnk") <= 5)
-        .orderBy(col("qid"), col("rnk"))
-    }),
+    "s60_ann_ivf" -> ((s, dir) => annIvf(s, dir, IvfCells, IvfNprobe, iters = 3)),
 
     // Exact k-NN graph (k=3) over ALL vectors — the neighborhood structure
     // that downstream clustering / graph-dedup / diversity sampling reads.

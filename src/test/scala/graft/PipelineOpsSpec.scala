@@ -33,24 +33,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
   }
 
-  test("s57_ann_lsh achieves nontrivial recall vs exact s56 top-5") {
+  // Recall floors are production bars set from measurement, not smoke
+  // floors: graft.tools.RecallProbe sweeps (tables x bits) and (C x nprobe)
+  // against exact s56 on this corpus (table in SCALE.md); the shipped
+  // operating points measure 0.90 (LSH 16x4) and 0.84 (IVF 16/8), both
+  // deterministic, so >= 0.8 is a real regression gate.
+  test("s57_ann_lsh achieves recall@5 >= 0.8 vs exact s56 top-5") {
     val exact = SparkEntry.queries("s56_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = SparkEntry.queries("s57_ann_lsh")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"LSH recall@5 $recall too low")
+    assert(recall >= 0.8, s"LSH recall@5 $recall below the tuned bar")
     // sanity: approx returns <= 5 per query, ids from corpus side only
     assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
   }
 
-  test("s60_ann_ivf achieves nontrivial recall vs exact s56 top-5") {
+  test("s60_ann_ivf achieves recall@5 >= 0.8 vs exact s56 top-5") {
     val exact = SparkEntry.queries("s56_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = SparkEntry.queries("s60_ann_ivf")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall@5 $recall too low")
+    assert(recall >= 0.8, s"IVF recall@5 $recall below the tuned bar")
     assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
     // determinism: quantizer seeds and iterations are fixed
     val again = SparkEntry.queries("s60_ann_ivf")(spark, dir)
