@@ -66,7 +66,10 @@ object MultimodalOps {
 
     // Batched frame extraction over binary payloads via mapPartitions —
     // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
-    // use. Deterministic fake frames => rows-only driver check.
+    // use. The fake frame features are pure byte arithmetic over the ASCII
+    // payload (mean byte of each 200-byte block), so a full DuckDB oracle
+    // IS expressible (ord-per-char mirror below) — the stub decode is
+    // hash-checked, not just rows-counted.
     "m61_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val src = Tables.load(s, dir, "documents")
@@ -96,6 +99,24 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of the mapPartitions fake decoder: one frame per started
+    // 200-byte block (capped at 4), feature = mean byte value of the block.
+    // ASCII corpus (spec-asserted precondition, shared with the t49 oracle)
+    // makes per-char ord == the UTF-8 byte Spark sums. The integer sum and
+    // count are exact on both engines; the single double division of equal
+    // integers is IEEE-identical.
+    "m61_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        | CAST(list_sum([ord(t[i]) FOR i IN
+        |   range(f * 200 + 1, least(length(t), f * 200 + 200) + 1)]) AS DOUBLE)
+        |  / (least(length(t), f * 200 + 200) - f * 200) AS feat_mean
+        |FROM (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, least(4, (length(t) + 199) // 200))) AS f
+        |  FROM (SELECT doc_id, text AS t FROM documents
+        |        WHERE text IS NOT NULL AND length(text) > 0))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "m62_audio_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         | CAST(strlen(text) AS DOUBLE) / 16000.0 AS duration_s,
