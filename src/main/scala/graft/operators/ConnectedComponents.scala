@@ -72,11 +72,16 @@ object ConnectedComponents {
       iter += 1
     }
     if (!converged)
-      // labels are still an upper bound (monotone non-increasing) but may
-      // not be component minima yet — surface it rather than return silently
-      System.err.println(
-        s"[graft] ConnectedComponents: NOT converged after $maxIter rounds " +
-          "(diameter > 2^maxIter?) — labels may split components")
+      // labels would still be an upper bound (monotone non-increasing) but
+      // possibly NOT component minima — a d56 caller would silently derive
+      // wrong dedup representatives from them. The documented contract is
+      // comp = component-min, so non-convergence is an error, not a warning.
+      // (Practically unreachable: pointer jumping needs ~log2(diameter)
+      // rounds, so maxIter=50 covers diameters beyond any physical graph.)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge after $maxIter rounds " +
+          "(diameter > 2^maxIter?); labels would violate the comp = " +
+          "component-min contract — raise maxIter")
     comp
   }
 }
