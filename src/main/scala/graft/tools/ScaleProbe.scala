@@ -1,0 +1,142 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke test: replicate-and-perturb the sf0.1 corpus 10–100× and
+  * measure the heavy operator family (d52 SSJoin, d53 MinHash LSH, u65
+  * Misra-Gries, s58/s61 tiled pair joins) — wall time plus shuffle/spill
+  * bytes from task metrics. Converts the SCALE.md plan-shape arguments into
+  * measurements; results table lives in SCALE.md.
+  *
+  * Replication is designed so per-factor work scales the way the operator's
+  * complexity class says it should, with no cross-replica artifacts:
+  *
+  *  - documents for d52/d53: every token gets a per-replica suffix, so
+  *    replicas share ZERO shingles — each replica is an independent corpus
+  *    shard, near-dup structure replicated per shard, candidate work and
+  *    output exactly ×K (the near-linear regime the bucketed paths claim).
+  *    Plain replication instead would make every doc an exact dup of its
+  *    K-1 copies → O(K²) output pairs, measuring a corpus property rather
+  *    than the operator.
+  *  - documents for u65: PLAIN replication — frequencies and the n/257
+  *    survival threshold scale together, so the heavy-hitter set stays
+  *    stable while scan and sketch-merge work grow ×K.
+  *  - embeddings for s58/s61: one deterministic sign-flip pattern (a
+  *    diagonal ±1 orthogonal transform) per replica, applied to every
+  *    vector of that replica — intra-replica cosines are preserved
+  *    BIT-EXACTLY, cross-replica sims collapse to noise. Work for the
+  *    exact all-pairs operators is inherently O(n²) pairs; the honest
+  *    scale claim measured here is time ∝ pair count at bounded memory
+  *    (the tiling's job), not sublinear time.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe [baseSfDir] [workDir]"`.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shufWrite = new AtomicLong; val spilled = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+
+    def synthDocs(k: Int, suffixTokens: Boolean, out: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      val text =
+        if (!suffixTokens) col("text")
+        else when(col("rep") === 0, col("text")).otherwise(concat_ws(" ",
+          transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit("_r"), col("rep")))))
+      base.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+    def synthEmb(k: Int, out: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      base.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+          when(col("rep") === 0, col("embedding")).otherwise(
+            zip_with(col("embedding"),
+              transform(sequence(lit(0), size(col("embedding")) - 1),
+                i => pmod(hash(col("rep"), i), lit(2))),
+              (v, flip) => when(flip === 1, -v).otherwise(v))).as("embedding"),
+          col("label"))
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
+    // min-of-2 warm passes after a cold pass, noop-sink materialization
+    // (same methodology as Bench)
+    def timeQuery(name: String, dir: String): (Double, Double, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // cold
+      shufWrite.set(0); spilled.set(0)
+      val t = (1 to 2).map(_ => once()).min
+      Thread.sleep(500) // let the async listener bus drain task metrics
+      (t, shufWrite.get / 1e6 / 2, spilled.get / 1e6 / 2)
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    def run(name: String, factor: Int, dir: String): Unit = {
+      val (sec, shufMb, spillMb) = timeQuery(name, dir)
+      val line = f"| $name | ${factor}x | $sec%.2f | $shufMb%.1f | $spillMb%.1f |"
+      println(s"[scale] $line")
+      rows += line
+    }
+
+    for (k <- Seq(1, 10, 100)) {
+      val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
+      if (k > 1) {
+        synthDocs(k, suffixTokens = true, sufDir)
+        synthDocs(k, suffixTokens = false, plainDir)
+      }
+      val d = if (k == 1) baseDir else sufDir
+      val p = if (k == 1) baseDir else plainDir
+      run("d52_jaccard_pairs", k, d)
+      run("d53_minhash_lsh", k, d)
+      run("u65_sketch_topk", k, p)
+    }
+    for (k <- Seq(1, 3, 10)) {
+      val dir = s"$workDir/emb_x$k"
+      if (k > 1) synthEmb(k, dir)
+      val d = if (k == 1) baseDir else dir
+      run("s58_embed_dup", k, d)
+      run("s61_knn_graph", k, d)
+    }
+
+    println("[scale] === results ===")
+    println("| query | factor | warm sec | shuffle write MB | spilled MB |")
+    println("|---|---|---|---|---|")
+    rows.foreach(println)
+    spark.stop()
+  }
+}
