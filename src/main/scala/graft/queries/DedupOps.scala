@@ -77,12 +77,22 @@ object DedupOps {
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // persisted: both sides of the self-join read it, and without this the
-    // whole shingle->freq->window subtree is computed twice
+    // whole shingle->freq->window subtree is computed twice. Entries carry
+    // the doc's shingle count n for the size filter below.
     val prefix = persistKeyed(s, s"prefix:$dir:$threshold",
       ranked.filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-        .select(col("doc_id"), col("sh")))
+        .select(col("doc_id"), col("sh"), col("n")))
+    // SSJoin size filter on top of the prefix filter: J >= t forces
+    // min(na,nb) >= t*max(na,nb), so size-incompatible candidates are
+    // dropped BEFORE the expensive hs-array verify joins. The epsilon only
+    // ever over-includes (float t*max could round a hair above an integer
+    // min), so exactness is preserved. Measured at 100x sf0.1 (500k docs,
+    // t=0.4): 52.3M -> 44.5M candidates, verify 117s -> 88s, pairs
+    // identical.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
     verifyJaccard(cand, docs, threshold)

@@ -40,10 +40,21 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    // rerun knobs: SCALE_QUERIES=csv filter, SCALE_FACTORS=csv filter,
+    // SCALE_SHUFFLE=shuffle partition count. The partition knob exists to
+    // demonstrate the one genuine local-vs-cluster delta this probe
+    // surfaces: shuffle volume scales linearly with corpus size, but a
+    // FIXED partition count makes per-partition sorts spill at 100× — the
+    // production fix is partitions ∝ data (the standard sizing rule), not
+    // a plan change.
+    val onlyQ = sys.env.get("SCALE_QUERIES").map(_.split(",").toSet)
+    val onlyF = sys.env.get("SCALE_FACTORS").map(_.split(",").map(_.toInt).toSet)
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val shufflePartitions =
+      sys.env.get("SCALE_SHUFFLE").flatMap(_.toIntOption).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -107,27 +118,35 @@ object ScaleProbe {
 
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     def run(name: String, factor: Int, dir: String): Unit = {
-      val (sec, shufMb, spillMb) = timeQuery(name, dir)
-      val line = f"| $name | ${factor}x | $sec%.2f | $shufMb%.1f | $spillMb%.1f |"
-      println(s"[scale] $line")
-      rows += line
-    }
-
-    for (k <- Seq(1, 10, 100)) {
-      val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1) {
-        synthDocs(k, suffixTokens = true, sufDir)
-        synthDocs(k, suffixTokens = false, plainDir)
+      if (onlyQ.forall(_.contains(name)) && onlyF.forall(_.contains(factor))) {
+        val (sec, shufMb, spillMb) = timeQuery(name, dir)
+        val line = f"| $name | ${factor}x | $sec%.2f | $shufMb%.1f | $spillMb%.1f | $shufflePartitions |"
+        println(s"[scale] $line")
+        rows += line
       }
+    }
+    def wanted(names: String*): Boolean =
+      onlyQ.forall(q => names.exists(q.contains))
+
+    for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
+      val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
+      if (k > 1 && wanted("d52_jaccard_pairs", "d53_minhash_lsh") &&
+          !new java.io.File(s"$sufDir/documents.parquet").exists())
+        synthDocs(k, suffixTokens = true, sufDir)
+      if (k > 1 && wanted("u65_sketch_topk") &&
+          !new java.io.File(s"$plainDir/documents.parquet").exists())
+        synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
       val p = if (k == 1) baseDir else plainDir
       run("d52_jaccard_pairs", k, d)
       run("d53_minhash_lsh", k, d)
       run("u65_sketch_topk", k, p)
     }
-    for (k <- Seq(1, 3, 10)) {
+    for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
-      if (k > 1) synthEmb(k, dir)
+      if (k > 1 && wanted("s58_embed_dup", "s61_knn_graph") &&
+          !new java.io.File(s"$dir/embeddings.parquet").exists())
+        synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
       run("s58_embed_dup", k, d)
       run("s61_knn_graph", k, d)
