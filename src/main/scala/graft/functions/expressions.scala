@@ -115,6 +115,22 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def prettyName: String = "graft_intersect_size"
 }
 
+/** Hash-set distinct count of a string array: array<string> -> int.
+  * Codegen'd (static kernel call inside the whole-stage loop): O(n) per row
+  * vs `size(array_distinct(...))`'s O(n²) pairwise string equality — the
+  * repetition metrics (t52) evaluate this once per token array and once per
+  * bigram array for every document. */
+case class DistinctCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "array<string>")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = Kernels.distinctCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.distinctCount($a)")
+  override protected def withNewChildInternal(c: Expression): DistinctCount = copy(child = c)
+  override def prettyName: String = "graft_ndistinct"
+}
+
 /** Random-hyperplane LSH bucket: array<float> -> int. */
 case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
     extends BinaryExpression with CodegenFallback {
@@ -210,6 +226,8 @@ object GraftFunctions {
         .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ndistinct",
+      es => DistinctCount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane",
       es => HyperplaneSig(es.head, es(1), lit(es(2), "nbits").toInt), "scala_udf")
   }

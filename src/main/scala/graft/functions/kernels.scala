@@ -64,6 +64,24 @@ object Kernels {
     sig
   }
 
+  /** Distinct-element count of a string array via a hash set — O(n) per
+    * row. Spark's `array_distinct` has no fast path for string elements (it
+    * falls back to a pairwise-equality scan, O(n²) byte comparisons per
+    * row), which made the repetition metrics the single most expensive
+    * scalar pipeline in the suite; this kernel replaces `size(array_distinct
+    * (...))` in that hot path. Null elements count as one distinct value,
+    * matching array_distinct (split output never contains them anyway). */
+  def distinctCount(a: ArrayData): Int = {
+    val n = a.numElements()
+    val seen = new java.util.HashSet[Any](Math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      seen.add(if (a.isNullAt(i)) null else a.getUTF8String(i))
+      i += 1
+    }
+    seen.size()
+  }
+
   /** Intersection size of two ascending-sorted long arrays (single merge
     * pass — no per-row hash-set allocation like array_intersect). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {

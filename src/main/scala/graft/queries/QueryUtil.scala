@@ -94,8 +94,18 @@ private[queries] object QueryUtil {
        |   AND length(text) <= 450)""".stripMargin
 
   def wordNgrams(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    if (n == 2)
+      // bigram fast path: two O(n) slices + zip_with, instead of an O(n)
+      // per-element slice+concat_ws inside transform (allocation per index)
+      // — bigrams run over every document in t52/u64
+      when(size(tokens) >= 2,
+        zip_with(slice(tokens, lit(1), size(tokens) - 1),
+          slice(tokens, lit(2), size(tokens) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast(ArrayType(StringType)))
+    else
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
 }

@@ -88,16 +88,25 @@ object TextOps {
     // duplicate tokens and duplicate word-bigrams per document — high values
     // flag boilerplate/TEMPLATED text. Scalar + array ops only, scan-bound.
     "t52_repetition" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val nTok = size(toks)
-      val nUniq = size(array_distinct(toks))
-      val bigrams = QueryUtil.wordNgrams(toks, 2)
-      val nBi = size(bigrams)
-      val nUniqBi = size(array_distinct(bigrams))
-      docs(s, dir).select(col("doc_id"),
-          nTok.as("n_tok"),
-          (lit(1.0) - nUniq.cast(DoubleType) / nTok).as("dup_tok_frac"),
-          when(nBi > 0, lit(1.0) - nUniqBi.cast(DoubleType) / nBi)
+      // Distinct counts via the codegen'd O(n) graft_ndistinct hash-set
+      // kernel: builtin array_distinct has no string fast path (O(n²)
+      // pairwise byte equality per row) and made this the single slowest
+      // scalar pipeline under honest materialization (18.6s of a 57s sf0.1
+      // suite; 0.6s after). Token/bigram arrays are materialized as named
+      // columns in staged projects so each is computed once (CollapseProject
+      // keeps multi-referenced non-cheap expressions staged).
+      GraftFunctions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          QueryUtil.wordNgrams(col("toks"), 2).as("bigrams"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          (lit(1.0) - expr("graft_ndistinct(toks)").cast(DoubleType) /
+            size(col("toks"))).as("dup_tok_frac"),
+          when(size(col("bigrams")) > 0,
+            lit(1.0) - expr("graft_ndistinct(bigrams)").cast(DoubleType) /
+              size(col("bigrams")))
             .otherwise(lit(0.0)).as("dup_bigram_frac"))
         .orderBy(col("doc_id"))
     }),

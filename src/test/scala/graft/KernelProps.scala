@@ -79,6 +79,11 @@ object KernelProps extends Properties("graft.kernels") {
       Kernels.hyperplaneSig(f(v), t, 8) == Kernels.hyperplaneSig(f(v.map(_ * 4f)), t, 8)
     }
 
+  property("distinctCount equals the set size for any string multiset") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(""), Gen.const("a b")))) { xs =>
+      Kernels.distinctCount(sarr(xs)) == xs.toSet.size
+    }
+
   property("fingerprint of superset content is <= (min over more k-grams)") =
     forAll(Gen.alphaNumStr.suchThat(_.length >= 8), Gen.alphaNumStr) { (base, extra) =>
       val fa = Kernels.rollingFingerprint(UTF8String.fromString(base), 8)
