@@ -115,5 +115,9 @@ object ExecTimeRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ExecTimeRewrite)
+    // replaces the excluded ConvertToLocalRelation with the clock-safe
+    // variant: driver-side local-relation folding (the reference's
+    // no-job fast path) without freezing Exec* clocks into cached plans
+    e.injectOptimizerRule(_ => ClockSafeConvertToLocalRelation)
   }
 }

@@ -114,6 +114,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT sum(x) AS s FROM vt").rows.head.getLong(0) == 60)
   }
 
+  test("local-relation fast path: project/filter/limit fold to a driver-side LocalRelation") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // the reference's regime: a small in-memory table answered without a
+    // Spark job. ClockSafeConvertToLocalRelation must fold these plans to a
+    // bare LocalRelation (collect on which never submits a job).
+    val folded = g.sqlDF(
+      "SELECT upper(name) AS n, age + 1 AS a FROM people WHERE age >= 3 LIMIT 2")
+    assert(folded.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"expected LocalRelation, got:\n${folded.queryExecution.optimizedPlan}")
+    assert(g.sql("SELECT upper(name) AS n FROM people WHERE age >= 3").rows.size == 3)
+    // clock expressions must NOT fold — they'd freeze into the cached plan
+    val clocked = g.sqlDF("SELECT name, current_timestamp() AS ts FROM people")
+    assert(!clocked.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "clock expression was folded into a LocalRelation — frozen clock bug")
+    // non-deterministic expressions keep per-execution semantics too
+    val random = g.sqlDF("SELECT name, rand() AS r FROM people")
+    assert(!random.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "rand() was folded — cached plan would replay identical values")
+  }
+
   test("exec-time clock: cached plan's current_timestamp advances (reference testTime)") {
     val q = "SELECT current_timestamp() AS ts, name FROM people"
     val t1 = g.sql(q).rows.map(_.getTimestamp(0)).distinct
