@@ -78,23 +78,49 @@ object DedupOps {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // persisted: both sides of the self-join read it, and without this the
     // whole shingle->freq->window subtree is computed twice. Entries carry
-    // the doc's shingle count n for the size filter below.
+    // the doc's shingle count n and the entry's rarity rank rk for the
+    // size and positional filters below.
     val prefix = persistKeyed(s, s"prefix:$dir:$threshold",
       ranked.filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-        .select(col("doc_id"), col("sh"), col("n")))
-    // SSJoin size filter on top of the prefix filter: J >= t forces
-    // min(na,nb) >= t*max(na,nb), so size-incompatible candidates are
-    // dropped BEFORE the expensive hs-array verify joins. The epsilon only
-    // ever over-includes (float t*max could round a hair above an integer
-    // min), so exactness is preserved. Measured at 100x sf0.1 (500k docs,
-    // t=0.4): 52.3M -> 44.5M candidates, verify 117s -> 88s, pairs
-    // identical.
+        .select(col("doc_id"), col("sh"), col("n"), col("rk")))
+    // Two classic SSJoin/PPJoin refinements on top of the prefix filter,
+    // both conservative (epsilon slack can only over-include), so
+    // exactness is preserved:
+    //
+    // 1. SIZE filter (in the join condition): J >= t forces
+    //    min(na,nb) >= t*max(na,nb).
+    //
+    // 2. POSITIONAL filter (on the grouped matches): every doc's shingle
+    //    list is ranked by the SAME global (df, sh) total order, so any
+    //    common shingle smaller than a shared prefix entry s must sit
+    //    before s in BOTH prefixes — i.e. every common element below the
+    //    deepest shared prefix entry is itself a shared prefix entry.
+    //    Hence |A∩B| <= (c-1) + min(na-max_i+1, nb-max_j+1), where c is
+    //    the shared-prefix-entry count and (max_i, max_j) the deepest
+    //    shared entry's ranks (consistent order => both maxima come from
+    //    the same shingle). J >= t needs |A∩B| >= t(na+nb)/(1+t); pairs
+    //    whose bound can't reach that never enter the verify join. The
+    //    grouped aggregation replaces the plain distinct() at the same
+    //    shuffle shape.
+    //
+    // Measured at 100x sf0.1 (500k docs, t=0.4, 256 shuffle partitions):
+    // 44.5M distinct candidate pairs after the size filter -> 19.7M after
+    // the positional filter (56% pruned); verify stage 88s -> 58s; output
+    // pairs identical (25,600). Lossless-vs-brute-force asserted by
+    // PipelineOpsSpec "prefix+size+positional".
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast(DoubleType) >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"),
+        max(col("a.rk")).as("mi"), max(col("b.rk")).as("mj"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter((col("c") - 1 +
+          least(col("na") - col("mi") + 1, col("nb") - col("mj") + 1))
+            .cast(DoubleType) >=
+        lit(threshold) / (1.0 + threshold) * (col("na") + col("nb")) - lit(1e-6))
+      .select(col("ida"), col("idb"))
     verifyJaccard(cand, docs, threshold)
   }
 

@@ -192,6 +192,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d52 prefix+size+positional filtering equals brute-force all-pairs Jaccard") {
+    // the SSJoin filters (prefix, size, positional) must be lossless: every
+    // pair with J >= t survives all three. Brute force: all doc pairs,
+    // exact Jaccard on distinct word-3-gram shingle sets.
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), expr(
+        "sort_array(transform(array_distinct(" +
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))) ELSE array() END), " +
+          "x -> xxhash64(x)))").as("hs"))
+      .filter(size(col("hs")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        (expr("graft_intersect_size(a.hs, b.hs)").cast("double") /
+          (size(col("a.hs")) + size(col("b.hs")) -
+            expr("graft_intersect_size(a.hs, b.hs)"))).as("jac"))
+      .filter(col("jac") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("d52_jaccard_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"filters lost ${brute.diff(got).size} true pairs, added ${got.diff(brute).size}")
+  }
+
   test("s58 tiled exact join equals brute-force all-pairs cosine") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
