@@ -235,6 +235,34 @@ object DedupOps {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Shard packing — the last step of dataset assembly: stream each
+    // language's docs (in stable doc_id order) into contiguous training
+    // shards of ~2000 tokens. A doc's shard is floor(exclusive-prefix-sum /
+    // budget): the standard streaming packer that admits the overflowing doc
+    // into the current shard and starts the next one after it (no doc is
+    // split, every shard except the last overshoots by < one doc). Pure
+    // integer window arithmetic => bit-exact oracle. Scale shape: one
+    // window partitioned by lang — skew-prone if one language dominates; at
+    // 100 TB the same prefix-sum runs per (lang, range-bucket) with bucket
+    // offsets composed by a scan over per-bucket totals (two passes, no
+    // single-partition window). The audit output (per-shard doc/token
+    // counts) is a partial/final hash aggregate.
+    "d59_shard_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard", expr(s"cum_before div $budget"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -336,6 +364,24 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+
+    // All-integer window/aggregate arithmetic; DuckDB sum() widths are cast
+    // back to Spark's BIGINT.
+    "d59_shard_pack" ->
+      s"""WITH t AS (
+         | SELECT doc_id, lang,
+         |  CAST(${QueryUtil.oracleTokenCount} AS BIGINT) AS n_tok
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, lang, n_tok,
+         |  coalesce(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    AS cum_before
+         | FROM t)
+         |SELECT lang, cum_before // 2000 AS shard, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
     "d58_pipeline_e2e" ->
       s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
          |quality AS (

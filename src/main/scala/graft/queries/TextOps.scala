@@ -111,6 +111,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Distinctive-term extraction — the exact-arithmetic core of TF-IDF
+    // keyword tagging: per (doc, term) frequency joined with corpus document
+    // frequency, top 3 terms per doc ranked by (tf DESC, df ASC, term ASC).
+    // Deliberately rational (no ln/idf float) so it oracle-checks bit-exactly;
+    // the ranking is order-isomorphic to tf-idf for fixed tf. Scale shape:
+    // two partial/final hash aggregates, a shuffle join on `term` that reuses
+    // df's partitioning, and a rank window whose `rnk <= 3` filter Spark
+    // rewrites to WindowGroupLimit — map-side top-k per doc, no full sort of
+    // the tf table.
+    "t53_distinctive_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Rolling-hash (Rabin-Karp) fingerprint per document + agreement count
     // across the corpus (identical fingerprints = near-identical content).
     "t49_fingerprint" -> ((s, dir) => {
@@ -171,6 +195,22 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t49_fingerprint" -> fingerprintOracle,
+
+    // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
+    // row_number() needs the INTEGER narrowing to match Spark's.
+    "t53_distinctive_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        | SELECT doc_id, term, tf, df,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, term ASC) AS INTEGER) AS rnk
+        | FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rnk FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "t52_repetition" ->
       """SELECT doc_id,

@@ -218,6 +218,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"filters lost ${brute.diff(got).size} true pairs, added ${got.diff(brute).size}")
   }
 
+  test("d59 shard packing: consecutive shards, disjoint contiguous id ranges, conserved totals") {
+    val shards = SparkEntry.queries("d59_shard_pack")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("lang"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("lang").agg(count(lit(1)).as("docs"), sum("n").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    shards.groupBy(_._1).foreach { case (lang, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // shard ids are 0..max with no gaps
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, s"$lang shard gaps")
+      // doc ranges are disjoint and ordered: packing never splits or reorders
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$lang ranges overlap")
+        case _ =>
+      }
+      // every doc and token lands in exactly one shard
+      assert(sorted.map(_._3).sum == base(lang)._1, s"$lang doc count")
+      assert(sorted.map(_._4).sum == base(lang)._2, s"$lang token total")
+      // streaming-packer bound: a shard CLOSES only once its cumulative
+      // tokens reach the budget, so every non-final shard holds >= one
+      // budget-crossing; equivalently each non-final shard's tokens plus
+      // the overshoot carried in from its predecessor is >= 2000. The
+      // simple per-shard check: cumulative tokens at each non-final shard
+      // boundary >= (shard_id + 1) * budget.
+      var cum = 0L
+      sorted.dropRight(1).foreach { sh =>
+        cum += sh._4
+        assert(cum >= (sh._2 + 1) * 2000, s"$lang shard ${sh._2} closed early")
+      }
+    }
+  }
+
+  test("t53 distinctive terms: top-3 by (tf desc, df asc, term) vs brute force") {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = toks.groupBy(identity).map { case ((d, t), xs) => (d, t, xs.length.toLong) }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val brute = tf.groupBy(_._1).flatMap { case (d, terms) =>
+      terms.toSeq.sortBy { case (_, t, f) => (-f, df(t), t) }.take(3)
+        .zipWithIndex.map { case ((_, t, f), i) => (d, t, f, df(t), i + 1) }
+    }.toSet
+    val got = SparkEntry.queries("t53_distinctive_terms")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == brute,
+      s"missing ${brute.diff(got).size}, extra ${got.diff(brute).size}")
+  }
+
   test("s58 tiled exact join equals brute-force all-pairs cosine") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
