@@ -126,18 +126,23 @@ object Bench {
     val coldTotal = ok.map(cold.getOrElse(_, 0.0)).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The stdout/stderr line carries ONLY the contract keys plus scalar
-    // extras: r1 and r2 both lost their bench score to `parsed: null`
-    // because the line also carried a second 93-entry map (queries_cold,
-    // ~6 KB total) and the driver's tail capture started mid-JSON. Bulk
-    // maps now live exclusively in the well-known file. `n_ok` is emitted
-    // next to `value` so cross-round total comparisons can't silently span
-    // different query sets when `failed` is non-empty.
+    // extras. r1–r3 all lost their bench score to `parsed: null`: the
+    // driver's tail capture is ~2 KB and the line overflowed it — r1/r2 via
+    // the extra queries_cold map (~6 KB line), r3 via the 95 descriptive
+    // query names in the REQUIRED `queries` map alone (~2.4 KB line). The
+    // contract maps now key on short ids (SparkEntry.shortId: `q01`, `d50`,
+    // …) which brings the whole line to ~1.4 KB; the short->descriptive
+    // `names` map and the cold map live only in the well-known file. `n_ok`
+    // is emitted next to `value` so cross-round total comparisons can't
+    // silently span different query sets when `failed` is non-empty.
     val scalarTail =
       s""""sf":"$sfDir","n_ok":${ok.size},"cold_value":${num(coldTotal, 3)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs"""
     val line =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${js(warm)},$scalarTail}"""
+    val namesJs = SparkEntry.longNames.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${js(warm)},"queries_cold":${js(cold)},$scalarTail}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${js(warm)},"queries_cold":${js(cold)},"names":$namesJs,$scalarTail}"""
 
     // Stop Spark BEFORE emitting so no executor/log line can trail the JSON.
     try spark.stop() catch { case _: Throwable => () }
@@ -147,6 +152,7 @@ object Bench {
     val outDir = sys.env.get("SPARK_GRAFT_OUT").filter(_.nonEmpty).getOrElse(".")
     try {
       val p = java.nio.file.Paths.get(outDir, "BENCH.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     System.err.println(line)

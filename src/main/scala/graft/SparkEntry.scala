@@ -26,12 +26,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  // The driver's tail capture of the bench stdout line is ~2 KB; with 95
+  // descriptive query names the required per-query map alone overflows it
+  // (r1–r3 all scored `parsed: null`). The contract maps therefore key on the
+  // unique short id prefix (`q01`, `d50`, …); the descriptive names stay on
+  // the per-module maps and are exposed via `longNames` for the human-facing
+  // bench file.
+  private def shortId(name: String): String = name.takeWhile(_ != '_')
+
+  /** short id -> descriptive module-level name (for humans / bench file). */
+  lazy val longNames: Map[String, String] = {
+    val pairs = modules.flatMap(_._1.keys).map(n => shortId(n) -> n)
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"short query ids collide: ${pairs.groupBy(_._1).filter(_._2.size > 1)}")
+    pairs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val _ = longNames // forces the short-id collision assert before any lookup
+    modules.map(_._1).reduce(_ ++ _).map { case (k, v) => shortId(k) -> v }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+    modules.map(_._2).reduce(_ ++ _).map { case (k, v) => shortId(k) -> v }
 }

@@ -113,9 +113,16 @@ object DedupOps {
           least(col("a.n"), col("b.n")).cast(DoubleType) >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      // n is constant per doc, so max() == the value while staying
+      // order-independent by construction (first() would also work today but
+      // only via that constancy). NOTE: rk and n are computed over the FULL
+      // shingle list BEFORE the prefix filter, under one strict global
+      // (df, sh) order — the (c-1)+min(n-rk+1) positional bound is only
+      // valid under exactly those two conditions; don't move their
+      // computation past the filter in a refactor.
       .agg(count(lit(1)).as("c"),
         max(col("a.rk")).as("mi"), max(col("b.rk")).as("mj"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .filter((col("c") - 1 +
           least(col("na") - col("mi") + 1, col("nb") - col("mj") + 1))
             .cast(DoubleType) >=
@@ -143,6 +150,70 @@ object DedupOps {
        | JOIN sizes sa ON sa.doc_id = ida
        | JOIN sizes sb ON sb.doc_id = idb
        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold""".stripMargin
+
+  /** Shard packing (d59): stream each language's docs (in stable doc_id
+    * order) into contiguous training shards of ~2000 tokens. A doc's shard
+    * is floor(exclusive-prefix-sum / budget): the standard streaming packer
+    * that admits the overflowing doc into the current shard and starts the
+    * next one after it (no doc is split, every shard except the last
+    * overshoots by < one doc). Pure integer arithmetic => bit-exact oracle.
+    *
+    * twoPass = false is the textbook single-window form: one prefix-sum
+    * window PARTITIONed BY lang. With ~5 languages that serializes the whole
+    * corpus onto ~5 tasks no matter how many executors exist, and a dominant
+    * language concentrates most of 100 TB on ONE — correct, but a genuine
+    * scale-killer. Kept only as the equivalence-spec baseline.
+    *
+    * twoPass = true is the production form — a distributed prefix sum:
+    *  1. bucket docs by (lang, doc_id div W): monotone in doc_id, so
+    *     bucket-major order IS doc_id order; bucket count grows with the
+    *     corpus, so parallelism ∝ data, not ∝ #languages;
+    *  2. local exclusive prefix sums per (lang, bucket) — each bucket is an
+    *     independent task;
+    *  3. per-bucket token totals (one row per bucket — a tiny aggregate),
+    *     exclusive-prefix-summed per lang: the only remaining per-lang
+    *     window runs over #buckets rows, not #docs;
+    *  4. broadcast the offsets back: cum_before = bucket_offset + local_cum.
+    * The audit output (per-shard doc/token counts) is a partial/final hash
+    * aggregate either way.
+    */
+  private[graft] def shardPack(s: SparkSession, dir: String, twoPass: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val withCum =
+      if (!twoPass) {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      } else {
+        // W sized so a bucket's rows fit one task comfortably; small here so
+        // sf0.01 already exercises multi-bucket composition (prod: ~1e6).
+        val W = 128L
+        val bucketed = toks.withColumn("bkt", expr(s"doc_id div $W"))
+        val wLocal = Window.partitionBy(col("lang"), col("bkt"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+        val local = bucketed
+          .withColumn("local_cum", coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+        val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy(col("lang"), col("bkt"))
+          .agg(sum(col("n_tok")).as("bkt_tok"))
+          .withColumn("offset", coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)))
+          .select(col("lang").as("o_lang"), col("bkt").as("o_bkt"), col("offset"))
+        local.join(broadcast(offsets),
+            col("lang") === col("o_lang") && col("bkt") === col("o_bkt"))
+          .withColumn("cum_before", col("local_cum") + col("offset"))
+      }
+    withCum
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one-row corpus summary (total vs content-distinct rows).
@@ -237,31 +308,9 @@ object DedupOps {
 
     // Shard packing — the last step of dataset assembly: stream each
     // language's docs (in stable doc_id order) into contiguous training
-    // shards of ~2000 tokens. A doc's shard is floor(exclusive-prefix-sum /
-    // budget): the standard streaming packer that admits the overflowing doc
-    // into the current shard and starts the next one after it (no doc is
-    // split, every shard except the last overshoots by < one doc). Pure
-    // integer window arithmetic => bit-exact oracle. Scale shape: one
-    // window partitioned by lang — skew-prone if one language dominates; at
-    // 100 TB the same prefix-sum runs per (lang, range-bucket) with bucket
-    // offsets composed by a scan over per-bucket totals (two passes, no
-    // single-partition window). The audit output (per-shard doc/token
-    // counts) is a partial/final hash aggregate.
-    "d59_shard_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2000L
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
-        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("shard", expr(s"cum_before div $budget"))
-        .groupBy(col("lang"), col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("lang"), col("shard"))
-    }),
+    // shards of ~2000 tokens. Production path is the two-pass distributed
+    // prefix sum (no per-lang serialization); see shardPack below.
+    "d59_shard_pack" -> ((s, dir) => shardPack(s, dir, twoPass = true)),
 
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>

@@ -27,7 +27,7 @@ object RecallProbe {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val exact = pairs(graft.SparkEntry.queries("s56_ann_topk")(spark, dir))
+    val exact = pairs(graft.SparkEntry.queries("s56")(spark, dir))
     println(s"[probe] dir=$dir exact-top5 pairs=${exact.size}")
 
     def recall(approx: Set[(Long, Long)]): Double =

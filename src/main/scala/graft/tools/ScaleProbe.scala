@@ -101,19 +101,22 @@ object ScaleProbe {
     }
 
     // min-of-2 warm passes after a cold pass, noop-sink materialization
-    // (same methodology as Bench)
+    // (same methodology as Bench). Each warm pass snapshots its OWN shuffle/
+    // spill counters (listener bus drained via waitUntilEmpty, not a fixed
+    // sleep), and the reported metrics are those of the min-time run — so
+    // the row is internally consistent rather than a cross-run average.
     def timeQuery(name: String, dir: String): (Double, Double, Double) = {
-      def once(): Double = {
+      def once(): (Double, Double, Double) = {
+        shufWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 30000)
+        (t, shufWrite.get / 1e6, spilled.get / 1e6)
       }
       once() // cold
-      shufWrite.set(0); spilled.set(0)
-      val t = (1 to 2).map(_ => once()).min
-      Thread.sleep(500) // let the async listener bus drain task metrics
-      (t, shufWrite.get / 1e6 / 2, spilled.get / 1e6 / 2)
+      (1 to 2).map(_ => once()).minBy(_._1)
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[String]()
@@ -130,26 +133,26 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52_jaccard_pairs", "d53_minhash_lsh") &&
+      if (k > 1 && wanted("d52", "d53") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
-      if (k > 1 && wanted("u65_sketch_topk") &&
+      if (k > 1 && wanted("u65") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
       val p = if (k == 1) baseDir else plainDir
-      run("d52_jaccard_pairs", k, d)
-      run("d53_minhash_lsh", k, d)
-      run("u65_sketch_topk", k, p)
+      run("d52", k, d)
+      run("d53", k, d)
+      run("u65", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
-      if (k > 1 && wanted("s58_embed_dup", "s61_knn_graph") &&
+      if (k > 1 && wanted("s58", "s61") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
-      run("s58_embed_dup", k, d)
-      run("s61_knn_graph", k, d)
+      run("s58", k, d)
+      run("s61", k, d)
     }
 
     println("[scale] === results ===")

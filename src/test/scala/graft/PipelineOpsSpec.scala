@@ -28,7 +28,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       (ida, sa) <- sigs; (idb, sb) <- sigs
       if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
     } yield (ida, idb)).toSet
-    val got = SparkEntry.queries("d54_simhash")(spark, dir)
+    val got = SparkEntry.queries("d54")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
   }
@@ -39,9 +39,9 @@ class PipelineOpsSpec extends AnyFunSuite {
   // operating points measure 0.90 (LSH 16x4) and 0.84 (IVF 16/8), both
   // deterministic, so >= 0.8 is a real regression gate.
   test("s57_ann_lsh achieves recall@5 >= 0.8 vs exact s56 top-5") {
-    val exact = SparkEntry.queries("s56_ann_topk")(spark, dir)
+    val exact = SparkEntry.queries("s56")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SparkEntry.queries("s57_ann_lsh")(spark, dir)
+    val approx = SparkEntry.queries("s57")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall@5 $recall below the tuned bar")
@@ -50,23 +50,23 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("s60_ann_ivf achieves recall@5 >= 0.8 vs exact s56 top-5") {
-    val exact = SparkEntry.queries("s56_ann_topk")(spark, dir)
+    val exact = SparkEntry.queries("s56")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SparkEntry.queries("s60_ann_ivf")(spark, dir)
+    val approx = SparkEntry.queries("s60")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall@5 $recall below the tuned bar")
     assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
     // determinism: quantizer seeds and iterations are fixed
-    val again = SparkEntry.queries("s60_ann_ivf")(spark, dir)
+    val again = SparkEntry.queries("s60")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx == again)
   }
 
   test("t48_lang_id emits only known codes, deterministically") {
-    val a = SparkEntry.queries("t48_lang_id")(spark, dir)
+    val a = SparkEntry.queries("t48")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val b = SparkEntry.queries("t48_lang_id")(spark, dir)
+    val b = SparkEntry.queries("t48")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(a.sameElements(b))
     val codes = a.map(_._2).toSet
@@ -78,7 +78,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val approx = SparkEntry.queries("q13_hll")(spark, dir)
+    val approx = SparkEntry.queries("q13")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     approx.foreach { case (flag, a) =>
       val e = exact(flag)
@@ -87,14 +87,14 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("t49_fingerprint is deterministic and groups known near-dup docs") {
-    val a = SparkEntry.queries("t49_fingerprint")(spark, dir)
+    val a = SparkEntry.queries("t49")(spark, dir)
       .collect().map(_.toString)
-    val b = SparkEntry.queries("t49_fingerprint")(spark, dir)
+    val b = SparkEntry.queries("t49")(spark, dir)
       .collect().map(_.toString)
     assert(a.sameElements(b))
     // docs sharing a fingerprint exist (the corpus has planted near-dups,
     // and min-rolling-hash collides on heavily shared content)
-    val grouped = SparkEntry.queries("t49_fingerprint")(spark, dir)
+    val grouped = SparkEntry.queries("t49")(spark, dir)
       .filter(col("n_docs") > 1).count()
     assert(grouped > 0, "expected at least one multi-doc fingerprint group")
     // preconditions of the DuckDB fingerprint oracle (TextOps.fingerprintOracle):
@@ -119,10 +119,10 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("m61_frame_sample emits bounded deterministic frames") {
-    val rows = SparkEntry.queries("m61_frame_sample")(spark, dir).collect()
+    val rows = SparkEntry.queries("m61")(spark, dir).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4))
-    val again = SparkEntry.queries("m61_frame_sample")(spark, dir).collect()
+    val again = SparkEntry.queries("m61")(spark, dir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
@@ -180,7 +180,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
     conf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val df = SparkEntry.queries("d52_jaccard_pairs")(spark, dir)
+      val df = SparkEntry.queries("d52")(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
         s"broadcast join present under disabled thresholds:\n$plan")
@@ -212,14 +212,14 @@ class PipelineOpsSpec extends AnyFunSuite {
             expr("graft_intersect_size(a.hs, b.hs)"))).as("jac"))
       .filter(col("jac") >= 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = SparkEntry.queries("d52_jaccard_pairs")(spark, dir)
+    val got = SparkEntry.queries("d52")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute,
       s"filters lost ${brute.diff(got).size} true pairs, added ${got.diff(brute).size}")
   }
 
   test("d59 shard packing: consecutive shards, disjoint contiguous id ranges, conserved totals") {
-    val shards = SparkEntry.queries("d59_shard_pack")(spark, dir).collect()
+    val shards = SparkEntry.queries("d59")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     val base = Tables.load(spark, dir, "documents")
@@ -252,6 +252,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d59 two-pass distributed prefix sum == single-window shard packing") {
+    // The production (bucketed two-pass) packer must be bit-identical to the
+    // textbook single-window form it replaces; W=128 means this corpus spans
+    // multiple buckets per lang, so offset composition is actually exercised.
+    val twoPass = queries.DedupOps.shardPack(spark, dir, twoPass = true).collect().toSeq
+    val single = queries.DedupOps.shardPack(spark, dir, twoPass = false).collect().toSeq
+    assert(twoPass == single)
+  }
+
   test("t53 distinctive terms: top-3 by (tf desc, df asc, term) vs brute force") {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
@@ -262,7 +271,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       terms.toSeq.sortBy { case (_, t, f) => (-f, df(t), t) }.take(3)
         .zipWithIndex.map { case ((_, t, f), i) => (d, t, f, df(t), i + 1) }
     }.toSet
-    val got = SparkEntry.queries("t53_distinctive_terms")(spark, dir)
+    val got = SparkEntry.queries("t53")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getInt(4))).toSet
     assert(got == brute,
@@ -279,7 +288,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("ida"), col("idb"), expr("graft_cosine(va, vb)").as("sim"))
       .filter(col("sim") >= 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val tiled = SparkEntry.queries("s58_embed_dup")(spark, dir)
+    val tiled = SparkEntry.queries("s58")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(tiled == brute,
       s"missing ${brute.diff(tiled)}, extra ${tiled.diff(brute)}")

@@ -28,7 +28,7 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("win_counts")
         .select(col("ws").cast("string"), col("event_type"), col("n"))
         .collect().map(_.toString).sorted
-      val batch = SparkEntry.queries("q44_window_time")(spark, dir)
+      val batch = SparkEntry.queries("q44")(spark, dir)
         .select(col("ws"), col("event_type"), col("n"))
         .collect().map(_.toString).sorted
       assert(streamed.length == batch.length && streamed.sameElements(batch),
@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(col("user_id"))
         .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-      val batch = SparkEntry.queries("q45_sessionize")(spark, dir)
+      val batch = SparkEntry.queries("q45")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       assert(streamed.sameElements(batch),
         s"stream ${streamed.take(3).toSeq} vs batch ${batch.take(3).toSeq}")
