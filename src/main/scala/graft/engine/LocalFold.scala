@@ -1,7 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, IntegerLiteral, InterpretedMutableProjection, Predicate, Unevaluable}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, IntegerLiteral, InterpretedMutableProjection, JoinedRow, Predicate, SpecificInternalRow, Unevaluable, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Limit, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Clock-safe driver-side folding of local-relation plans.
@@ -52,5 +54,95 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
       val predicate = Predicate.create(condition, l.output)
       predicate.initialize(0)
       LocalRelation(l.output, l.data.filter(row => predicate.eval(row)), l.isStreaming)
+
+    case agg: Aggregate if agg.child.isInstanceOf[LocalRelation] &&
+        !agg.child.asInstanceOf[LocalRelation].isStreaming &&
+        (agg.groupingExpressions ++ agg.aggregateExpressions).forall(foldableAggExpr) =>
+      foldAggregate(agg, agg.child.asInstanceOf[LocalRelation]).getOrElse(agg)
+  }
+
+  /** Like foldableExpr but transparent to (well-behaved) aggregate calls:
+    * the AggregateExpression node and its DeclarativeAggregate function are
+    * themselves Unevaluable, yet the fold evaluates only their
+    * initial/update/evaluate expression forms — so exempt exactly those two
+    * node types and keep every other guard (determinism, no clock exprs, no
+    * other unevaluables) over the whole tree including aggregate inputs. */
+  private def foldableAggExpr(e: Expression): Boolean =
+    e.deterministic && !hasClockExpr(e) && !e.exists {
+      case ae: AggregateExpression =>
+        ae.isDistinct || ae.filter.nonEmpty ||
+          !ae.aggregateFunction.isInstanceOf[DeclarativeAggregate]
+      case _: AggregateFunction => false
+      case u: Unevaluable => !u.isInstanceOf[AttributeReference]
+      case _ => false
+    }
+
+  /** Driver-side hash aggregation over an already-driver-resident
+    * LocalRelation — the reference's `testAgg` regime: a small cached
+    * aggregate answered in ms with no Spark job. Interpreted evaluation of
+    * the DeclarativeAggregate contract (initialValues -> updateExpressions
+    * per row -> evaluateExpression per group), the same contract the
+    * distributed HashAggregateExec codegens. Input size is bounded by what
+    * already sits in driver memory, so the fold can't make memory worse.
+    * Returns None (plan unchanged, normal distributed path) for any shape
+    * the substitution can't prove out. */
+  private def foldAggregate(agg: Aggregate, l: LocalRelation): Option[LocalRelation] = {
+    val grouping = agg.groupingExpressions
+    val results = agg.aggregateExpressions
+
+    // distinct-by-semantics aggregate calls, in first-appearance order
+    val aggCalls = {
+      val seen = scala.collection.mutable.ArrayBuffer[AggregateExpression]()
+      results.foreach(_.foreach {
+        case ae: AggregateExpression =>
+          if (!seen.exists(_.semanticEquals(ae))) seen += ae
+        case _ => ()
+      })
+      seen.toSeq
+    }
+    val funcs = aggCalls.map(_.aggregateFunction.asInstanceOf[DeclarativeAggregate])
+    val bufferAttrs = funcs.flatMap(_.aggBufferAttributes)
+
+    // final output: aggregate calls -> their evaluate form over the buffer;
+    // grouping-expression occurrences -> positional key attributes
+    val keyAttrs = grouping.zipWithIndex.map { case (e, i) =>
+      AttributeReference(s"gk_$i", e.dataType, e.nullable)()
+    }
+    val finalExprs = results.map(_.transformDown {
+      case ae: AggregateExpression =>
+        funcs(aggCalls.indexWhere(_.semanticEquals(ae))).evaluateExpression
+      case e if grouping.exists(_.semanticEquals(e)) =>
+        keyAttrs(grouping.indexWhere(_.semanticEquals(e)))
+    })
+    // a valid analyzed Aggregate leaves no child attribute outside a
+    // grouping/aggregate occurrence; if substitution didn't close over the
+    // key+buffer schema, bail to the distributed path rather than mis-bind
+    if (!finalExprs.forall(_.references.subsetOf(AttributeSet(keyAttrs ++ bufferAttrs))))
+      return None
+
+    val keyProj = UnsafeProjection.create(grouping, l.output)
+    val initProj = new InterpretedMutableProjection(funcs.flatMap(_.initialValues), Nil)
+    val updateProj = new InterpretedMutableProjection(
+      funcs.flatMap(_.updateExpressions), bufferAttrs ++ l.output)
+    val finalProj = new InterpretedMutableProjection(finalExprs, keyAttrs ++ bufferAttrs)
+    Seq(initProj, updateProj, finalProj).foreach(_.initialize(0))
+
+    val groups = scala.collection.mutable.LinkedHashMap[UnsafeRow, SpecificInternalRow]()
+    def newBuffer(): SpecificInternalRow = {
+      val b = new SpecificInternalRow(bufferAttrs.map(_.dataType))
+      initProj.target(b)(InternalRow.empty)
+      b
+    }
+    // a global aggregate (no grouping) emits one row even over zero input
+    if (grouping.isEmpty) groups(keyProj(InternalRow.empty).copy()) = newBuffer()
+    val joined = new JoinedRow
+    l.data.foreach { row =>
+      val buf = groups.getOrElseUpdate(keyProj(row).copy(), newBuffer())
+      updateProj.target(buf)(joined(buf, row))
+    }
+    val out = groups.iterator.map { case (key, buf) =>
+      finalProj(joined(key, buf)).copy()
+    }.toSeq
+    Some(LocalRelation(results.map(_.toAttribute), out, l.isStreaming))
   }
 }

@@ -133,7 +133,7 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52", "d53") &&
+      if (k > 1 && wanted("d52", "d53", "d54", "t49") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65") &&
@@ -143,6 +143,12 @@ object ScaleProbe {
       val p = if (k == 1) baseDir else plainDir
       run("d52", k, d)
       run("d53", k, d)
+      // the two scalar-kernel queries (SimHash banding dedup; Rabin-Karp
+      // fingerprint dedup): suffixed replicas keep signatures/fingerprints
+      // disjoint across replicas, so banding candidates and collision groups
+      // replicate per shard — the claimed scan-bound ×K regime
+      run("d54", k, d)
+      run("t49", k, d)
       run("u65", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {

@@ -134,6 +134,40 @@ class GraftSessionSpec extends AnyFunSuite {
       "rand() was folded — cached plan would replay identical values")
   }
 
+  test("local-relation fast path: small aggregates fold driver-side (reference testAgg regime)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def foldsTo[T](sql: String): Boolean =
+      g.sqlDF(sql).queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    // grouped + global aggregates fold to a bare LocalRelation (no job) and
+    // the folded values match direct spark.sql (differential covers values)
+    val grouped = "SELECT age, count(*) AS n, sum(genda) AS s, avg(age) + 1 AS a FROM people GROUP BY age"
+    assert(foldsTo(grouped), s"grouped aggregate did not fold:\n${g.sqlDF(grouped).queryExecution.optimizedPlan}")
+    differential(grouped)
+    val global = "SELECT count(*) AS n, min(name) AS mn, max(age) AS mx FROM people"
+    assert(foldsTo(global))
+    differential(global)
+    // global aggregate over zero rows still emits its one row (count=0)
+    val empty = "SELECT count(*) AS n, sum(age) AS s FROM people WHERE 1 = 0"
+    assert(foldsTo(empty))
+    assert(g.sql(empty).rows.head.getLong(0) == 0L)
+    differential(empty)
+    // grouping expression reused inside the projection, non-trivial key
+    val exprKey = "SELECT age % 2 AS par, (age % 2) * 10 + count(*) AS v FROM people GROUP BY age % 2"
+    assert(foldsTo(exprKey))
+    differential(exprKey)
+    // guards: clock / non-determinism / distinct / imperative aggs fall back
+    // to the distributed path (and still compute correctly)
+    val distinctAgg = "SELECT count(DISTINCT age) AS n FROM people"
+    assert(!foldsTo(distinctAgg), "DISTINCT aggregate must not fold")
+    differential(distinctAgg)
+    val imperative = "SELECT age, collect_list(name) AS xs FROM people GROUP BY age"
+    assert(!foldsTo(imperative), "imperative (ObjectHashAggregate) function must not fold")
+    // (non-deterministic aggregate inputs are rejected by the analyzer
+    // itself, so the determinism guard's reachable case is the clock)
+    val clocked = "SELECT max(current_timestamp()) AS ts FROM people"
+    assert(!foldsTo(clocked), "clock expression folded into a cached aggregate")
+  }
+
   test("exec-time clock: cached plan's current_timestamp advances (reference testTime)") {
     val q = "SELECT current_timestamp() AS ts, name FROM people"
     val t1 = g.sql(q).rows.map(_.getTimestamp(0)).distinct
@@ -204,16 +238,13 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(graft.engine.GraftSession(g2.spark) eq g2)
   }
 
-  test("hive udf surface: CREATE TEMPORARY FUNCTION AS '<hive class>' (reference testHiveUdf)") {
-    val h = graft.engine.GraftSession.builder()
-      .master("local[4]").withHiveSupport().getOrCreate()
-    // catalog implementation is SharedState-static; if another suite's
-    // in-memory session won the race, this surface can't activate here
-    assume(h.spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive",
-      "needs to be the first session in the JVM")
-    h.spark.sql("CREATE TEMPORARY FUNCTION hive_conv AS 'org.apache.hadoop.hive.ql.udf.UDFConv'")
-    assert(h.sql("SELECT hive_conv('255', 10, 16) AS h").rows.head.getString(0) == "FF")
-  }
+  // The hive-UDF surface (reference testHiveUdf and beyond: simple UDF +
+  // both UDAF styles + GenericUDTF + permanent CREATE FUNCTION) is proven by
+  // HiveSurfaceSpec, which forks graft.HiveCheck into its own JVM — the hive
+  // session catalog is a SharedState-static choice, so it can only activate
+  // in a JVM whose FIRST SparkSession enables it, which a shared test JVM
+  // cannot guarantee. An in-suite variant lived here until round 4 but could
+  // only ever self-cancel; the forked spec is the real gate.
 
   test("facade pins lenient (pre-ANSI) cast semantics like the reference") {
     val r = g.sql("SELECT CAST('abc' AS INT) AS x, 'a' || 1 AS y FROM people LIMIT 1").rows.head
