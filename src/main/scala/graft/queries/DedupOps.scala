@@ -312,6 +312,33 @@ object DedupOps {
     // prefix sum (no per-lang serialization); see shardPack below.
     "d59_shard_pack" -> ((s, dir) => shardPack(s, dir, twoPass = true)),
 
+    // Benchmark decontamination — the train/eval overlap check every
+    // training-data pipeline runs before shipping a corpus: flag any train
+    // document sharing at least one word-3-gram shingle with the eval set
+    // (here the deterministic 1-in-97 doc_id residue class stands in for a
+    // held-out benchmark). One inverted-index equi-join on the shingle,
+    // partial/final distinct-count per flagged doc — no all-pairs work, no
+    // driver-side sets. Scale notes: the eval side is tiny by construction
+    // (dedup'd per shingle, ~1% of the corpus here) so AQE broadcasts it
+    // locally, while at 100 TB it stays a shuffle join keyed on shingle;
+    // production decontamination uses LONGER n-grams (13-grams are
+    // near-unique, which both kills hot-shingle skew and sharpens the
+    // signal) — the width is one constant in `wordNgrams`.
+    "d60_decontaminate" -> ((s, dir) => {
+      // joins on the persisted 64-bit shingle hashes (shared with d52/d53 —
+      // 8-byte join keys instead of ~30-byte strings, measured 3.0s -> sub-s
+      // at sf0.1; hash-equality == string-equality modulo 64-bit collisions,
+      // the same contract d52/d53's oracles already rest on)
+      val sh = hashedDocs(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh"), col("doc_id").as("eid"))
+      val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      tr.join(ev, "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -474,6 +501,17 @@ object DedupOps {
          |FROM documents d LEFT JOIN rep r ON d.doc_id = r.src
          |ORDER BY d.doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
-    "d53_minhash_lsh" -> oracleJaccard(0.8)
+    "d53_minhash_lsh" -> oracleJaccard(0.8),
+
+    "d60_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), ev AS (SELECT doc_id AS eid, shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
+        |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
+        |FROM tr t JOIN ev e ON t.shingle = e.shingle
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -291,6 +291,27 @@ object SimilarityOps {
           (col("pos") + 1).cast("int").as("rnk"))
         .orderBy(col("src"), col("rnk"))
     }),
+    // END-TO-END semantic dedup: connected components over the exact-cosine
+    // near-dup graph (s58's tiled threshold join supplies the edges),
+    // representative = min vec_id per component — the embedding-space
+    // counterpart of d56's text-space component dedup, and the step that
+    // turns "near-dup pairs" into an actionable keep/drop decision when
+    // duplicates chain (A~B~C with A!~C still collapses to ONE survivor).
+    // Same scale shape as d56: O(log diameter) label-propagation rounds over
+    // shuffle joins, constant lineage; vectors with null embeddings can't be
+    // compared and stay their own singletons (explicit, mirrored in the
+    // oracle).
+    "s62_semantic_dedup" -> ((s, dir) => {
+      val labels = QueryUtil.persistKeyed(s, s"scc:$dir", {
+        val edges = tiledPairSims(s, dir).filter(col("sim") >= 0.45)
+          .select(col("ida").as("src"), col("idb").as("dst"))
+        val nodes = emb(s, dir).select(col("vec_id").as("id"))
+        graft.operators.ConnectedComponents.labels(nodes, edges)
+      })
+      labels.select(col("id").as("vec_id"), col("comp").as("rep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label embedding centroids: posexplode to (label, dim, value) and
     // aggregate — the shape that scales (no vector UDAF state, plain
     // shuffle-on-(label,dim) partial aggregation). Elements are FLOOR-scaled
@@ -342,6 +363,28 @@ object SimilarityOps {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
-        |ORDER BY ida, idb""".stripMargin
+        |ORDER BY ida, idb""".stripMargin,
+
+    // Depth-6 recursive closure agrees because this corpus' cosine
+    // components are tiny (like d56's oracle); the operator itself is
+    // depth-unbounded.
+    "s62_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT a.vec_id AS ida, b.vec_id AS idb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (
+        | SELECT ida AS a, idb AS b FROM pairs
+        | UNION ALL SELECT idb, ida FROM pairs),
+        |reach(src, dst, depth) AS (
+        | SELECT a, b, 1 FROM edges
+        | UNION ALL
+        | SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
+        | WHERE r.depth < 6),
+        |rep AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
+        |SELECT e.vec_id, coalesce(r.root, e.vec_id) AS rep
+        |FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.src
+        |ORDER BY vec_id""".stripMargin
   )
 }

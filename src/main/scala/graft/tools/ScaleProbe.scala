@@ -133,7 +133,7 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52", "d53", "d54", "t49") &&
+      if (k > 1 && wanted("d52", "d53", "d54", "t49", "d60") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65") &&
@@ -149,6 +149,10 @@ object ScaleProbe {
       // replicate per shard — the claimed scan-bound ×K regime
       run("d54", k, d)
       run("t49", k, d)
+      // decontamination: suffixed replicas keep train/eval shingle overlap
+      // within a replica, so flagged docs and join matches replicate per
+      // shard — the linear regime the inverted-index join claims
+      run("d60", k, d)
       run("u65", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {

@@ -33,6 +33,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
   }
 
+  test("d60 decontamination matches brute-force train/eval shingle overlap") {
+    // brute force: per-doc distinct word-3-gram sets on the driver, then
+    // exact overlap of each train doc against every eval doc
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSeq.sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet))
+    val eval = docs.filter(_._1 % 97 == 0)
+    val brute = (for {
+      (tid, tsh) <- docs if tid % 97 != 0
+      hits = eval.filter { case (_, esh) => tsh.exists(esh.contains) }
+      if hits.nonEmpty
+    } yield (tid, hits.length.toLong, hits.map(_._1).min)).toSet
+    val got = SparkEntry.queries("d60")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
+  }
+
   // Recall floors are production bars set from measurement, not smoke
   // floors: graft.tools.RecallProbe sweeps (tables x bits) and (C x nprobe)
   // against exact s56 on this corpus (table in SCALE.md); the shipped
