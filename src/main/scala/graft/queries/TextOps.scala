@@ -135,6 +135,29 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Text normalization / boilerplate collapse — the cleaning pass that
+    // runs before tokenizer training and dedup: collapse consecutive
+    // repeated tokens (the dominant repetition artifact in scraped text —
+    // this corpus really contains runs like "batch batch batch") and drop
+    // 1-char noise tokens; audit output = per-doc before/after counts plus
+    // the head of the cleaned stream. Pure per-row higher-order array
+    // expressions (filter with index lambda), zero shuffle beyond the final
+    // sort — scan-bound like t46-t52, so it inherits their measured 100×
+    // behavior.
+    "t54_normalize" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("dedup",
+          expr("filter(toks, (t, i) -> i = 0 OR t <> element_at(toks, i))"))
+        .withColumn("clean", expr("filter(dedup, t -> length(t) > 1)"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_raw"),
+          size(col("dedup")).as("n_dedup"),
+          size(col("clean")).as("n_clean"),
+          array_join(slice(col("clean"), 1, 5), " ").as("head"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rolling-hash (Rabin-Karp) fingerprint per document + agreement count
     // across the corpus (identical fingerprints = near-identical content).
     "t49_fingerprint" -> ((s, dir) => {
@@ -195,6 +218,24 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t49_fingerprint" -> fingerprintOracle,
+
+    // Spark's size() is INTEGER; count columns cast to match. The list
+    // comprehension keeps s[i] != s[i-1] 1-based like Spark's 0-based
+    // (t, i) -> element_at(toks, i) guard (both compare against the
+    // previous element; first element always kept).
+    "t54_normalize" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents),
+        |d AS (
+        | SELECT doc_id, s,
+        |   [s[i] FOR i IN range(1, len(s) + 1) IF i = 1 OR s[i] != s[i-1]] AS dd
+        | FROM t),
+        |c AS (SELECT doc_id, s, dd, list_filter(dd, t -> length(t) > 1) AS cc FROM d)
+        |SELECT doc_id, CAST(len(s) AS INTEGER) AS n_raw,
+        | CAST(len(dd) AS INTEGER) AS n_dedup,
+        | CAST(len(cc) AS INTEGER) AS n_clean,
+        | array_to_string(cc[1:5], ' ') AS head
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
     // row_number() needs the INTEGER narrowing to match Spark's.
