@@ -177,8 +177,17 @@ object Bench {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    System.err.println(line)
+    // Emission ORDER matters, not just size (r4 judging): the driver tails
+    // the MERGED stdout+stderr stream with a ~2 KB window and parses from
+    // the end. sbt decorates stdout with an `[info] ` prefix but passes
+    // stderr through undecorated, and appends its own `[success]` line
+    // after the program exits. So the undecorated stderr copy must be the
+    // LAST line this program emits: stdout (decorated) first — if the
+    // window clips anything it clips this copy's head — then stderr last,
+    // leaving a clean JSON line immediately before sbt's trailer.
     println(line)
     System.out.flush()
+    System.err.println(line)
+    System.err.flush()
   }
 }

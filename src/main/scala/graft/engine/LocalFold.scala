@@ -1,10 +1,11 @@
 package graft.engine
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression, IntegerLiteral, InterpretedMutableProjection, JoinedRow, Predicate, SpecificInternalRow, Unevaluable, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, AttributeSet, Expression, If, IntegerLiteral, InterpretedMutableProjection, IsNaN, JoinedRow, Literal, Predicate, SpecificInternalRow, Unevaluable, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Limit, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, MapType, StructType}
 
 /** Clock-safe driver-side folding of local-relation plans.
   *
@@ -86,9 +87,37 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
     * already sits in driver memory, so the fold can't make memory worse.
     * Returns None (plan unchanged, normal distributed path) for any shape
     * the substitution can't prove out. */
+  /** True when the type holds a float/double anywhere below the top level
+    * (struct field, array element, map key/value) — shapes whose key bytes
+    * we don't normalize, so the fold must decline them. */
+  private def hasNestedFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => hasNestedFloat(f.dataType))
+    case a: ArrayType => hasNestedFloat(a.elementType)
+    case m: MapType => hasNestedFloat(m.keyType) || hasNestedFloat(m.valueType)
+    case _ => false
+  }
+
   private def foldAggregate(agg: Aggregate, l: LocalRelation): Option[LocalRelation] = {
     val grouping = agg.groupingExpressions
     val results = agg.aggregateExpressions
+
+    // This rule runs (injected) before the optimizer's
+    // NormalizeFloatingNumbers batch, and the fold groups on raw UnsafeRow
+    // key bytes — so -0.0 vs 0.0 and differing NaN bit patterns would land
+    // in separate groups while the distributed path unifies them. Normalize
+    // top-level float/double keys exactly as Spark's NormalizeNaNAndZero
+    // does (canonical NaN; `x + 0.0` maps -0.0 to 0.0 — the normalized
+    // value is also what the distributed path emits as the group key), and
+    // bail on floats nested inside struct/array/map keys.
+    val normGrouping = grouping.map { e =>
+      e.dataType match {
+        case DoubleType => If(IsNaN(e), Literal(Double.NaN), Add(e, Literal(0.0d)))
+        case FloatType => If(IsNaN(e), Literal(Float.NaN), Add(e, Literal(0.0f)))
+        case dt if hasNestedFloat(dt) => return None
+        case _ => e
+      }
+    }
 
     // distinct-by-semantics aggregate calls, in first-appearance order
     val aggCalls = {
@@ -120,7 +149,7 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
     if (!finalExprs.forall(_.references.subsetOf(AttributeSet(keyAttrs ++ bufferAttrs))))
       return None
 
-    val keyProj = UnsafeProjection.create(grouping, l.output)
+    val keyProj = UnsafeProjection.create(normGrouping, l.output)
     val initProj = new InterpretedMutableProjection(funcs.flatMap(_.initialValues), Nil)
     val updateProj = new InterpretedMutableProjection(
       funcs.flatMap(_.updateExpressions), bufferAttrs ++ l.output)

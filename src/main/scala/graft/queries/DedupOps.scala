@@ -370,48 +370,72 @@ object DedupOps {
 
     // SimHash near-dup: 64-bit signature over tokens, banded buckets,
     // verified hamming <= 6 (exact output — banding only generates
-    // candidates). Banding is the Manku-style BLOCK-PAIR scheme: split the
-    // signature into 8 byte-blocks; hamming <= 6 leaves >= 2 blocks clean
-    // (pigeonhole), so every qualifying pair collides in at least one of
-    // the C(8,2)=28 tables keyed by a pair of blocks (16-bit buckets).
-    // Versus the single-block 8x8 banding (256 buckets/table), each table
-    // is 256x more selective for 3.5x more tables — ~73x fewer candidate
-    // pairs at fixed corpus. That selectivity is what scales: single-block
-    // banding saturates its 256-bucket space and candidates grow O(n^2/256)
-    // — MEASURED as a 97.5s blowup at the 100x corpus (500k docs) where the
-    // pair scheme stays bucket-bound. Signature is engine-specific => the
-    // ScalaTest spec brute-force-verifies banding completeness on sf0.001;
-    // the DuckDB oracle mirrors signature + final hamming filter only.
-    "d54_simhash" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val sh = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("graft_simhash(split(trim(text), '\\\\s+'))").as("sh"))
-      // block value must be a pure bit extract (shiftrightunsigned + mask):
-      // div/% on the signed long borrows from lower bits and misses pairs.
-      val pairBuckets = (for { i <- 0 until 8; j <- i + 1 until 8 } yield
-        s"(shiftrightunsigned(sh, ${i * 8}) & 255L) | " +
-          s"shiftleft(shiftrightunsigned(sh, ${j * 8}) & 255L, 8)")
-        .mkString("array(", ", ", ")")
-      val buckets = persistKeyed(s, s"sh-buckets:$dir",
-        sh.select(col("doc_id"), col("sh"),
-          posexplode(expr(pairBuckets)).as(Seq("band", "bucket")))) // both self-join sides
-      buckets.as("a").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          expr("bit_count(a.sh ^ b.sh)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy(col("ida"), col("idb"))
-    })
+    // candidates; see simhashPairs for the combination-banding scheme and
+    // why it scales). Signature is engine-specific => the ScalaTest spec
+    // brute-force-verifies banding completeness on sf0.001 (both block-pair
+    // and block-triple schemes); the DuckDB oracle mirrors signature + final
+    // hamming filter only.
+    "d54_simhash" -> ((s, dir) =>
+      simhashPairs(s, dir, choose = 2, maxHamming = 6)
+        .orderBy(col("ida"), col("idb")))
   )
 
+  /** SimHash candidate generation + exact hamming filter via Manku-style
+    * combination banding: split the 64-bit signature into 8 byte-blocks and
+    * key one table on every combination of `choose` blocks (C(8,choose)
+    * tables, 8*choose-bit buckets). A pair at hamming h dirties at most h
+    * blocks, leaving >= 8-h clean, so any pair with h <= 8-choose collides
+    * in at least one table (pigeonhole) — banding is COMPLETE for
+    * maxHamming <= 8-choose, and the bound is TIGHT (9-choose errors can
+    * leave only choose-1 clean blocks, no clean key), which the require
+    * enforces: the filter threshold and the scheme must move together.
+    * `choose` trades table count for selectivity: choose=2 -> 28 tables x
+    * 16-bit buckets (complete to hamming 6); choose=3 -> 56 tables x 24-bit
+    * buckets (complete to hamming 5), 256x more selective per table — the
+    * next step up when 16-bit bucket occupancy grows with the corpus
+    * (single-block 8x8 banding saturating its 256-bucket space was a
+    * MEASURED 97.5s O(n^2/256) blowup at the 100x corpus; SCALE.md).
+    * The hamming filter runs BEFORE `.distinct()`: hamming is
+    * pair-determined and the xor+popcount is nearly free, so filtering
+    * first is output-identical while keeping every non-matching candidate
+    * out of the dedup shuffle (surviving pairs still carry up to
+    * C(8,choose)-table multiplicity — that duplication is the distinct's
+    * real job). */
+  private[graft] def simhashPairs(s: SparkSession, dir: String,
+      choose: Int, maxHamming: Int): DataFrame = {
+    require(choose >= 1 && choose < 8 && maxHamming <= 8 - choose,
+      s"$choose-block keys are only complete for hamming <= ${8 - choose}, got $maxHamming")
+    GraftFunctions.register(s)
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("graft_simhash(split(trim(text), '\\\\s+'))").as("sh"))
+    // block value must be a pure bit extract (shiftrightunsigned + mask):
+    // div/% on the signed long borrows from lower bits and misses pairs.
+    val comboBuckets = (0 until 8).combinations(choose).map { blocks =>
+      blocks.zipWithIndex.map { case (b, pos) =>
+        val ext = s"shiftrightunsigned(sh, ${b * 8}) & 255L"
+        if (pos == 0) s"($ext)" else s"shiftleft($ext, ${pos * 8})"
+      }.mkString(" | ")
+    }.mkString("array(", ", ", ")")
+    val buckets = persistKeyed(s, s"sh-buckets:$choose:$dir",
+      sh.select(col("doc_id"), col("sh"),
+        posexplode(expr(comboBuckets)).as(Seq("band", "bucket")))) // both self-join sides
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** DuckDB mirror of Kernels.simHash64 + the d54 pair query. Valid because
-    * the 8x8 banding is pigeonhole-COMPLETE for hamming <= 7 and the output
-    * filter is <= 6 (spec-proven vs brute force), so the result set is
-    * exactly "all pairs with hamming(sig_a, sig_b) <= 6" — no approximation
-    * left to mirror. FNV-1a runs as a list_reduce with HUGEINT mod-2^64
+    * the block-pair banding is pigeonhole-COMPLETE for hamming <= 6 — exactly
+    * the output filter's threshold (spec-proven vs brute force; the bound is
+    * TIGHT, so the filter and the banding scheme must move together, which
+    * simhashPairs' require enforces) — so the result set is exactly "all
+    * pairs with hamming(sig_a, sig_b) <= 6" — no approximation left to
+    * mirror. FNV-1a runs as a list_reduce with HUGEINT mod-2^64
     * arithmetic (xor touches only the low 8 bits, so it stays in range; see
     * TextOps.fingerprintOracle for the technique); per-bit votes and the
     * final signature are plain aggregations; NOTE DuckDB's `^` is POWER

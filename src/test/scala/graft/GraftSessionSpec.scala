@@ -168,6 +168,40 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(!foldsTo(clocked), "clock expression folded into a cached aggregate")
   }
 
+  test("aggregate fold normalizes floating-point grouping keys (-0.0/NaN parity with distributed)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // The fold groups on raw UnsafeRow key bytes and runs before the
+    // optimizer's NormalizeFloatingNumbers batch: without its own
+    // normalization, -0.0 vs 0.0 and differing NaN bit patterns split into
+    // separate groups while the distributed path unifies them.
+    val nanPayload = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    g.registerTable("fpk", DataTable(
+      StructType(Seq(StructField("k", DoubleType), StructField("v", IntegerType))),
+      Seq(Row(0.0d, 1), Row(-0.0d, 2), Row(Double.NaN, 3), Row(nanPayload, 4))))
+    val q = "SELECT k, count(*) AS n, sum(v) AS s FROM fpk GROUP BY k"
+    assert(g.sqlDF(q).queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "double-keyed aggregate should still fold (with normalized keys)")
+    assert(g.sql(q).rows.size == 2, "expected exactly {0.0, NaN} after normalization")
+    differential(q)
+    // float keys take the same normalization path
+    g.registerTable("fpkf", DataTable(
+      StructType(Seq(StructField("k", FloatType))),
+      Seq(Row(0.0f), Row(-0.0f), Row(Float.NaN),
+        Row(java.lang.Float.intBitsToFloat(0x7fc00001)))))
+    val qf = "SELECT k, count(*) AS n FROM fpkf GROUP BY k"
+    assert(g.sql(qf).rows.size == 2)
+    differential(qf)
+    // floats nested inside a struct key are not normalized — must not fold
+    g.registerTable("fpks", DataTable(
+      StructType(Seq(StructField("s",
+        StructType(Seq(StructField("d", DoubleType)))))),
+      Seq(Row(Row(0.0d)), Row(Row(-0.0d)))))
+    val qs = "SELECT s, count(*) AS n FROM fpks GROUP BY s"
+    assert(!g.sqlDF(qs).queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "struct-of-double key must fall back to the distributed path")
+    differential(qs)
+  }
+
   test("exec-time clock: cached plan's current_timestamp advances (reference testTime)") {
     val q = "SELECT current_timestamp() AS ts, name FROM people"
     val t1 = g.sql(q).rows.map(_.getTimestamp(0)).distinct

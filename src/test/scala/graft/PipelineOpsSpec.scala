@@ -19,18 +19,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("d54_simhash banding is complete: matches brute-force hamming<=6 pairs") {
-    graft.functions.GraftFunctions.register(spark)
-    val sigs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), expr("graft_simhash(split(trim(text), '\\\\s+'))").as("sh"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val brute = (for {
-      (ida, sa) <- sigs; (idb, sb) <- sigs
-      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
-    } yield (ida, idb)).toSet
-    val got = SparkEntry.queries("d54")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
+  // Completeness is parameterized over both banding schemes: the bound
+  // hamming <= 8 - choose is tight, so each scheme is proven at its own
+  // ceiling. choose=2 is d54's production scheme; choose=3 is the 100 TB
+  // step-up (56 tables x 24-bit buckets) named in SCALE.md.
+  for ((choose, maxHamming) <- Seq((2, 6), (3, 5)))
+    test(s"simhash $choose-block banding is complete: matches brute-force hamming<=$maxHamming pairs") {
+      graft.functions.GraftFunctions.register(spark)
+      val sigs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), expr("graft_simhash(split(trim(text), '\\\\s+'))").as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ida, sa) <- sigs; (idb, sb) <- sigs
+        if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (ida, idb)).toSet
+      val got = queries.DedupOps.simhashPairs(spark, dir, choose, maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
+    }
+
+  test("simhash banding rejects a hamming threshold beyond the scheme's completeness bound") {
+    intercept[IllegalArgumentException] {
+      queries.DedupOps.simhashPairs(spark, dir, choose = 2, maxHamming = 7)
+    }
   }
 
   test("d60 decontamination matches brute-force train/eval shingle overlap") {
