@@ -17,13 +17,14 @@ import graft.functions.GraftFunctions
   */
 object DedupOps {
 
-  /** doc_id + distinct word-3-gram shingles (as strings), empty when < 3
-    * tokens — mirrored exactly by the DuckDB oracle's list comprehension. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct word-n-gram shingles (as strings), empty when < n
+    * tokens — mirrored exactly by the DuckDB oracle's list comprehension.
+    * n=3 is the dedup default; decontamination also runs wider widths. */
+  private def shingled(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
-        array_distinct(QueryUtil.wordNgrams(col("toks"), 3)).as("shingles"))
+        array_distinct(QueryUtil.wordNgrams(col("toks"), n)).as("shingles"))
 
   /** Exact-Jaccard pairs via a prefix-filtered inverted-index join (the
     * SSJoin/PPJoin prefix principle): order every doc's shingles by global
@@ -41,9 +42,10 @@ object DedupOps {
     QueryUtil.persistKeyed(s, key, mk) // shared session-weak memo (QueryUtil)
 
   /** doc_id + sorted distinct shingle hashes, persisted (read multiple times
-    * by index building and candidate verification). */
-  private def hashedDocs(s: SparkSession, dir: String): DataFrame =
-    persistKeyed(s, s"docs:$dir", shingled(s, dir)
+    * by index building and candidate verification). All width-3 callers
+    * (d52/d53/d60) share one persisted table. */
+  private def hashedDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    persistKeyed(s, s"docs:$n:$dir", shingled(s, dir, n)
       .select(col("doc_id"),
         sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs")))
 
@@ -313,31 +315,11 @@ object DedupOps {
     "d59_shard_pack" -> ((s, dir) => shardPack(s, dir, twoPass = true)),
 
     // Benchmark decontamination — the train/eval overlap check every
-    // training-data pipeline runs before shipping a corpus: flag any train
-    // document sharing at least one word-3-gram shingle with the eval set
-    // (here the deterministic 1-in-97 doc_id residue class stands in for a
-    // held-out benchmark). One inverted-index equi-join on the shingle,
-    // partial/final distinct-count per flagged doc — no all-pairs work, no
-    // driver-side sets. Scale notes: the eval side is tiny by construction
-    // (dedup'd per shingle, ~1% of the corpus here) so AQE broadcasts it
-    // locally, while at 100 TB it stays a shuffle join keyed on shingle;
-    // production decontamination uses LONGER n-grams (13-grams are
-    // near-unique, which both kills hot-shingle skew and sharpens the
-    // signal) — the width is one constant in `wordNgrams`.
-    "d60_decontaminate" -> ((s, dir) => {
-      // joins on the persisted 64-bit shingle hashes (shared with d52/d53 —
-      // 8-byte join keys instead of ~30-byte strings, measured 3.0s -> sub-s
-      // at sf0.1; hash-equality == string-equality modulo 64-bit collisions,
-      // the same contract d52/d53's oracles already rest on)
-      val sh = hashedDocs(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
-      val ev = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("sh"), col("doc_id").as("eid"))
-      val tr = sh.filter(col("doc_id") % 97 =!= 0)
-      tr.join(ev, "sh")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
-        .orderBy(col("doc_id"))
-    }),
+    // training-data pipeline runs before shipping a corpus; see
+    // `decontaminate` for the plan and the shingle-width story. The oracle
+    // runs the width-3 form (it shares d52/d53's shingle table); the
+    // production-width 13-gram variant is brute-force-spec'd.
+    "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
@@ -379,6 +361,33 @@ object DedupOps {
       simhashPairs(s, dir, choose = 2, maxHamming = 6)
         .orderBy(col("ida"), col("idb")))
   )
+
+  /** Benchmark decontamination, parameterized on shingle width: flag any
+    * train document sharing at least one word-`width`-gram with the eval
+    * set (here the deterministic 1-in-97 doc_id residue class stands in for
+    * a held-out benchmark). One inverted-index equi-join on the persisted
+    * 64-bit shingle hashes (8-byte join keys instead of ~30-byte strings,
+    * measured 3.0s -> sub-s at sf0.1; hash-equality == string-equality
+    * modulo 64-bit collisions, the contract d52/d53's oracles already rest
+    * on), then a partial/final distinct-count per flagged doc — no
+    * all-pairs work, no driver-side sets. Scale notes: the eval side is
+    * tiny by construction (dedup'd per shingle, ~1% of the corpus here) so
+    * AQE broadcasts it locally, while at 100 TB it stays a shuffle join
+    * keyed on shingle. Production decontamination runs width ~13: 13-grams
+    * are near-unique, which both sharpens the signal (incidental trigram
+    * overlap doesn't flag) and kills hot-shingle join skew — the
+    * near-uniform key distribution is itself the 100 TB win. width=3
+    * shares d52/d53's persisted shingle table. */
+  private[graft] def decontaminate(s: SparkSession, dir: String, width: Int): DataFrame = {
+    val sh = hashedDocs(s, dir, width).select(col("doc_id"), explode(col("hs")).as("sh"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh"), col("doc_id").as("eid"))
+    val tr = sh.filter(col("doc_id") % 97 =!= 0)
+    tr.join(ev, "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
+      .orderBy(col("doc_id"))
+  }
 
   /** SimHash candidate generation + exact hamming filter via Manku-style
     * combination banding: split the 64-bit signature into 8 byte-blocks and

@@ -212,9 +212,9 @@ object SimilarityOps {
   /** IVF approximate NN: a `c`-cell spherical-k-means coarse quantizer
     * partitions the corpus into inverted lists; each query probes only its
     * `nprobe` nearest cells and exact-reranks inside them. At 100 TB the
-    * corpus is stored partitioned BY cell (partition pruning turns a probe
-    * into reading nprobe/C of the data); the quantizer is trained once on a
-    * sample and broadcast.
+    * corpus is stored partitioned BY cell — writeIvfCorpus/probeIvfCells
+    * are that path, plan-proven to prune to nprobe of the C partition
+    * directories; the quantizer is trained once on a sample and broadcast.
     *
     * Cell assignment runs through the bounded top-k aggregate (k=1 argmax,
     * k=nprobe probe list) instead of rank windows: the corpus-side window
@@ -222,10 +222,15 @@ object SimilarityOps {
     * nprobe-row) partial states through a plain partial/final hash
     * aggregate. Tie rule (score DESC, id ASC) is identical to the windows'
     * `sim desc, cell asc`. */
-  def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
+  /** Corpus-side cell assignment (nid, cv2 = embedding, cell): each vector
+    * lands in its argmax-cosine cell. Shared by the in-memory probe join
+    * (annIvf) and the partitioned storage path (writeIvfCorpus) — the two
+    * must agree or a probe would read the wrong inverted lists. */
+  private[graft] def corpusWithCells(s: SparkSession, dir: String,
+      c: Int, iters: Int): DataFrame = {
     GraftFunctions.register(s)
     val centroids = trainCentroids(s, dir, c, iters)
-    val corpusCells = emb(s, dir).filter(col("vec_id") >= 10)
+    emb(s, dir).filter(col("vec_id") >= 10)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("nid"), col("embedding").as("cv2"), col("cell"),
         expr("graft_cosine(embedding, cv)").as("sim"))
@@ -234,6 +239,28 @@ object SimilarityOps {
         expr("cast(graft_topk_pairs(sim, cast(cell as bigint), 1)[0].id as int)")
           .as("cell"))
       .select(col("nid"), col("cv2"), col("cell"))
+  }
+
+  /** The IVF storage layer at 100 TB, made concrete: materialize the corpus
+    * hive-partitioned BY cell, so a probe list becomes a partition-pruned
+    * scan — the FileSourceScan's PartitionFilters keep all but nprobe of
+    * the C partition directories out of the read entirely (OperatorsSpec
+    * asserts selectedPartitions == nprobe). This is what turns "probe
+    * nprobe cells" from a filter over a full scan into reading nprobe/C of
+    * the bytes. */
+  def writeIvfCorpus(s: SparkSession, dir: String, path: String,
+      c: Int, iters: Int): Unit =
+    graft.sources.Sinks.writePartitioned(corpusWithCells(s, dir, c, iters), path, Seq("cell"))
+
+  /** Partition-pruned probe read over a writeIvfCorpus layout. */
+  def probeIvfCells(s: SparkSession, path: String, cells: Seq[Int]): DataFrame =
+    graft.sources.Sinks.readPartitioned(s, path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+
+  def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val corpusCells = corpusWithCells(s, dir, c, iters)
+    val centroids = trainCentroids(s, dir, c, iters)
     val queryProbes = emb(s, dir).filter(col("vec_id") < 10)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),

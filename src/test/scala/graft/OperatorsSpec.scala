@@ -45,6 +45,33 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("PartitionFilters"), "status filter should prune partitions")
   }
 
+  test("IVF corpus partitioned by cell: a probe reads only nprobe of C partition dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.SimilarityOps
+    // the end-to-end storage path annIvf's design promises: corpus written
+    // hive-partitioned by cell, probe list becomes PartitionFilters, and
+    // the scan touches nprobe/C of the partition directories — not a
+    // full-scan-then-filter
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    SimilarityOps.writeIvfCorpus(spark, dir, out, c, iters = 3)
+    val allCells = Sinks.readPartitioned(spark, out)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(allCells.size > nprobe, s"corpus landed in only ${allCells.size} cells")
+    val probes = allCells.toSeq.sorted.take(nprobe)
+    val read = SimilarityOps.probeIvfCells(spark, out, probes)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one file scan:\n${read.queryExecution.executedPlan}")
+    assert(scans.head.selectedPartitions.partitionCount == probes.size,
+      s"scan read ${scans.head.selectedPartitions.partitionCount} partition dirs, " +
+        s"expected ${probes.size} of ${allCells.size}")
+    // pruned read returns exactly the probed cells' rows
+    assert(read.select("cell").distinct().collect().map(_.getInt(0)).toSet == probes.toSet)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.internal.SQLConf
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

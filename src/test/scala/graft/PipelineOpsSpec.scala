@@ -44,25 +44,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("d60 decontamination matches brute-force train/eval shingle overlap") {
-    // brute force: per-doc distinct word-3-gram sets on the driver, then
-    // exact overlap of each train doc against every eval doc
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0),
-        r.getString(1).trim.split("\\s+").toSeq.sliding(3)
-          .filter(_.size == 3).map(_.mkString(" ")).toSet))
-    val eval = docs.filter(_._1 % 97 == 0)
-    val brute = (for {
-      (tid, tsh) <- docs if tid % 97 != 0
-      hits = eval.filter { case (_, esh) => tsh.exists(esh.contains) }
-      if hits.nonEmpty
-    } yield (tid, hits.length.toLong, hits.map(_._1).min)).toSet
-    val got = SparkEntry.queries("d60")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute,
-      s"missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
-  }
+  // Decontamination is proven at the oracle width (3, the d60 contract
+  // query) AND the production width (13 — near-unique shingles, the
+  // hot-shingle-skew-free regime the operator ships at scale).
+  for (width <- Seq(3, 13))
+    test(s"d60 decontamination (width $width) matches brute-force train/eval shingle overlap") {
+      // brute force: per-doc distinct word-n-gram sets on the driver, then
+      // exact overlap of each train doc against every eval doc
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0),
+          r.getString(1).trim.split("\\s+").toSeq.sliding(width)
+            .filter(_.size == width).map(_.mkString(" ")).toSet))
+      val eval = docs.filter(_._1 % 97 == 0)
+      val brute = (for {
+        (tid, tsh) <- docs if tid % 97 != 0
+        hits = eval.filter { case (_, esh) => tsh.exists(esh.contains) }
+        if hits.nonEmpty
+      } yield (tid, hits.length.toLong, hits.map(_._1).min)).toSet
+      val got = queries.DedupOps.decontaminate(spark, dir, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute,
+        s"missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
+      if (width == 3) {
+        // the contract entry IS the width-3 form
+        val viaEntry = SparkEntry.queries("d60")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(viaEntry == got)
+      }
+      // a width-13 overlap only comes from genuinely shared long spans, so
+      // it must be a subset of the width-3 flags (sanity of the width knob)
+      if (width == 13) {
+        val w3 = queries.DedupOps.decontaminate(spark, dir, 3)
+          .collect().map(_.getLong(0)).toSet
+        assert(got.map(_._1).subsetOf(w3), "13-gram flags outside the 3-gram set")
+      }
+    }
 
   // Recall floors are production bars set from measurement, not smoke
   // floors: graft.tools.RecallProbe sweeps (tables x bits) and (C x nprobe)
