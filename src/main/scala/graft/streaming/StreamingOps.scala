@@ -12,12 +12,17 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: windowed counts are partial-aggregated per micro-batch and
   * merged in the state store (no per-event shuffle amplification); the
-  * sessionization state is per-user (NoTimeout here for finite replay; production
-  * streams add EventTimeTimeout so the watermark evicts idle keys).
+  * sessionization state is per-user — `sessionize` keeps it under NoTimeout
+  * (fine for finite replay), `sessionizeWithTimeout` is the production
+  * shape where the event-time watermark both closes sessions and evicts
+  * idle keys' state.
   */
 /** Per-user sessionization state (top-level so the Catalyst encoder can
   * construct it in generated code). */
 case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+
+/** The currently-open session of one user (EventTimeTimeout variant). */
+case class OpenSess(startMicros: Long, lastMicros: Long, nEvents: Long)
 
 object StreamingOps {
 
@@ -87,6 +92,57 @@ object StreamingOps {
           (userId, s.nSessions, s.nEvents)
       }
       .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Production sessionization — flatMapGroupsWithState + EventTimeTimeout,
+    * the variant `sessionize`'s NoTimeout comment promises: each session is
+    * emitted exactly once, when it CLOSES — either a later event of the same
+    * user arrives past the gap (closed in-batch), or the event-time
+    * watermark passes the session's gap-close point (timeout fires on a
+    * no-data micro-batch). The same timeout EVICTS the idle user's state
+    * (`state.remove()`), so state stays bounded over unbounded keys — the
+    * property that makes this the 100 TB shape, and exactly what NoTimeout
+    * lacks. Append-mode output (closed sessions are immutable facts):
+    * (user_id, start_micros, end_micros, n_events). Gap semantics match
+    * q45's session_window: an event at exactly lastTs + gap starts a new
+    * session (the window is half-open). StreamingSpec proves convergence:
+    * emitted == batch session_window sessions, up to the final watermark. */
+  def sessionizeWithTimeout(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSess, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed lastTs + gap: no event can extend this
+            // session any more — close it and evict the key entirely
+            val s = state.get
+            state.remove()
+            Iterator.single((userId, s.startMicros, s.lastMicros, s.nEvents))
+          } else {
+            val sorted = it.map(_._3).toArray.sorted
+            val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+            var open = state.getOption.orNull
+            sorted.foreach { t =>
+              if (open == null) open = OpenSess(t, t, 1L)
+              else if (t - open.lastMicros >= gapMicros) {
+                closed += ((userId, open.startMicros, open.lastMicros, open.nEvents))
+                open = OpenSess(t, t, 1L)
+              } else open = OpenSess(open.startMicros, t, open.nEvents + 1L)
+            }
+            state.update(open)
+            // the watermark (and this API) is millisecond-based
+            state.setTimeoutTimestamp(open.lastMicros / 1000 + gapMicros / 1000)
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "start_micros", "end_micros", "n_events")
   }
 
   /** Stream-stream INNER JOIN with event-time range bounds: click→purchase

@@ -54,6 +54,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout sessionization: emitted sessions == batch session_window up to the watermark") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.sessionizeWithTimeout(spark, StreamingOps.eventsStream(spark, dir)),
+      "sessions_to", OutputMode.Append)
+    try {
+      val emitted = spark.table("sessions_to")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // Append-mode contract: a closed session is emitted exactly once
+      assert(emitted.length == emitted.distinct.length, "a session was emitted twice")
+      // batch mirror: per-session (user, first-event, last-event, count)
+      // with the same 30-minute gap
+      val batch = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(unix_micros(col("ts"))).as("smin"),
+          max(unix_micros(col("ts"))).as("smax"), count(lit(1)).as("n"))
+        .select(col("user_id"), col("smin"), col("smax"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // expected: every non-final session per user closed in-batch (a later
+      // event crossed the gap); the final one closed iff the event-time
+      // watermark (max ts - 10 min delay, ms precision) STRICTLY passed its
+      // gap-close point — Spark fires EventTimeTimeout on timeout < watermark
+      val maxTsMs = Tables.load(spark, dir, "events")
+        .agg(max(unix_micros(col("ts")))).collect().head.getLong(0) / 1000
+      val watermarkMs = maxTsMs - 10 * 60 * 1000
+      val gapMs = 30 * 60 * 1000
+      val expected = batch.groupBy(_._1).values.flatMap { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.init ++ sorted.lastOption.filter(s => s._3 / 1000 + gapMs < watermarkMs)
+      }.toSet
+      assert(emitted.toSet == expected,
+        s"missing ${expected.diff(emitted.toSet).take(3)}, extra ${emitted.toSet.diff(expected).take(3)}")
+      // the replay must actually exercise the timeout path, not only
+      // in-batch closes: at least one user's FINAL session must be present
+      val finals = batch.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+      assert(emitted.toSet.intersect(finals).nonEmpty,
+        "no watermark-closed session — the timeout path never fired")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the batch theta join") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
