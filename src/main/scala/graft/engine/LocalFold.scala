@@ -1,9 +1,9 @@
 package graft.engine
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, AttributeSet, Expression, If, IntegerLiteral, InterpretedMutableProjection, IsNaN, JoinedRow, Literal, Predicate, SpecificInternalRow, Unevaluable, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, InterpretedOrdering, AttributeSet, Expression, If, IntegerLiteral, InterpretedMutableProjection, IsNaN, JoinedRow, Literal, Predicate, SpecificInternalRow, Unevaluable, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, DeclarativeAggregate}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Limit, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Limit, LocalRelation, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, MapType, StructType}
 
@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, M
   * executes entirely on the calling thread; collect over a plan that
   * optimizes to a bare `LocalRelation` never submits a Spark job). This rule
   * restores that path with the one guard the stock rule lacks: a
-  * Project/Filter/Limit over a LocalRelation folds eagerly ONLY when its
-  * expressions are deterministic and contain no execution-clock expression —
-  * those plans keep their live per-execution semantics under the plan cache.
+  * Project/Filter/Limit/Sort (and, below, small Aggregate) over a
+  * LocalRelation folds eagerly ONLY when its expressions are deterministic
+  * and contain no execution-clock expression — those plans keep their live
+  * per-execution semantics under the plan cache.
   *
   * (Stricter than stock in one more way: the stock rule folds
   * non-deterministic projections too, which is sound for a single query but
@@ -56,6 +57,17 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
       predicate.initialize(0)
       LocalRelation(l.output, l.data.filter(row => predicate.eval(row)), l.isStreaming)
 
+    // ORDER BY over an already-folded relation (e.g. the reference-style
+    // `SELECT ... GROUP BY ... ORDER BY ... LIMIT n` micro-query, whose
+    // Aggregate folds in the same fixed-point batch): sort driver-side so
+    // the whole query stays job-free. SortOrder itself is Unevaluable, so
+    // the guard checks its children; InterpretedOrdering applies the same
+    // direction/null-ordering semantics the distributed sort uses.
+    case s @ Sort(order, _, l: LocalRelation, _)
+        if !l.isStreaming && order.forall(_.children.forall(foldableExpr)) =>
+      val ordering = new InterpretedOrdering(order, l.output)
+      LocalRelation(l.output, l.data.sorted(ordering), l.isStreaming)
+
     case agg: Aggregate if agg.child.isInstanceOf[LocalRelation] &&
         !agg.child.asInstanceOf[LocalRelation].isStreaming &&
         (agg.groupingExpressions ++ agg.aggregateExpressions).forall(foldableAggExpr) =>
@@ -78,15 +90,6 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** Driver-side hash aggregation over an already-driver-resident
-    * LocalRelation — the reference's `testAgg` regime: a small cached
-    * aggregate answered in ms with no Spark job. Interpreted evaluation of
-    * the DeclarativeAggregate contract (initialValues -> updateExpressions
-    * per row -> evaluateExpression per group), the same contract the
-    * distributed HashAggregateExec codegens. Input size is bounded by what
-    * already sits in driver memory, so the fold can't make memory worse.
-    * Returns None (plan unchanged, normal distributed path) for any shape
-    * the substitution can't prove out. */
   /** True when the type holds a float/double anywhere below the top level
     * (struct field, array element, map key/value) — shapes whose key bytes
     * we don't normalize, so the fold must decline them. */
@@ -98,6 +101,15 @@ object ClockSafeConvertToLocalRelation extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Driver-side hash aggregation over an already-driver-resident
+    * LocalRelation — the reference's `testAgg` regime: a small cached
+    * aggregate answered in ms with no Spark job. Interpreted evaluation of
+    * the DeclarativeAggregate contract (initialValues -> updateExpressions
+    * per row -> evaluateExpression per group), the same contract the
+    * distributed HashAggregateExec codegens. Input size is bounded by what
+    * already sits in driver memory, so the fold can't make memory worse.
+    * Returns None (plan unchanged, normal distributed path) for any shape
+    * the substitution can't prove out. */
   private def foldAggregate(agg: Aggregate, l: LocalRelation): Option[LocalRelation] = {
     val grouping = agg.groupingExpressions
     val results = agg.aggregateExpressions

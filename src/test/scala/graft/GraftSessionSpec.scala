@@ -168,6 +168,27 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(!foldsTo(clocked), "clock expression folded into a cached aggregate")
   }
 
+  test("ORDER BY (and LIMIT) over a folded aggregate stays job-free and correctly ordered") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // reference-style micro-query: GROUP BY + ORDER BY + LIMIT, all folded
+    val q = "SELECT age, count(*) AS n FROM people GROUP BY age ORDER BY n DESC, age LIMIT 2"
+    assert(g.sqlDF(q).queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"ORDER BY over folded aggregate did not fold:\n${g.sqlDF(q).queryExecution.optimizedPlan}")
+    // ORDER-SENSITIVE comparison (the differential helper sorts rows away)
+    val direct = g.spark.sql(q).collect().map(_.toString).toSeq
+    assert(g.sql(q).rows.map(_.toString) == direct)
+    assert(g.sql(q).rows.map(_.toString) == direct, "second (cached) run")
+    // nulls + direction semantics match the distributed sort
+    val qn = "SELECT nullif(name, 'c') AS k FROM people ORDER BY k DESC NULLS LAST"
+    assert(g.sqlDF(qn).queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(g.sql(qn).rows.map(_.toString) ==
+      g.spark.sql(qn).collect().map(_.toString).toSeq)
+    // a non-deterministic sort key keeps per-execution semantics: no fold
+    val qr = "SELECT name FROM people ORDER BY rand()"
+    assert(!g.sqlDF(qr).queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "rand() sort key was folded — cached plan would replay one shuffle order")
+  }
+
   test("aggregate fold normalizes floating-point grouping keys (-0.0/NaN parity with distributed)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // The fold groups on raw UnsafeRow key bytes and runs before the
