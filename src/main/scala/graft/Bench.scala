@@ -107,7 +107,7 @@ object Bench {
     // mean ms over 30 runs after warmup, vs re-planning each call.
     // Guarded: a failure here (e.g. bad SPARK_GRAFT_SF_DIR) must never cost
     // the round its bench JSON.
-    val (cachedMs, uncachedMs, localAggMs) =
+    val (cachedMs, uncachedMs, localAggMs, localSortMs) =
       try {
         val g = graftSession
         graft.Tables.registerAll(spark, sfDir)
@@ -130,11 +130,17 @@ object Bench {
         val memSql = "SELECT k, count(*) AS n, sum(v) AS s FROM bench_mem GROUP BY k"
         (1 to 3).foreach(_ => g.sql(memSql))
         val la = (1 to 30).map(_ => time(g.sql(memSql))).sum / 30 * 1000
-        (c, u, la)
+        // same regime with ORDER BY + LIMIT on top — stays job-free via the
+        // Sort fold (the reference-style ranked micro-query)
+        val sortSql =
+          "SELECT k, count(*) AS n FROM bench_mem GROUP BY k ORDER BY n DESC, k LIMIT 5"
+        (1 to 3).foreach(_ => g.sql(sortSql))
+        val ls = (1 to 30).map(_ => time(g.sql(sortSql))).sum / 30 * 1000
+        (c, u, la, ls)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] facade micro-benchmark FAILED: ${e.getMessage}")
-          (-1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0)
       }
 
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal locale would
@@ -158,7 +164,7 @@ object Bench {
     // is emitted next to `value` so cross-round total comparisons can't
     // silently span different query sets when `failed` is non-empty.
     val scalarTail =
-      s""""sf":"$sfDir","n_ok":${ok.size},"cold_value":${num(coldTotal, 3)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"local_agg_ms":${num(localAggMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs"""
+      s""""sf":"$sfDir","n_ok":${ok.size},"cold_value":${num(coldTotal, 3)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"local_agg_ms":${num(localAggMs, 1)},"local_sort_ms":${num(localSortMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs"""
     val line =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${js(warm)},$scalarTail}"""
     val namesJs = SparkEntry.longNames.toSeq.sorted

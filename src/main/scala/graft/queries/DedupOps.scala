@@ -405,11 +405,14 @@ object DedupOps {
     * (single-block 8x8 banding saturating its 256-bucket space was a
     * MEASURED 97.5s O(n^2/256) blowup at the 100x corpus; SCALE.md).
     * The hamming filter runs BEFORE `.distinct()`: hamming is
-    * pair-determined and the xor+popcount is nearly free, so filtering
-    * first is output-identical while keeping every non-matching candidate
-    * out of the dedup shuffle (surviving pairs still carry up to
-    * C(8,choose)-table multiplicity — that duplication is the distinct's
-    * real job). */
+    * pair-determined, so filtering first is output-identical and keeps
+    * non-matching candidates out of the dedup shuffle. (Measured at 100x:
+    * the reorder is PLAN-neutral — shuffle write bit-identical to the
+    * filter-after form, because PushDownPredicates already pushed the
+    * filter through the distinct, hamming being one of its grouping
+    * columns. The source order now states the intent instead of relying on
+    * the optimizer; surviving pairs still carry up to C(8,choose)-table
+    * multiplicity — that duplication is the distinct's real job.) */
   private[graft] def simhashPairs(s: SparkSession, dir: String,
       choose: Int, maxHamming: Int): DataFrame = {
     require(choose >= 1 && choose < 8 && maxHamming <= 8 - choose,

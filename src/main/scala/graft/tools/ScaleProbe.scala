@@ -105,11 +105,20 @@ object ScaleProbe {
     // spill counters (listener bus drained via waitUntilEmpty, not a fixed
     // sleep), and the reported metrics are those of the min-time run — so
     // the row is internally consistent rather than a cross-run average.
+    // Probes that aren't contract queries: the d54 block-TRIPLE banding
+    // variant (C(8,3)=56 tables × 24-bit buckets, complete for hamming≤5) —
+    // the scheme SCALE.md names as the next step once 16-bit bucket
+    // occupancy grows; measured here at the same corpora as d54.
+    val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "d54_triple" -> ((s, d) =>
+        graft.queries.DedupOps.simhashPairs(s, d, choose = 3, maxHamming = 5)
+          .orderBy(col("ida"), col("idb"))))
+
     def timeQuery(name: String, dir: String): (Double, Double, Double) = {
       def once(): (Double, Double, Double) = {
         shufWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir)
+        extraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 30000)
@@ -133,7 +142,7 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52", "d53", "d54", "t49", "d60") &&
+      if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65") &&
@@ -148,6 +157,7 @@ object ScaleProbe {
       // disjoint across replicas, so banding candidates and collision groups
       // replicate per shard — the claimed scan-bound ×K regime
       run("d54", k, d)
+      run("d54_triple", k, d)
       run("t49", k, d)
       // decontamination: suffixed replicas keep train/eval shingle overlap
       // within a replica, so flagged docs and join matches replicate per
