@@ -359,7 +359,26 @@ object DedupOps {
     // hamming filter only.
     "d54_simhash" -> ((s, dir) =>
       simhashPairs(s, dir, choose = 2, maxHamming = 6)
-        .orderBy(col("ida"), col("idb")))
+        .orderBy(col("ida"), col("idb"))),
+
+    // Per-source document cap — the domain-capping step every web-scale
+    // pipeline runs (no single domain may dominate the mixture): keep the
+    // first K docs per source in stable doc_id order. The rank-window
+    // filter is the shape Spark rewrites to WindowGroupLimit (plan-asserted
+    // in the spec): each map task keeps only its partial top-K per source
+    // BEFORE the shuffle, so the exchange carries O(sources × K) rows —
+    // not the corpus — and no full per-source sort ever materializes. At
+    // 100 TB `source` is the high-cardinality domain key; skew from a
+    // giant domain is bounded by the same map-side limit.
+    "d61_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Benchmark decontamination, parameterized on shingle width: flag any
@@ -488,6 +507,14 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+
+    "d61_source_cap" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS INTEGER) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
 
     // All-integer window/aggregate arithmetic; DuckDB sum() widths are cast
     // back to Spark's BIGINT.

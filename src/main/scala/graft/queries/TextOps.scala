@@ -167,6 +167,32 @@ object TextOps {
       fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("first_doc"))
+    }),
+
+    // Corpus vocabulary statistics — the tokenizer-training input (BPE/
+    // unigram trainers start from exactly this table): global token
+    // frequencies with Zipf rank and cumulative coverage share. Scale
+    // shape: ONE partial/final hash aggregate reduces the corpus (rows ∝
+    // data) to the vocabulary (rows ∝ distinct tokens — bounded, the
+    // tokenizer-vocab regime); the rank/cumulative windows then run on
+    // that small table only, so the single-partition window is over
+    // vocab-sized input by construction, never over the corpus. `share`
+    // is one IEEE double division of two exact integers — bit-identical
+    // across engines and partitionings.
+    "t55_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val byRank = Window.orderBy(col("n").desc, col("token").asc)
+      freq
+        .withColumn("rnk", row_number().over(byRank))
+        .withColumn("cum_n", sum(col("n")).over(
+          byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("token"), col("n"), col("rnk"), col("cum_n"),
+          (col("cum_n").cast(DoubleType) / col("total").cast(DoubleType)).as("share"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -218,6 +244,20 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t49_fingerprint" -> fingerprintOracle,
+
+    "t55_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER) AS rnk,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(sum(n) OVER () AS DOUBLE) AS share
+        |FROM freq ORDER BY rnk""".stripMargin,
 
     // Spark's size() is INTEGER; count columns cast to match. The list
     // comprehension keeps s[i] != s[i-1] 1-based like Spark's 0-based

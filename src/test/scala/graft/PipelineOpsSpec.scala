@@ -38,6 +38,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
     }
 
+  test("d61 source cap runs as WindowGroupLimit (map-side per-source top-K, no corpus sort)") {
+    val df = SparkEntry.queries("d61")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=K filter was not rewritten to WindowGroupLimit:\n$plan")
+    // cap semantics: nothing beyond K, per-source counts bounded, stable ids
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.forall(_._3 <= 10))
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"$src kept ${rs.length}")
+      // kept docs are exactly the K smallest doc_ids of that source
+      assert(rs.map(_._1).sorted.zip(rs.sortBy(_._3).map(_._1)).forall(p => p._1 == p._2))
+    }
+  }
+
   test("simhash banding rejects a hamming threshold beyond the scheme's completeness bound") {
     intercept[IllegalArgumentException] {
       queries.DedupOps.simhashPairs(spark, dir, choose = 2, maxHamming = 7)
