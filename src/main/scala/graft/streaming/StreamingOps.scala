@@ -166,6 +166,22 @@ object StreamingOps {
       .select(col("user_id"), col("click_ts"), col("p_ts"))
   }
 
+  /** Bounded-state streaming exact dedup — the streaming form of the d50
+    * batch operator: `dropDuplicatesWithinWatermark` keeps a key's dedup
+    * state only until the watermark passes its arrival horizon, so state is
+    * EVICTED instead of growing with the key space. Plain streaming
+    * `dropDuplicates` (OperatorsSpec) holds every key forever — fine on a
+    * finite replay, unbounded on a 100 TB/day stream; this variant is the
+    * production shape. Guarantee (Spark's contract): events whose
+    * duplicates arrive within the watermark delay are deduplicated
+    * exactly; a duplicate arriving later than the delay may pass — the
+    * explicit, bounded tradeoff. */
+  def dedupBounded(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -93,6 +93,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-state streaming dedup (dropDuplicatesWithinWatermark) converges to batch distinct") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.dedupBounded(StreamingOps.eventsStream(spark, dir)),
+      "dedup_bounded", OutputMode.Append)
+    try {
+      // on a full replay every duplicate arrives within the horizon, so the
+      // bounded-state variant must agree exactly with batch DISTINCT
+      val streamed = spark.table("dedup_bounded").select(col("event_id"))
+      val batch = Tables.load(spark, dir, "events").select(col("event_id")).distinct()
+      assert(streamed.count() == batch.count())
+      assert(streamed.distinct().count() == streamed.count(), "emitted a duplicate id")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the batch theta join") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
