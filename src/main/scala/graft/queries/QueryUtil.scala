@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
-private[queries] object QueryUtil {
+private[graft] object QueryUtil {
 
   /** Memoized persist: one cached DataFrame per (session, key), returned to
     * every invocation — repeated runs (bench cold+warm, verify) reuse the
@@ -12,14 +12,46 @@ private[queries] object QueryUtil {
     *
     * Eviction is EXPLICIT, not WeakHashMap semantics: the cached DataFrame
     * values strongly reference their SparkSession key (via QueryExecution),
-    * so weak keying alone would never collect an entry. A listener on each
-    * session's SparkContext drops every entry bound to that context at
-    * application end — sessions cannot outlive their context, so this frees
-    * all of a stopped context's DataFrames in long-running multi-session
-    * JVMs. (The map stays weak-keyed only as identity-keying hygiene: a new
-    * session can never alias a dead one's entry.) */
+    * so weak keying alone would never collect an entry. Two mechanisms:
+    * (a) a listener on each session's SparkContext drops every entry bound
+    * to that context at application end — sessions cannot outlive their
+    * context, so this frees all of a stopped context's DataFrames in
+    * long-running multi-session JVMs; (b) per-session LRU capping
+    * (`graft.persist.maxEntries`, default 64 — far above any single
+    * pipeline's working set): inserting past the cap unpersists the
+    * least-recently-USED entry, so a long-lived multi-corpus service can't
+    * accumulate unbounded storage memory. Eviction only costs recompute on
+    * the next call (the entry rebuilds through the same memo) — never
+    * correctness. (The map stays weak-keyed only as identity-keying
+    * hygiene: a new session can never alias a dead one's entry.) */
   private val persistedMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, SessionMemo]()
+
+  /** Access-ordered per-session memo with LRU capping. Locking is the
+    * memo's intrinsic (reentrant) monitor, so a `mk` that nests
+    * persistKeyed calls on the same session cannot deadlock; builds happen
+    * OUTSIDE the lock (see persistKeyed). */
+  private final class SessionMemo(maxEntries: Int) {
+    private val map =
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) // access-order
+    def get(key: String): DataFrame = synchronized(map.get(key))
+    /** Insert unless present; returns (winner, entries evicted by LRU). */
+    def putIfAbsent(key: String, df: DataFrame): (DataFrame, Seq[DataFrame]) =
+      synchronized {
+        val prev = map.get(key)
+        if (prev != null) (prev, Nil)
+        else {
+          map.put(key, df)
+          val evicted = Seq.newBuilder[DataFrame]
+          while (map.size() > maxEntries) {
+            val eldest = map.entrySet().iterator().next()
+            evicted += eldest.getValue
+            map.remove(eldest.getKey)
+          }
+          (df, evicted.result())
+        }
+      }
+  }
 
   /** Contexts that already carry the eviction listener (weak: value holds no
     * ref to the key, so a collected context drops its marker). */
@@ -43,23 +75,27 @@ private[queries] object QueryUtil {
       hookEviction(s.sparkContext)
       var m = persistedMemo.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        val cap = s.conf.getOption("graft.persist.maxEntries")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(64)
+        m = new SessionMemo(cap)
         persistedMemo.put(s, m)
       }
       m
     }
-    // NOT computeIfAbsent: `mk` may itself call persistKeyed on the same map
-    // (d56's components builder runs the jaccard pipeline, which memoizes
-    // its own intermediates) and CHM forbids recursive updates inside a
-    // mapping function. get-then-putIfAbsent tolerates nesting; a racing
-    // duplicate build is harmless (one copy wins, the loser's persist is
-    // unpinned).
+    // The build runs OUTSIDE the memo lock: `mk` may itself call
+    // persistKeyed on the same session (d56's components builder runs the
+    // jaccard pipeline, which memoizes its own intermediates) and may take
+    // arbitrarily long. get-then-putIfAbsent tolerates that nesting; a
+    // racing duplicate build is harmless (one copy wins, the loser's
+    // persist is unpinned).
     val hit = perSession.get(key)
     if (hit != null) hit
     else {
       val built = mk.persist()
-      val prev = perSession.putIfAbsent(key, built)
-      if (prev == null) built else { built.unpersist(); prev }
+      val (winner, evicted) = perSession.putIfAbsent(key, built)
+      evicted.foreach(_.unpersist())
+      if (winner ne built) built.unpersist()
+      winner
     }
   }
 

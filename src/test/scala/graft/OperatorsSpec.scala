@@ -127,6 +127,27 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.sameElements(expected))
   }
 
+  test("persistKeyed caps per-session entries by LRU; evicted keys rebuild correctly") {
+    import org.apache.spark.storage.StorageLevel
+    import graft.queries.QueryUtil
+    val s2 = spark.newSession()
+    s2.conf.set("graft.persist.maxEntries", "2")
+    var builds = 0
+    def mk(n: Int) = { builds += 1; s2.range(n).toDF("v") }
+    val a = QueryUtil.persistKeyed(s2, "lru_a", mk(10))
+    QueryUtil.persistKeyed(s2, "lru_b", mk(20))
+    val b = QueryUtil.persistKeyed(s2, "lru_b", mk(20)) // hit — no rebuild
+    assert(builds == 2, "memo hit must not rebuild")
+    QueryUtil.persistKeyed(s2, "lru_a", mk(10)) // touch a: b becomes LRU
+    QueryUtil.persistKeyed(s2, "lru_c", mk(30)) // cap 2 -> evicts b
+    assert(b.storageLevel == StorageLevel.NONE, "LRU entry was not unpersisted")
+    assert(a.storageLevel != StorageLevel.NONE, "recently-used entry was evicted")
+    // evicted key rebuilds through the same memo and still answers correctly
+    val b2 = QueryUtil.persistKeyed(s2, "lru_b", mk(20))
+    assert(builds == 4)
+    assert(b2.count() == 20)
+  }
+
   test("newSession isolates temp views but keeps clock semantics") {
     val g = graft.engine.GraftSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
