@@ -65,26 +65,34 @@ object DedupOps {
           (size(col("hsa")) + size(col("hsb")) - expr("graft_intersect_size(hsa, hsb)"))).as("jac"))
       .filter(col("jac") >= threshold)
 
+  /** Rarity-ranked prefix entries at `threshold`: for each doc, the first
+    * n - ceil(t*n) + 1 shingle hashes under the global (df, sh) rarity
+    * order, carrying (n, rk) for the size/positional filters. Shared by the
+    * symmetric Jaccard join (d52: prefix x prefix) and the asymmetric
+    * containment join (d62: prefix x full) — the prefix-overlap lemma backs
+    * both (if A's prefix misses the other set entirely, the overlap cannot
+    * reach ceil(t*|A|)). Persisted: both join sides / both operators read
+    * it, and without this the shingle->freq->window subtree recomputes. */
+  private def rankedPrefix(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    persistKeyed(s, s"prefix:$dir:$threshold", {
+      import org.apache.spark.sql.expressions.Window
+      val sh = hashedDocs(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
+      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+      // no broadcast hint: freq is vocabulary-sized (web-scale = huge); it is
+      // produced by a groupBy on `sh`, so the join on `sh` reuses that shuffle
+      // partitioning, and AQE still broadcasts when it measures it small
+      sh.join(freq, "sh")
+        .withColumn("rk", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+        .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+    })
+
   private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val docs = hashedDocs(s, dir)
-    val sh = docs.select(col("doc_id"), explode(col("hs")).as("sh"))
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    // no broadcast hint: freq is vocabulary-sized (web-scale = huge); it is
-    // produced by a groupBy on `sh`, so the join on `sh` reuses that shuffle
-    // partitioning, and AQE still broadcasts when it measures it small
-    val ranked = sh.join(freq, "sh")
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // persisted: both sides of the self-join read it, and without this the
-    // whole shingle->freq->window subtree is computed twice. Entries carry
-    // the doc's shingle count n and the entry's rarity rank rk for the
-    // size and positional filters below.
-    val prefix = persistKeyed(s, s"prefix:$dir:$threshold",
-      ranked.filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-        .select(col("doc_id"), col("sh"), col("n"), col("rk")))
+    val prefix = rankedPrefix(s, dir, threshold)
     // Two classic SSJoin/PPJoin refinements on top of the prefix filter,
     // both conservative (epsilon slack can only over-include), so
     // exactness is preserved:
@@ -131,6 +139,44 @@ object DedupOps {
         lit(threshold) / (1.0 + threshold) * (col("na") + col("nb")) - lit(1e-6))
       .select(col("ida"), col("idb"))
     verifyJaccard(cand, docs, threshold)
+  }
+
+  /** Asymmetric CONTAINMENT join: ordered pairs (ida, idb) with
+    * C(A,B) = |A∩B| / |A| >= t — the "document quoted/subsumed inside
+    * another" detector (a near-dup family member Jaccard misses: a short
+    * doc fully embedded in a long one has high containment but low J).
+    * Exact, via the asymmetric prefix principle: if the first
+    * |A| - ceil(t|A|) + 1 rarest shingles of A (rankedPrefix) all miss B,
+    * then |A∩B| < ceil(t|A|) — so candidates come from prefix(A) x ALL
+    * entries of B, never all pairs. Two conservative refinements mirror
+    * d52's: a size filter (|B| >= t|A|, since |A∩B| <= |B|) in the join
+    * condition, and a positional filter on the grouped matches — matched
+    * A-ranks are all <= mi (their max) and every A-element of rank <= mi
+    * in B is necessarily matched (rank <= mi <= prefix length), so
+    * |A∩B| <= c + (|A| - mi); pairs whose bound can't reach t|A| skip the
+    * verify join. Both proven lossless vs brute force in the spec. */
+  private[graft] def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = hashedDocs(s, dir)
+    val prefix = rankedPrefix(s, dir, threshold)
+    val entries = docs.select(col("doc_id"),
+      size(col("hs")).as("n"), explode(col("hs")).as("sh"))
+    val cand = prefix.as("a").join(entries.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n").cast(DoubleType) >= lit(threshold) * col("a.n") - lit(1e-6))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"), max(col("a.rk")).as("mi"), max(col("a.n")).as("na"))
+      .filter((col("c") + col("na") - col("mi")).cast(DoubleType) >=
+        lit(threshold) * col("na") - lit(1e-6))
+      .select(col("ida"), col("idb"))
+    cand
+      .join(docs.select(col("doc_id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("hs").as("hsb")), "idb")
+      .select(col("ida"), col("idb"),
+        (expr("graft_intersect_size(hsa, hsb)").cast(DoubleType) /
+          size(col("hsa"))).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   private def oracleJaccard(threshold: Double): String =
@@ -324,6 +370,10 @@ object DedupOps {
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
+
+    // Asymmetric containment pairs (quote/subsumption detection), C >= 0.8.
+    "d62_containment" -> ((s, dir) =>
+      containmentPairs(s, dir, 0.8).orderBy(col("ida"), col("idb"))),
 
     // MinHash + LSH: 128-hash signature (custom expression), 32 bands x 4
     // rows -> candidates from band-bucket co-occurrence, then exact-Jaccard
@@ -577,6 +627,23 @@ object DedupOps {
          |ORDER BY d.doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8),
+
+    // ordered pairs; |A∩B| / |A| with the same shingle CTE as the Jaccard
+    // oracles — c/n is one IEEE double division of two exact ints
+    "d62_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ida, idb, CAST(c AS DOUBLE) / sa.n AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = ida
+        |WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY ida, idb""".stripMargin,
 
     "d60_decontaminate" ->
       """WITH sh AS (

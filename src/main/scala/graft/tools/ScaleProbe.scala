@@ -142,10 +142,10 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60") &&
+      if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60", "d62") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
-      if (k > 1 && wanted("u65") &&
+      if (k > 1 && wanted("u65", "d61", "t55") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -163,7 +163,15 @@ object ScaleProbe {
       // within a replica, so flagged docs and join matches replicate per
       // shard — the linear regime the inverted-index join claims
       run("d60", k, d)
+      // containment join: suffixed replicas keep containment structure
+      // per shard (same rationale as d52) — prefix x full-entries join
+      run("d62", k, d)
       run("u65", k, p)
+      // plain replicas: per-source caps and the vocabulary both stay
+      // CONSTANT-size while the corpus grows xK — the claimed
+      // "output bounded by K/vocab, cost = one scan" regime
+      run("d61", k, p)
+      run("t55", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"

@@ -341,6 +341,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing ${brute.diff(got).size}, extra ${got.diff(brute).size}")
   }
 
+  test("d62 containment prefix+size+positional filtering equals brute-force all ordered pairs") {
+    // the asymmetric filters must be lossless: every ordered pair with
+    // C(A,B) = |A∩B|/|A| >= t survives. Brute force on driver-side shingle
+    // hash sets (same hashing as the operator).
+    graft.functions.GraftFunctions.register(spark)
+    val sets = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), expr(
+        "array_distinct(CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))) ELSE array() END)").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    val t = 0.8
+    val brute = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets
+      if ida != idb
+      c = sa.intersect(sb).size
+      if c.toDouble / sa.size >= t
+    } yield (ida, idb)).toSet
+    val got = queries.DedupOps.containmentPairs(spark, dir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"filters lost ${brute.diff(got).size} true pairs, added ${got.diff(brute).size}")
+    assert(brute.nonEmpty, "corpus has no containment pairs — spec is vacuous")
+  }
+
   test("s58 tiled exact join equals brute-force all-pairs cosine") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
