@@ -45,6 +45,33 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("PartitionFilters"), "status filter should prune partitions")
   }
 
+  test("compacted sink writes exactly N parquet files and roundtrips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val orders = Tables.load(spark, dir, "orders")
+    Sinks.writeCompacted(orders, out, numFiles = 3)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 files, got ${files.map(_.getName).toSeq}")
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
+  test("q11 executes its dimension joins as broadcasts (plan regression gate)") {
+    // the explicit broadcast() hints on nation/region must survive into the
+    // executed plan — a silent fallback to shuffle joins for tiny dims is
+    // the regression this guards against
+    val df = SparkEntry.queries("q11")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q11:\n$plan")
+  }
+
+  test("q02 filter reaches the parquet scan as a pushed filter (plan regression gate)") {
+    val df = SparkEntry.queries("q02")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // a scan with real pushed predicates renders "PushedFilters: [<non-empty>"
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"filter not pushed to parquet:\n$plan")
+  }
+
   test("IVF corpus partitioned by cell: a probe reads only nprobe of C partition dirs") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.SimilarityOps
