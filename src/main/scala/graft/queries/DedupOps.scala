@@ -225,7 +225,9 @@ object DedupOps {
     * The audit output (per-shard doc/token counts) is a partial/final hash
     * aggregate either way.
     */
-  private[graft] def shardPack(s: SparkSession, dir: String, twoPass: Boolean): DataFrame = {
+  /** Doc-level shard assignment (doc_id, lang, n_tok, shard) — the packing
+    * decision shardPack summarizes and writeShards materializes. */
+  private[graft] def shardAssign(s: SparkSession, dir: String, twoPass: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 2000L
     val toks = Tables.load(s, dir, "documents")
@@ -257,11 +259,31 @@ object DedupOps {
       }
     withCum
       .withColumn("shard", expr(s"cum_before div $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"))
+  }
+
+  private[graft] def shardPack(s: SparkSession, dir: String, twoPass: Boolean): DataFrame =
+    shardAssign(s, dir, twoPass)
       .groupBy(col("lang"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("lang"), col("shard"))
-  }
+
+  /** Materialize the packed corpus — the end-of-pipeline EXPORT: every doc
+    * joined to its shard assignment and written hive-partitioned by
+    * (lang, shard), so one training shard = one partition directory that a
+    * reader (or the training loader) prunes to directly. The join is a
+    * co-partitioned equi-join on doc_id; the sink repartitions by the
+    * partition columns so each shard directory is written by one task
+    * (Sinks.writePartitioned). OperatorsSpec asserts directory layout ==
+    * d59's shard summary and single-shard partition-pruned reads. */
+  def writeShards(s: SparkSession, dir: String, out: String,
+      twoPass: Boolean = true): Unit =
+    graft.sources.Sinks.writePartitioned(
+      Tables.load(s, dir, "documents").drop("lang")
+        .join(shardAssign(s, dir, twoPass).select(
+          col("doc_id"), col("lang"), col("shard")), "doc_id"),
+      out, Seq("lang", "shard"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one-row corpus summary (total vs content-distinct rows).

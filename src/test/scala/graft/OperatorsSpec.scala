@@ -99,6 +99,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(read.select("cell").distinct().collect().map(_.getInt(0)).toSet == probes.toSet)
   }
 
+  test("shard export: one (lang, shard) partition dir per packed shard, pruned on read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    graft.queries.DedupOps.writeShards(spark, dir, out)
+    val back = Sinks.readPartitioned(spark, out)
+    // layout == the d59 shard summary: same (lang, shard) set, same doc counts
+    // partition-dir columns are type-inferred on read: shard comes back INT
+    val dirCounts = back.groupBy(col("lang"), col("shard"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue) -> r.getLong(2)).toMap
+    val summary = SparkEntry.queries("d59")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dirCounts == summary,
+      s"shard layout diverges from d59: ${dirCounts.toSet.diff(summary.toSet).take(3)}")
+    // a single-shard probe (what a training loader reads) prunes to ONE dir
+    val one = summary.keys.head
+    val probe = back.filter(col("lang") === one._1 && col("shard") === one._2)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"single-shard read touched ${scans.head.selectedPartitions.partitionCount} dirs")
+    assert(back.count() == Tables.load(spark, dir, "documents").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.internal.SQLConf
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
