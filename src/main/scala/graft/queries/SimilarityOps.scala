@@ -352,6 +352,25 @@ object SimilarityOps {
         .agg((sum(floor(col("v").cast(DoubleType) * 1e9).cast(DecimalType(38, 0)))
           .cast(DoubleType) / (lit(1e9) * count(lit(1)))).as("centroid"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Per-SOURCE embedding centroids — the cross-table corpus-drift signal
+    // (which domains cluster where): documents carry `source`, embeddings
+    // carry the vector, so this is a fact-fact equi-join on id followed by
+    // the s59 shape (posexplode + decimal-exact fixed-point means). At
+    // 100 TB both sides are corpus-sized: the join shuffles on id — or
+    // runs exchange-free when both tables are bucketed by id
+    // (Sinks.writeBucketed, plan-asserted in OperatorsSpec) — and the
+    // aggregate is plain partial/final on (source, dim).
+    "s63_source_centroid" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      emb(s, dir).join(src, "vec_id")
+        .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("source"), col("dim"))
+        .agg((sum(floor(col("v").cast(DoubleType) * 1e9).cast(DecimalType(38, 0)))
+          .cast(DoubleType) / (lit(1e9) * count(lit(1)))).as("centroid"))
+        .orderBy(col("source"), col("dim"))
     })
   )
 
@@ -372,6 +391,14 @@ object SimilarityOps {
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS gs,
         |             CAST(unnest(embedding) AS DOUBLE) AS v
         |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s63_source_centroid" ->
+      """SELECT source, CAST(gs - 1 AS INTEGER) AS dim,
+        | CAST(sum(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * count(*)) AS centroid
+        |FROM (SELECT d.source, generate_subscripts(e.embedding, 1) AS gs,
+        |             CAST(unnest(e.embedding) AS DOUBLE) AS v
+        |      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s56_ann_topk" ->
