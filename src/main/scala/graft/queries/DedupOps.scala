@@ -397,6 +397,23 @@ object DedupOps {
     "d62_containment" -> ((s, dir) =>
       containmentPairs(s, dir, 0.8).orderBy(col("ida"), col("idb"))),
 
+    // Corpus report — the "data card" numbers every shipped dataset
+    // publishes: per (source, quality-keep, split) doc counts and token
+    // totals. Composes the SHARED quality gate (QueryUtil.qualityKeep —
+    // the same predicate t50/d58 use, so the card can't drift from the
+    // pipeline) and d58's split rule; one partial/final aggregate over a
+    // single scan — scan-bound at any corpus size.
+    "d63_corpus_report" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          QueryUtil.qualityKeep(col("text")).as("keep"),
+          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"),
+          QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .groupBy(col("source"), col("keep"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("keep"), col("split"))
+    }),
+
     // MinHash + LSH: 128-hash signature (custom expression), 32 bands x 4
     // rows -> candidates from band-bucket co-occurrence, then exact-Jaccard
     // verify at J >= 0.8. P(miss) = (1-J^4)^32 <= 6e-8 at the threshold, so
@@ -649,6 +666,14 @@ object DedupOps {
          |ORDER BY d.doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8),
+
+    "d63_corpus_report" ->
+      s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,
+         |  CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${QueryUtil.oracleTokenCount}) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // ordered pairs; |A∩B| / |A| with the same shingle CTE as the Jaccard
     // oracles — c/n is one IEEE double division of two exact ints
