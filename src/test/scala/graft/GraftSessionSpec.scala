@@ -223,6 +223,27 @@ class GraftSessionSpec extends AnyFunSuite {
     differential(qs)
   }
 
+  test("aggregate/sort fold differential fuzz: random tables match direct spark.sql") {
+    // seeded randomized differential over the driver-side fold (the
+    // component where interpreted evaluation could silently diverge from
+    // the distributed path): small tables with float specials (-0.0, NaN
+    // payloads) as both grouping keys and aggregate inputs
+    val rnd = new scala.util.Random(42)
+    val specials = Array(0.0, -0.0, Double.NaN,
+      java.lang.Double.longBitsToDouble(0x7ff8000000000001L), 1.5, -2.25, 1e300)
+    (1 to 12).foreach { i =>
+      val n = 1 + rnd.nextInt(40)
+      val rows = Seq.fill(n)(Row(rnd.nextInt(4),
+        specials(rnd.nextInt(specials.length)), rnd.nextInt(100).toLong))
+      g.registerTable(s"fuzz_$i", DataTable(StructType(Seq(
+        StructField("k", IntegerType), StructField("d", DoubleType),
+        StructField("v", LongType))), rows))
+      differential(s"SELECT k, count(*) AS n, sum(v) AS s, min(d) AS mn, max(d) AS mx FROM fuzz_$i GROUP BY k")
+      differential(s"SELECT d, count(*) AS n, sum(v) AS s FROM fuzz_$i GROUP BY d")
+      differential(s"SELECT k, sum(v) AS s FROM fuzz_$i GROUP BY k ORDER BY s DESC, k LIMIT 3")
+    }
+  }
+
   test("exec-time clock: cached plan's current_timestamp advances (reference testTime)") {
     val q = "SELECT current_timestamp() AS ts, name FROM people"
     val t1 = g.sql(q).rows.map(_.getTimestamp(0)).distinct
