@@ -233,27 +233,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("jaccard verify path runs without any broadcast of the docs table") {
-    // with broadcast thresholds disabled, the declarative plan must execute
-    // entirely via shuffle joins (the 100 TB regime, where every side is
-    // too big to broadcast) and still produce the oracle-identical pairs
-    val conf = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
-    conf.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val df = SparkEntry.queries("d52")(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
-        s"broadcast join present under disabled thresholds:\n$plan")
-      val shuffled = df.collect().map(_.getLong(0)).toSeq
-      assert(shuffled.nonEmpty)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  // With broadcast thresholds disabled, the declarative similarity-join
+  // plans must execute entirely via shuffle joins (the 100 TB regime,
+  // where every side is too big to broadcast) and still produce the
+  // oracle-identical pairs. Covers both the symmetric (d52) and
+  // asymmetric (d62) prefix joins.
+  for (q <- Seq("d52", "d62"))
+    test(s"$q candidate+verify path runs without any broadcast of the docs table") {
+      val conf = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"broadcast join present under disabled thresholds:\n$plan")
+        val shuffled = df.collect().map(_.getLong(0)).toSeq
+        assert(shuffled.nonEmpty)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
-  }
 
   test("d52 prefix+size+positional filtering equals brute-force all-pairs Jaccard") {
     // the SSJoin filters (prefix, size, positional) must be lossless: every
