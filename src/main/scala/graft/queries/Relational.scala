@@ -695,6 +695,50 @@ object Relational {
       sess.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // Sequential funnel (view -> later click -> later purchase): stepwise
+    // per-user first-event aggregation, each stage bounded below by the
+    // previous stage's timestamp — the ORDERED pattern (conditional
+    // per-stage counts would overcount out-of-order events). Three
+    // partial/final aggregates + two equi-joins on user_id, all shuffles
+    // on the same key (co-partitioned; exchange reuse applies). Output is
+    // one row of stage counts — timestamp values never leave the plan, so
+    // no cross-engine formatting surface.
+    "q64_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of a user's first event,
+    // retained = distinct users active at each week offset. Two aggregates
+    // and one user_id equi-join; weeks are Monday-truncated in both
+    // engines, and offsets are exact multiples of 7 days so the integer
+    // division is lossless. Cohort emitted as a string date (cross-engine
+    // formatting parity).
+    "q65_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("cohort"), col("wk"), col("user_id")).distinct()
+        .select(col("cohort").cast(StringType).as("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("wk_off"))
+        .groupBy(col("cohort"), col("wk_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("wk_off"))
     })
   )
 
@@ -1090,6 +1134,30 @@ object Relational {
         |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |       (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked,
+        |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+
+    "q65_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |fst AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort,
+        |  CAST((wk - cohort) // 7 AS INTEGER) AS wk_off, count(*) AS n_users
+        |FROM (SELECT DISTINCT e.user_id, e.wk, f.cohort
+        |      FROM ev e JOIN fst f ON e.user_id = f.user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
