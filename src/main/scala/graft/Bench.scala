@@ -187,10 +187,14 @@ object Bench {
     // the MERGED stdout+stderr stream with a ~2 KB window and parses from
     // the end. sbt decorates stdout with an `[info] ` prefix but passes
     // stderr through undecorated, and appends its own `[success]` line
-    // after the program exits. So the undecorated stderr copy must be the
-    // LAST line this program emits: stdout (decorated) first — if the
-    // window clips anything it clips this copy's head — then stderr last,
-    // leaving a clean JSON line immediately before sbt's trailer.
+    // after the program exits. So emit stdout (decorated) first — if the
+    // window clips anything it should clip this copy's head — and the
+    // undecorated stderr copy last, aiming for a clean JSON line
+    // immediately before sbt's trailer. Caveat: the two streams reach the
+    // merged capture through sbt's separate pump threads, so program-order
+    // writes + flushes make this ordering overwhelmingly likely, not
+    // guaranteed — the $SPARK_GRAFT_OUT/BENCH.json file copy above is the
+    // channel that cannot be reordered or clipped.
     println(line)
     System.out.flush()
     System.err.println(line)

@@ -312,7 +312,7 @@ object DedupOps {
     "d55_train_split" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("lang"),
-          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"))
+          QueryUtil.splitAssign(col("doc_id")).as("split"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("split"))
@@ -370,7 +370,7 @@ object DedupOps {
       quality.join(dropped, Seq("doc_id"), "left_anti")
         .filter(col("lang") =!= "en" || col("doc_id") % 4 === 0)
         .select(col("lang"),
-          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"))
+          QueryUtil.splitAssign(col("doc_id")).as("split"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("split"))
@@ -407,7 +407,7 @@ object DedupOps {
       Tables.load(s, dir, "documents")
         .select(col("source"),
           QueryUtil.qualityKeep(col("text")).as("keep"),
-          when(col("doc_id") % 10 < 8, "train").otherwise("val").as("split"),
+          QueryUtil.splitAssign(col("doc_id")).as("split"),
           QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
         .groupBy(col("source"), col("keep"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
@@ -631,7 +631,7 @@ object DedupOps {
          |  SELECT doc_id, lang FROM quality
          |  WHERE doc_id NOT IN (SELECT idb FROM pairs)
          |    AND (lang != 'en' OR doc_id % 4 = 0))
-         |SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |SELECT lang, ${QueryUtil.oracleSplitCase} AS split,
          |  count(*) AS n
          |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -647,7 +647,7 @@ object DedupOps {
          |WHERE doc_id NOT IN (SELECT idb FROM pairs)
          |ORDER BY doc_id""".stripMargin,
     "d55_train_split" ->
-      """SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+      s"""SELECT lang, ${QueryUtil.oracleSplitCase} AS split,
         | count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d56_dedup_components" ->
@@ -669,7 +669,7 @@ object DedupOps {
 
     "d63_corpus_report" ->
       s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,
-         |  CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+         |  ${QueryUtil.oracleSplitCase} AS split,
          |  count(*) AS n_docs,
          |  CAST(sum(${QueryUtil.oracleTokenCount}) AS BIGINT) AS n_tokens
          |FROM documents

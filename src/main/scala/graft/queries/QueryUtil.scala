@@ -31,12 +31,14 @@ private[graft] object QueryUtil {
     * memo's intrinsic (reentrant) monitor, so a `mk` that nests
     * persistKeyed calls on the same session cannot deadlock; builds happen
     * OUTSIDE the lock (see persistKeyed). */
-  private final class SessionMemo(maxEntries: Int) {
+  private final class SessionMemo {
     private val map =
       new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) // access-order
     def get(key: String): DataFrame = synchronized(map.get(key))
-    /** Insert unless present; returns (winner, entries evicted by LRU). */
-    def putIfAbsent(key: String, df: DataFrame): (DataFrame, Seq[DataFrame]) =
+    /** Insert unless present; returns (winner, entries evicted by LRU).
+      * The cap is passed per call so a later conf change takes effect on
+      * the next insertion, not only at memo creation. */
+    def putIfAbsent(key: String, df: DataFrame, maxEntries: Int): (DataFrame, Seq[DataFrame]) =
       synchronized {
         val prev = map.get(key)
         if (prev != null) (prev, Nil)
@@ -74,27 +76,27 @@ private[graft] object QueryUtil {
     val perSession = persistedMemo.synchronized {
       hookEviction(s.sparkContext)
       var m = persistedMemo.get(s)
-      if (m == null) {
-        val cap = s.conf.getOption("graft.persist.maxEntries")
-          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(64)
-        m = new SessionMemo(cap)
-        persistedMemo.put(s, m)
-      }
+      if (m == null) { m = new SessionMemo; persistedMemo.put(s, m) }
       m
     }
+    val cap = s.conf.getOption("graft.persist.maxEntries")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(64)
     // The build runs OUTSIDE the memo lock: `mk` may itself call
     // persistKeyed on the same session (d56's components builder runs the
     // jaccard pipeline, which memoizes its own intermediates) and may take
     // arbitrarily long. get-then-putIfAbsent tolerates that nesting; a
-    // racing duplicate build is harmless (one copy wins, the loser's
-    // persist is unpinned).
+    // racing duplicate build is harmless — one copy wins, and the loser is
+    // simply DROPPED, not unpersisted: Spark's CacheManager keys cache
+    // entries by logical-plan sameResult, so the loser and winner (built
+    // from the same `mk` plan) share ONE cache entry, and unpersisting the
+    // loser would silently uncache the winner too. LRU eviction is safe
+    // because distinct memo keys come from distinct plans.
     val hit = perSession.get(key)
     if (hit != null) hit
     else {
       val built = mk.persist()
-      val (winner, evicted) = perSession.putIfAbsent(key, built)
+      val (winner, evicted) = perSession.putIfAbsent(key, built, cap)
       evicted.foreach(_.unpersist())
-      if (winner ne built) built.unpersist()
       winner
     }
   }
@@ -121,6 +123,17 @@ private[graft] object QueryUtil {
       length(regexp_replace(text, "[^aeiou]", "")).cast(DoubleType) / length(text)
     nTok >= 30 && nTok <= 200 && vowelRatio >= 0.27 && length(text) <= 450
   }
+
+  /** The deterministic train/val split rule (id-residue) — single
+    * definition shared by d55 (split), d58 (pipeline), and d63 (data
+    * card) so the published card cannot drift from the shipped splits;
+    * [[oracleSplitCase]] is its DuckDB mirror. */
+  def splitAssign(docId: Column): Column =
+    when(docId % 10 < 8, "train").otherwise("val")
+
+  /** DuckDB fragment mirroring [[splitAssign]] over `doc_id`. */
+  val oracleSplitCase: String =
+    "CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END"
 
   /** DuckDB fragment mirroring [[qualityKeep]] over the `text` column. */
   val oracleQualityPredicate: String =

@@ -21,8 +21,13 @@ import org.apache.spark.sql.types._
   * construct it in generated code). */
 case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 
-/** The currently-open session of one user (EventTimeTimeout variant). */
+/** One open session interval of one user (EventTimeTimeout variant). */
 case class OpenSess(startMicros: Long, lastMicros: Long, nEvents: Long)
+
+/** All open session intervals of one user, disjoint, gap-separated,
+  * ordered by start. More than one exists only while out-of-order events
+  * inside the watermark tolerance are still arriving. */
+case class OpenSessList(ss: Seq[OpenSess])
 
 object StreamingOps {
 
@@ -96,17 +101,21 @@ object StreamingOps {
 
   /** Production sessionization — flatMapGroupsWithState + EventTimeTimeout,
     * the variant `sessionize`'s NoTimeout comment promises: each session is
-    * emitted exactly once, when it CLOSES — either a later event of the same
-    * user arrives past the gap (closed in-batch), or the event-time
-    * watermark passes the session's gap-close point (timeout fires on a
-    * no-data micro-batch). The same timeout EVICTS the idle user's state
-    * (`state.remove()`), so state stays bounded over unbounded keys — the
+    * emitted exactly once, when the event-time watermark passes its
+    * gap-close point (on a data batch or a timeout-driven no-data batch) —
+    * the only moment a session is DEFINITIVELY over, since any earlier
+    * "close" could still be overturned by an allowed-late event bridging
+    * it. The same pass EVICTS emitted intervals and removes idle users'
+    * state entirely, so state stays bounded over unbounded keys — the
     * property that makes this the 100 TB shape, and exactly what NoTimeout
-    * lacks. Append-mode output (closed sessions are immutable facts):
-    * (user_id, start_micros, end_micros, n_events). Gap semantics match
-    * q45's session_window: an event at exactly lastTs + gap starts a new
-    * session (the window is half-open). StreamingSpec proves convergence:
-    * emitted == batch session_window sessions, up to the final watermark. */
+    * lacks. Out-of-order events across micro-batches (within the watermark
+    * delay) merge correctly into open intervals — spec-proven via a
+    * MemoryStream disorder scenario. Append-mode output (closed sessions
+    * are immutable facts): (user_id, start_micros, end_micros, n_events).
+    * Gap semantics match q45's session_window: an event at exactly
+    * lastTs + gap starts a new session (the window is half-open).
+    * StreamingSpec proves replay convergence against batch session_window
+    * up to the final watermark. */
   def sessionizeWithTimeout(spark: SparkSession, events: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
@@ -116,31 +125,46 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSess, (Long, Long, Long, Long)](
+      .flatMapGroupsWithState[OpenSessList, (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (userId, it, state: GroupState[OpenSess]) =>
-          if (state.hasTimedOut) {
-            // the watermark passed lastTs + gap: no event can extend this
-            // session any more — close it and evict the key entirely
-            val s = state.get
-            state.remove()
-            Iterator.single((userId, s.startMicros, s.lastMicros, s.nEvents))
-          } else {
-            val sorted = it.map(_._3).toArray.sorted
-            val closed = Seq.newBuilder[(Long, Long, Long, Long)]
-            var open = state.getOption.orNull
-            sorted.foreach { t =>
-              if (open == null) open = OpenSess(t, t, 1L)
-              else if (t - open.lastMicros >= gapMicros) {
-                closed += ((userId, open.startMicros, open.lastMicros, open.nEvents))
-                open = OpenSess(t, t, 1L)
-              } else open = OpenSess(open.startMicros, t, open.nEvents + 1L)
-            }
-            state.update(open)
-            // the watermark (and this API) is millisecond-based
-            state.setTimeoutTimestamp(open.lastMicros / 1000 + gapMicros / 1000)
-            closed.result().iterator
+        case (userId, it, state: GroupState[OpenSessList]) =>
+          // State is a LIST of open intervals, and events MERGE into them
+          // (possibly bridging two): an out-of-order event from a later
+          // micro-batch that lands inside/adjacent to an interval must
+          // extend its bounds, never drag lastMicros backwards — a single
+          // last-timestamp state mis-splits sessions and can emit
+          // end < start under cross-batch disorder. Intervals close ONLY
+          // when the watermark passes their gap-close point (a later
+          // event cannot close an earlier interval definitively, because
+          // an allowed-late event could still bridge them).
+          var ivs = state.getOption.map(_.ss.toList).getOrElse(Nil)
+          it.map(_._3).toArray.sorted.foreach { t =>
+            // same-session rule as session_window: strict gap on both
+            // sides (an event at exactly gap distance starts a new one)
+            val (touch, rest) = ivs.partition(iv =>
+              t > iv.startMicros - gapMicros && t < iv.lastMicros + gapMicros)
+            val merged =
+              if (touch.isEmpty) OpenSess(t, t, 1L)
+              else OpenSess(
+                math.min(t, touch.map(_.startMicros).min),
+                math.max(t, touch.map(_.lastMicros).max),
+                touch.map(_.nEvents).sum + 1L)
+            ivs = (merged :: rest).sortBy(_.startMicros)
           }
+          // close everything the watermark has passed: no event within the
+          // allowed lateness can extend those intervals any more. The same
+          // path serves both data batches and timeout-only invocations.
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = ivs.partition(_.lastMicros + gapMicros <= wmMs * 1000)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessList(open))
+            // ms-based API; must be strictly beyond the current watermark
+            // (micros->ms flooring could otherwise land exactly on it)
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.lastMicros).min / 1000 + gapMicros / 1000, wmMs + 1))
+          }
+          closed.map(s0 => (userId, s0.startMicros, s0.lastMicros, s0.nEvents)).iterator
       }
       .toDF("user_id", "start_micros", "end_micros", "n_events")
   }

@@ -71,25 +71,60 @@ class StreamingSpec extends AnyFunSuite {
           max(unix_micros(col("ts"))).as("smax"), count(lit(1)).as("n"))
         .select(col("user_id"), col("smin"), col("smax"), col("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      // expected: every non-final session per user closed in-batch (a later
-      // event crossed the gap); the final one closed iff the event-time
-      // watermark (max ts - 10 min delay, ms precision) STRICTLY passed its
-      // gap-close point — Spark fires EventTimeTimeout on timeout < watermark
+      // Sessions close only when the watermark passes their gap-close
+      // point (final watermark = max ts - 10 min delay, ms precision). The
+      // operator's close test is `close <= wm` but the closing invocation
+      // itself fires on Spark's strict `timeout < wm`, so boundary-equal
+      // sessions may legitimately land on either side: assert the strict
+      // core is emitted and everything emitted is a real batch session
+      // the watermark has (non-strictly) passed.
       val maxTsMs = Tables.load(spark, dir, "events")
         .agg(max(unix_micros(col("ts")))).collect().head.getLong(0) / 1000
       val watermarkMs = maxTsMs - 10 * 60 * 1000
       val gapMs = 30 * 60 * 1000
-      val expected = batch.groupBy(_._1).values.flatMap { ss =>
-        val sorted = ss.sortBy(_._2)
-        sorted.init ++ sorted.lastOption.filter(s => s._3 / 1000 + gapMs < watermarkMs)
-      }.toSet
-      assert(emitted.toSet == expected,
-        s"missing ${expected.diff(emitted.toSet).take(3)}, extra ${emitted.toSet.diff(expected).take(3)}")
+      val mustEmit = batch.filter(s => s._3 / 1000 + gapMs < watermarkMs).toSet
+      val mayEmit = batch.filter(s => s._3 / 1000 + gapMs <= watermarkMs).toSet
+      assert(mustEmit.subsetOf(emitted.toSet),
+        s"missing ${mustEmit.diff(emitted.toSet).take(3)}")
+      assert(emitted.toSet.subsetOf(mayEmit),
+        s"emitted a session the watermark hasn't closed: ${emitted.toSet.diff(mayEmit).take(3)}")
       // the replay must actually exercise the timeout path, not only
       // in-batch closes: at least one user's FINAL session must be present
       val finals = batch.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
       assert(emitted.toSet.intersect(finals).nonEmpty,
         "no watermark-closed session — the timeout path never fired")
+    } finally q.stop()
+  }
+
+  test("EventTimeTimeout sessionization merges cross-batch out-of-order events (no inverted/split sessions)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.sessionizeWithTimeout(spark,
+        mem.toDS().toDF("user_id", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ooo_sessions").start()
+    def ts(min: Int) = new java.sql.Timestamp(360000000L + min * 60000L)
+    try {
+      mem.addData((1L, ts(0))) // batch 1: event at T+0
+      q.processAllAvailable()
+      // batch 2: 5 min LATE but inside the 10-min watermark delay — must
+      // extend the open session backwards (single-last-timestamp state
+      // would set last=T-5 and later emit end < start)
+      mem.addData((1L, ts(-5)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(26))) // batch 3: 26 < 30-min gap from T+0 — same session
+      q.processAllAvailable()
+      // batch 4: far future events advance the watermark past T+26 + gap
+      mem.addData((1L, ts(120)), (1L, ts(200)))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.forall(r => r._2 <= r._3), s"inverted session bounds: ${rows.toSeq}")
+      val first = rows.minBy(_._2)
+      assert(first == ((1L, ts(-5).getTime * 1000, ts(26).getTime * 1000, 3L)),
+        s"late event did not merge into the open session: ${rows.toSeq}")
     } finally q.stop()
   }
 
