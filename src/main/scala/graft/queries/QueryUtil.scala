@@ -97,6 +97,15 @@ private[graft] object QueryUtil {
       val built = mk.persist()
       val (winner, evicted) = perSession.putIfAbsent(key, built, cap)
       evicted.foreach(_.unpersist())
+      // a same-plan loser shares the winner's single cache entry and must
+      // NOT be unpersisted (see the comment above) — but builders that end
+      // in localCheckpoint (cc:/scc:/ivf: keys) yield run-specific
+      // LogicalRDD plans, where the loser owns a DISTINCT entry that would
+      // otherwise leak (unreachable by the memo and its LRU) for the
+      // session's lifetime; sameResult distinguishes the two cases
+      if ((winner ne built) &&
+          !built.queryExecution.analyzed.sameResult(winner.queryExecution.analyzed))
+        built.unpersist()
       winner
     }
   }

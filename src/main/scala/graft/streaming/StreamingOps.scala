@@ -159,10 +159,20 @@ object StreamingOps {
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessList(open))
-            // ms-based API; must be strictly beyond the current watermark
-            // (micros->ms flooring could otherwise land exactly on it)
-            state.setTimeoutTimestamp(math.max(
-              open.map(_.lastMicros).min / 1000 + gapMicros / 1000, wmMs + 1))
+            // Spark fires a timeout only when `timeout < watermark`
+            // (strict) and rejects registrations at or below the current
+            // watermark — so register the EARLIEST legal firing point:
+            // ceil(closeMicros/1000) - 1 is the last ms value strictly
+            // below the first watermark at which the close test
+            // (closeMicros <= wm*1000) can pass, clamped to wmMs + 1.
+            // Registering later (e.g. a floor + 1ms overshoot) can land a
+            // timeout exactly ON a final watermark, where strict `<`
+            // never fires and a closable session stalls. (The one
+            // residual corner — the final watermark stopping exactly at
+            // the clamp — is inherent to the engine's strict comparison.)
+            val nextCloseMs =
+              open.map(iv => (iv.lastMicros + gapMicros + 999) / 1000 - 1).min
+            state.setTimeoutTimestamp(math.max(nextCloseMs, wmMs + 1))
           }
           closed.map(s0 => (userId, s0.startMicros, s0.lastMicros, s0.nEvents)).iterator
       }
