@@ -86,6 +86,23 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
+    // events for q64/q65: per-replica user_id/event_id offsets with
+    // timestamps UNCHANGED — every replica is an independent user
+    // population with the identical funnel/retention structure, so stage
+    // counts and cohort rows replicate xK while the ts distribution (and
+    // thus week buckets, watermark math) stays fixed. ts is kept as raw
+    // nanos LONG (Tables.load's DIV-1000 conversion applies unchanged).
+    def synthEvents(k: Int, out: String): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = spark.read.parquet(s"$baseDir/events.parquet")
+      base.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("event_id") + col("rep") * 1000000000000L).as("event_id"),
+          col("ts"), (col("user_id") + col("rep") * 1000000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
     def synthEmb(k: Int, out: String): Unit = {
       val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
       base.crossJoin(spark.range(k).select(col("id").as("rep")))
@@ -181,6 +198,17 @@ object ScaleProbe {
       val d = if (k == 1) baseDir else dir
       run("s58", k, d)
       run("s61", k, d)
+    }
+    for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
+      val dir = s"$workDir/events_x$k"
+      if (k > 1 && wanted("q64", "q65") &&
+          !new java.io.File(s"$dir/events.parquet").exists())
+        synthEvents(k, dir)
+      val e = if (k == 1) baseDir else dir
+      // funnel + retention: all stages shuffle on user_id, so time should
+      // track the event count (per-replica user populations are disjoint)
+      run("q64", k, e)
+      run("q65", k, e)
     }
 
     println("[scale] === results ===")
