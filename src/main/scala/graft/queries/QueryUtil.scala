@@ -53,6 +53,9 @@ private[graft] object QueryUtil {
           (df, evicted.result())
         }
       }
+    /** Snapshot of the live entries (for the eviction cross-uncache guard). */
+    def values: Seq[DataFrame] =
+      synchronized(map.values().toArray(Array.empty[DataFrame]).toSeq)
   }
 
   /** Contexts that already carry the eviction listener (weak: value holds no
@@ -96,7 +99,18 @@ private[graft] object QueryUtil {
     else {
       val built = mk.persist()
       val (winner, evicted) = perSession.putIfAbsent(key, built, cap)
-      evicted.foreach(_.unpersist())
+      // Cross-uncache guard (mirrors the loser path below): CacheManager
+      // keys cache entries by logical-plan sameResult, so if a SURVIVING
+      // entry's plan sameResults an evicted one, unpersisting the evictee
+      // would silently uncache the survivor too. Distinct memo keys wrap
+      // distinct plans today, but that is a convention of the current
+      // callers, not an invariant the map can enforce — guard, don't assume.
+      val survivors = perSession.values
+      evicted.foreach { e =>
+        if (!survivors.exists(v =>
+            v.queryExecution.analyzed.sameResult(e.queryExecution.analyzed)))
+          e.unpersist()
+      }
       // a same-plan loser shares the winner's single cache entry and must
       // NOT be unpersisted (see the comment above) — but builders that end
       // in localCheckpoint (cc:/scc:/ivf: keys) yield run-specific
@@ -109,6 +123,17 @@ private[graft] object QueryUtil {
       winner
     }
   }
+
+  /** The 30-minute session gap — single definition shared by the batch q45
+    * `session_window`, both streaming sessionizers (StreamingOps), and
+    * StreamingSpec's convergence math, so a gap change cannot silently
+    * desynchronize the stream/batch equivalence proofs (previously four
+    * hardcoded copies). The q45 DuckDB oracle string remains a deliberate
+    * hand-mirror, like every other oracle. */
+  val sessionGapMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** `session_window` duration-string form of [[sessionGapMicros]]. */
+  val sessionGapStr: String = s"${sessionGapMicros / 60000000L} minutes"
 
   /** Word n-grams of a token array as space-joined strings; empty array when
     * fewer than n tokens. Single definition shared by the shingle pipeline

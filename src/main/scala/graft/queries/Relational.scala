@@ -690,7 +690,7 @@ object Relational {
     // Session windows (gap-based) over batch data.
     "q45_sessionize" -> ((s, dir) => {
       val sess = t(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .groupBy(col("user_id"), session_window(col("ts"), QueryUtil.sessionGapStr))
         .agg(count(lit(1)).as("n_ev"))
       sess.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))

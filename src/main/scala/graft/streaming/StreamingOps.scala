@@ -80,7 +80,7 @@ object StreamingOps {
     * the watermark can evict idle keys. */
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val gapMicros = 30L * 60 * 1000 * 1000
+    val gapMicros = graft.queries.QueryUtil.sessionGapMicros
     events
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"))
       .as[(Long, Long)]
@@ -119,7 +119,7 @@ object StreamingOps {
   def sessionizeWithTimeout(spark: SparkSession, events: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    val gapMicros = 30L * 60 * 1000 * 1000
+    val gapMicros = graft.queries.QueryUtil.sessionGapMicros
     events
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"))
       .withWatermark("ts", watermarkDelay)

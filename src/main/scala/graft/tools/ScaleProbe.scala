@@ -93,14 +93,24 @@ object ScaleProbe {
     // thus week buckets, watermark math) stays fixed. ts is kept as raw
     // nanos LONG (Tables.load's DIV-1000 conversion applies unchanged).
     def synthEvents(k: Int, out: String): Unit = {
+      // nanosAsLong only for this read+write: restore the previous value so
+      // the shared probe session doesn't silently inherit the legacy
+      // interpretation for every later table (Tables.load sets it
+      // deliberately session-wide for its own reads; the probe must not).
+      val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = spark.read.parquet(s"$baseDir/events.parquet")
-      base.crossJoin(spark.range(k).select(col("id").as("rep")))
-        .select((col("event_id") + col("rep") * 1000000000000L).as("event_id"),
-          col("ts"), (col("user_id") + col("rep") * 1000000000L).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .repartition(cpus)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      try {
+        val base = spark.read.parquet(s"$baseDir/events.parquet")
+        base.crossJoin(spark.range(k).select(col("id").as("rep")))
+          .select((col("event_id") + col("rep") * 1000000000000L).as("event_id"),
+            col("ts"), (col("user_id") + col("rep") * 1000000000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(cpus)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     }
 
     def synthEmb(k: Int, out: String): Unit = {

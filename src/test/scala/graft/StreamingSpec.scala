@@ -66,7 +66,8 @@ class StreamingSpec extends AnyFunSuite {
       // batch mirror: per-session (user, first-event, last-event, count)
       // with the same 30-minute gap
       val batch = Tables.load(spark, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), graft.queries.QueryUtil.sessionGapStr))
         .agg(min(unix_micros(col("ts"))).as("smin"),
           max(unix_micros(col("ts"))).as("smax"), count(lit(1)).as("n"))
         .select(col("user_id"), col("smin"), col("smax"), col("n"))
@@ -81,7 +82,7 @@ class StreamingSpec extends AnyFunSuite {
       val maxTsMs = Tables.load(spark, dir, "events")
         .agg(max(unix_micros(col("ts")))).collect().head.getLong(0) / 1000
       val watermarkMs = maxTsMs - 10 * 60 * 1000
-      val gapMs = 30 * 60 * 1000
+      val gapMs = graft.queries.QueryUtil.sessionGapMicros / 1000
       val mustEmit = batch.filter(s => s._3 / 1000 + gapMs < watermarkMs).toSet
       val mayEmit = batch.filter(s => s._3 / 1000 + gapMs <= watermarkMs).toSet
       assert(mustEmit.subsetOf(emitted.toSet),
@@ -125,6 +126,56 @@ class StreamingSpec extends AnyFunSuite {
       val first = rows.minBy(_._2)
       assert(first == ((1L, ts(-5).getTime * 1000, ts(26).getTime * 1000, 3L)),
         s"late event did not merge into the open session: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("EventTimeTimeout clamp boundary: watermark stopping exactly at the clamped timeout stalls; +1 ms releases") {
+    // Pins the documented residual corner (StreamingOps.scala, timeout
+    // registration): when an open interval's close point X is exactly 1 ms
+    // above the current watermark, nextCloseMs = X-1 is clamped up to
+    // wmMs + 1 == X, and Spark's strict `timeout < watermark` firing means
+    // a final watermark stopping EXACTLY at X leaves the closable session
+    // unemitted — inherent to the engine's strict comparison, released by
+    // any further watermark advance. The spec proves both halves so the
+    // corner is regression-tested behavior, not an assumed comment.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingOps.sessionizeWithTimeout(spark,
+        mem.toDS().toDF("user_id", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("clamp_sessions").start()
+    val gapMs = graft.queries.QueryUtil.sessionGapMicros / 1000 // 1_800_000
+    val delayMs = 600000L // the 10-minute default watermark delay
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 10000000L
+    val closeX = t0 + gapMs // user 1's session close point, ms
+    def emittedStarts() = spark.table("clamp_sessions").collect()
+      .map(_.getLong(1)).toSet
+    try {
+      mem.addData((1L, ts(t0))) // batch 1: the session under test
+      q.processAllAvailable()
+      // batch 2: driver-user event placing the watermark at exactly X-1
+      mem.addData((99L, ts(closeX - 1 + delayMs)))
+      q.processAllAvailable()
+      // batch 3: fresh user-1 event (above the watermark, > gap away, so a
+      // SECOND open interval) forces a state invocation at wm == X-1: the
+      // old interval stays open (X > wm) and min nextCloseMs = X-1 is
+      // clamped to wm+1 == X — the corner's precondition.
+      mem.addData((1L, ts(closeX + 200001L)))
+      q.processAllAvailable()
+      // batch 4: watermark advances to EXACTLY X. Close test passes
+      // (X <= wm) but strict firing (X < X) does not: the documented stall.
+      mem.addData((99L, ts(closeX + delayMs)))
+      q.processAllAvailable()
+      assert(!emittedStarts().contains(t0 * 1000),
+        "session emitted at the exact clamp boundary — the documented strict-< stall no longer holds")
+      // batch 5: one more millisecond of watermark releases it.
+      mem.addData((99L, ts(closeX + delayMs + 1)))
+      q.processAllAvailable()
+      assert(emittedStarts().contains(t0 * 1000),
+        s"clamped session never released: ${spark.table("clamp_sessions").collect().toSeq}")
     } finally q.stop()
   }
 
