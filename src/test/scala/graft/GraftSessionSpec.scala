@@ -189,6 +189,43 @@ class GraftSessionSpec extends AnyFunSuite {
       "rand() sort key was folded — cached plan would replay one shuffle order")
   }
 
+  test("folded facade queries submit ZERO Spark jobs (listener-counted regression gate)") {
+    // The ms-latency story (local_agg_ms/local_sort_ms in Bench; the
+    // reference's whole regime) rests on folded plans never launching a
+    // job. The plan-shape assertions above prove the fold HAPPENED; this
+    // gate proves its runtime consequence directly — a collect over the
+    // folded plan submits no job — so a future rule/conf change (like the
+    // original ConvertToLocalRelation exclusion) that silently
+    // re-introduces the ~0.2 s job floor fails here by construction.
+    val sc = g.spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val folded = Seq(
+      "SELECT genda, count(*) AS n, sum(age) AS s FROM people GROUP BY genda",
+      "SELECT genda, count(*) AS n FROM people GROUP BY genda ORDER BY n DESC, genda LIMIT 3",
+      "SELECT name, age FROM people WHERE age >= 3",
+      "SELECT upper(name) AS u FROM people LIMIT 2")
+    folded.foreach(q => g.sql(q)) // warm the plan cache (the cached regime)
+    sc.addSparkListener(listener)
+    try {
+      folded.foreach(q => assert(g.sql(q).rows.nonEmpty))
+      org.apache.spark.graft.ListenerBridge.drain(sc, 10000)
+      assert(jobs.get() == 0,
+        s"folded facade queries submitted ${jobs.get()} Spark job(s) — job floor re-introduced")
+      // control: a deliberately non-foldable query through the SAME facade
+      // and listener must count jobs, proving the counter observes this
+      // session (a silently-detached listener would green-light anything)
+      g.sql("SELECT genda, collect_list(name) AS ns FROM people GROUP BY genda")
+      org.apache.spark.graft.ListenerBridge.drain(sc, 10000)
+      assert(jobs.get() > 0,
+        "control query counted no job — the listener is not observing this session")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("aggregate fold normalizes floating-point grouping keys (-0.0/NaN parity with distributed)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // The fold groups on raw UnsafeRow key bytes and runs before the
