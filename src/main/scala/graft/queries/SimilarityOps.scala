@@ -121,18 +121,59 @@ object SimilarityOps {
   val LshTables = 16
   val LshBits = 4
 
+  /** Per-table LSH signatures (vec_id, embedding, tbl, bucket) — ONE
+    * definition shared by the in-memory bucket join (annLsh) and the
+    * partitioned storage path (writeLshBuckets/probeLshBuckets): the two
+    * must agree or a stored-layout probe would read the wrong buckets. */
+  private[graft] def lshSignatures(s: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
+    GraftFunctions.register(s)
+    emb(s, dir).select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        s"transform(sequence(0, ${tables - 1}), t -> graft_hyperplane(embedding, t, $bits))"))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  /** The LSH storage layer at 100 TB, made concrete (parity with the IVF
+    * path's writeIvfCorpus): corpus signatures materialized hive-partitioned
+    * by (tbl, bucket), so a query's probe list — its own `tables` signature
+    * pairs — becomes a partition-pruned scan reading only those bucket
+    * directories (OperatorsSpec asserts selectedPartitions == the probed
+    * pairs present in the layout). This is what turns "candidates = union
+    * of same-bucket vectors" from a full signature-table shuffle join into
+    * reading ~tables/(tables·2^bits) of the bytes per query. */
+  def writeLshBuckets(s: SparkSession, dir: String, path: String,
+      tables: Int, bits: Int): Unit =
+    graft.sources.Sinks.writePartitioned(
+      lshSignatures(s, dir, tables, bits).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"),
+          col("tbl"), col("bucket")),
+      path, Seq("tbl", "bucket"))
+
+  /** Partition-pruned probe read over a writeLshBuckets layout: `probes` is
+    * a query's (tbl, bucket) signature pairs. The disjunction of
+    * per-partition-column conjunctions stays entirely in PartitionFilters —
+    * both columns are partition keys, so no data file outside the probed
+    * bucket dirs is opened. */
+  def probeLshBuckets(s: SparkSession, path: String,
+      probes: Seq[(Int, Int)]): DataFrame = {
+    require(probes.nonEmpty, "empty probe list")
+    graft.sources.Sinks.readPartitioned(s, path)
+      .filter(probes.map { case (t, b) =>
+        col("tbl") === t && col("bucket") === b
+      }.reduce(_ || _))
+  }
+
   /** Approximate NN via random-hyperplane LSH: `tables` tables x `bits`
     * bits. The candidate set is the union over tables of same-bucket
     * vectors; exact cosine re-rank inside candidates. The bucket join is a
     * shuffle on (table, bucket) — no cross product; at 100 TB the corpus
-    * signatures are precomputed and the per-table bucket lists stored
-    * partitioned by bucket id. */
+    * signatures are precomputed and stored partitioned by (table, bucket)
+    * via [[writeLshBuckets]], probed partition-pruned via
+    * [[probeLshBuckets]]. */
   def annLsh(s: SparkSession, dir: String, tables: Int, bits: Int): DataFrame = {
     GraftFunctions.register(s)
-    val sigd = emb(s, dir).select(col("vec_id"), col("embedding"),
-      posexplode(expr(
-        s"transform(sequence(0, ${tables - 1}), t -> graft_hyperplane(embedding, t, $bits))"))
-        .as(Seq("tbl", "bucket")))
+    val sigd = lshSignatures(s, dir, tables, bits)
     val q = broadcast(sigd.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("tbl"), col("bucket")))

@@ -99,6 +99,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(read.select("cell").distinct().collect().map(_.getInt(0)).toSet == probes.toSet)
   }
 
+  test("LSH buckets partitioned by (tbl, bucket): a query's probe reads only its bucket dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.SimilarityOps
+    // storage parity with the IVF path: corpus signatures written
+    // hive-partitioned by (tbl, bucket); a query's own signature pairs
+    // become PartitionFilters and the scan touches only those bucket dirs
+    val tables = SimilarityOps.LshTables
+    val bits = SimilarityOps.LshBits
+    val out = java.nio.file.Files.createTempDirectory("graft-lsh-").toString
+    SimilarityOps.writeLshBuckets(spark, dir, out, tables, bits)
+    val layout = Sinks.readPartitioned(spark, out)
+      .select("tbl", "bucket").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // probe list = query vector 0's own signature pairs (what annLsh joins on)
+    val probes = SimilarityOps.lshSignatures(spark, dir, tables, bits)
+      .filter(col("vec_id") === 0)
+      .select("tbl", "bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(probes.size == tables)
+    val present = probes.toSet.intersect(layout)
+    assert(layout.size > present.size, "probe covers the whole layout — pruning unobservable")
+    val read = SimilarityOps.probeLshBuckets(spark, out, probes)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one file scan:\n${read.queryExecution.executedPlan}")
+    assert(scans.head.selectedPartitions.partitionCount == present.size,
+      s"scan read ${scans.head.selectedPartitions.partitionCount} partition dirs, " +
+        s"expected ${present.size} of ${layout.size}")
+    // the pruned read yields exactly the in-memory bucket join's candidate
+    // set for this query — the storage path changes the I/O, not the answer
+    val stored = read.select("nid").distinct().collect().map(_.getLong(0)).toSet
+    val sigs = SimilarityOps.lshSignatures(spark, dir, tables, bits)
+    val inMem = sigs.filter(col("vec_id") === 0)
+      .select(col("tbl"), col("bucket"))
+      .join(sigs.filter(col("vec_id") >= 10), Seq("tbl", "bucket"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(stored == inMem,
+      s"stored-layout candidates diverge from in-memory join: ${stored.diff(inMem).take(3)} / ${inMem.diff(stored).take(3)}")
+  }
+
   test("shard export: one (lang, shard) partition dir per packed shard, pruned on read") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
