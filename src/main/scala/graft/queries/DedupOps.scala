@@ -389,6 +389,16 @@ object DedupOps {
     // production-width 13-gram variant is brute-force-spec'd.
     "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
+    // Incremental decontamination — the delta form production pipelines
+    // actually run: d60 recomputes the full train×eval join per eval set,
+    // d64 probes the standing train inverted index with ONLY the new
+    // benchmark's shingles (here the %89 residue class stands in for it).
+    // The stored-index variant (writeTrainIndex: bucketed on sh, probe
+    // exchange-free on the index side) is plan-asserted in OperatorsSpec
+    // along with delta ≡ stored-probe equivalence.
+    "d64_decontam_delta" -> ((s, dir) =>
+      decontaminateDelta(trainIndex(s, dir), evalShingles(s, dir, 89, 1))),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -496,6 +506,65 @@ object DedupOps {
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
       .orderBy(col("doc_id"))
   }
+
+  /** MinHash band-bucket key of a text column — d53's signature
+    * construction (word-3-gram shingles → xxhash64 → minhash → band hash)
+    * collapsed to ONE band of `r` hashes, usable as a single-value dedup
+    * key (the streaming near-dup variant, StreamingOps.dedupContentNear).
+    * Shares wordNgrams and the shingle-hash rule with the batch pipeline so
+    * the two cannot drift. Short texts (< 3 tokens ⇒ empty shingle set)
+    * fall back to an exact content hash in a disjoint hash namespace —
+    * without it every short doc would share the empty-signature key.
+    * Requires GraftFunctions.register on the session. */
+  private[graft] def minhashBandKey(text: Column, r: Int): Column = {
+    val shingles = array_distinct(QueryUtil.wordNgrams(split(trim(text), "\\s+"), 3))
+    when(size(shingles) > 0,
+      xxhash64(lit(0), call_function("graft_minhash",
+        transform(shingles, x => xxhash64(x)), lit(r), lit(42L))))
+      .otherwise(xxhash64(lit(1), text))
+  }
+
+  /** Train-side inverted shingle index (doc_id, sh) — what a production
+    * pipeline materializes ONCE ([[writeTrainIndex]]: bucketed on sh) and
+    * probes per new eval set, instead of re-shingling and re-joining the
+    * whole corpus every time a benchmark is added. Train membership is
+    * d60's rule (the non-%97 residue class). */
+  private[graft] def trainIndex(s: SparkSession, dir: String, width: Int = 3): DataFrame =
+    hashedDocs(s, dir, width)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .filter(col("doc_id") % 97 =!= 0)
+
+  /** Eval-side shingles (eid, sh) of one doc_id residue class — the stand-in
+    * for "a NEW benchmark's shingle set" in d64 and its spec. */
+  private[graft] def evalShingles(s: SparkSession, dir: String,
+      modulus: Int, residue: Int, width: Int = 3): DataFrame =
+    hashedDocs(s, dir, width)
+      .select(col("doc_id").as("eid"), explode(col("hs")).as("sh"))
+      .filter(col("eid") % modulus === residue)
+
+  /** Store the train inverted index bucketed + per-bucket-sorted on the
+    * shingle hash. Every later delta probe then joins on `sh` with NO
+    * exchange of the index side (plan-asserted in OperatorsSpec): at
+    * 100 TB the index is the corpus-sized side of the join, and not
+    * reshuffling it per new eval set is the whole win of the incremental
+    * form — the probe's cost scales with the EVAL set, not the corpus. */
+  def writeTrainIndex(s: SparkSession, dir: String, tableName: String,
+      width: Int = 3, buckets: Int = 16): Unit =
+    graft.sources.Sinks.writeBucketed(trainIndex(s, dir, width), tableName, "sh", buckets)
+
+  /** Incremental (delta) decontamination: flag train docs sharing a
+    * `width`-gram with a NEW eval set, given the train index (the stored
+    * bucketed table, or an in-memory frame) and the new eval shingles
+    * (sh, eid). Same join + partial/final distinct-count shape as the full
+    * d60 form — delta ≡ full recompute on the new set, spec-proven. The
+    * self-pair guard (doc_id != eid) covers eval sets drawn from the same
+    * corpus; external eval text has disjoint ids and the guard is a no-op. */
+  def decontaminateDelta(index: DataFrame, newEval: DataFrame): DataFrame =
+    index.join(newEval, "sh")
+      .filter(col("doc_id") =!= col("eid"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
+      .orderBy(col("doc_id"))
 
   /** SimHash candidate generation + exact hamming filter via Manku-style
     * combination banding: split the 64-bit signature into 8 byte-blocks and
@@ -701,6 +770,17 @@ object DedupOps {
         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
         |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
         |FROM tr t JOIN ev e ON t.shingle = e.shingle
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d64_decontam_delta" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), ev AS (SELECT doc_id AS eid, shingle FROM sh WHERE doc_id % 89 = 1),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
+        |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
+        |FROM tr t JOIN ev e ON t.shingle = e.shingle AND t.doc_id != e.eid
         |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -722,6 +722,31 @@ object Relational {
         .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
     }),
 
+    // Bounded-gap funnel: q64 with each stage ALSO bounded above — convert
+    // within 2 days of the previous stage, the form real funnel analytics
+    // uses (an unbounded funnel counts a purchase a year after the click
+    // as conversion). Identical co-partitioned stage shape; the window is
+    // one extra predicate in each stage's post-join filter, evaluated
+    // before the per-stage aggregate, so no new shuffle and the same
+    // exchange-reuse as q64. Window arithmetic stays inside each engine
+    // (timestamp + literal interval) — no cross-engine format surface.
+    "q66_funnel_window" -> ((s, dir) => {
+      val maxGap = expr("INTERVAL 2 DAYS")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("v_ts") && col("ts") <= col("v_ts") + maxGap)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("c_ts") && col("ts") <= col("c_ts") + maxGap)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    }),
+
     // Weekly cohort retention: cohort = ISO week of a user's first event,
     // retained = distinct users active at each week offset. Two aggregates
     // and one user_id equi-join; weeks are Monday-truncated in both
@@ -1147,6 +1172,21 @@ object Relational {
         |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
         |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
         |       (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked,
+        |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+
+    "q66_funnel_window" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL '2 days' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL '2 days' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
         |       (SELECT count(*) FROM c) AS n_clicked,
         |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
 

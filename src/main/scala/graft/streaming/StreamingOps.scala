@@ -216,6 +216,43 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
 
+  /** Streaming exact-CONTENT dedup — the content-level form of
+    * [[dedupBounded]] (which keys on event_id): dedup key = md5 of the
+    * document text, so byte-identical documents are dropped regardless of
+    * id, with state bounded by the watermark exactly as in dedupBounded.
+    * This is the d50 batch guarantee carried to an unbounded 100 TB/day
+    * stream: duplicates arriving within the watermark delay are dropped
+    * exactly; a duplicate later than the delay may pass — the explicit
+    * bounded-state tradeoff. Input needs (doc_id, text, ts). */
+  def dedupContentExact(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("ckey", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("ckey")
+      .select(col("doc_id"), col("ckey"))
+
+  /** Streaming NEAR-dup dedup: the dedup key is a MinHash band bucket
+    * (one band of `r` hashes over word-3-gram shingles — the d53 batch
+    * construction via DedupOps.minhashBandKey), so reworded-but-similar
+    * documents collapse to one survivor. Approximation bound (documented,
+    * not hidden): a single band catches a pair of Jaccard similarity J
+    * with probability J^r — at r=4: J=0.99 → 0.96, J=0.9 → 0.66 — and
+    * drops a dissimilar pair only on a band collision (≈ J^r, negligible
+    * below J~0.5). Batch LSH OR-amplifies across 32 bands; a streaming
+    * dedup key must be ONE value, so the single-band form trades recall
+    * for bounded per-key state — raise r for precision, lower it for
+    * recall. Byte-identical texts always collapse (J=1 ⇒ key equality is
+    * deterministic). State is watermark-bounded as in dedupContentExact. */
+  def dedupContentNear(spark: SparkSession, docs: DataFrame,
+      delay: String = "10 minutes", r: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs
+      .withColumn("bkey", graft.queries.DedupOps.minhashBandKey(col("text"), r))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("bkey")
+      .select(col("doc_id"), col("bkey"))
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

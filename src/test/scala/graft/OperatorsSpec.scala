@@ -188,6 +188,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental decontamination: stored bucketed index probes exchange-free, delta == in-memory recompute") {
+    import graft.queries.DedupOps
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the bucket-join path
+    try {
+      DedupOps.writeTrainIndex(spark, dir, "train_idx_b", width = 3, buckets = 8)
+      val newEval = DedupOps.evalShingles(spark, dir, 89, 1)
+      // plan: the probe join must not reshuffle the index side — only the
+      // (eval-set-sized) probe side gets an exchange. At 100 TB the index
+      // is the corpus-sized side; this is the delta form's whole win.
+      val probeJoin = spark.table("train_idx_b").join(newEval, "sh")
+      val planStr = probeJoin.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+      assert(nExchanges <= 1,
+        s"index side reshuffled ($nExchanges exchanges):\n$planStr")
+      assert(planStr.contains("Bucketed: true"),
+        s"index not read as a bucketed scan:\n$planStr")
+      // correctness: probing the STORED index == the in-memory delta (the
+      // d64 contract query) on the same new eval set
+      val stored = DedupOps.decontaminateDelta(spark.table("train_idx_b"), newEval)
+        .collect().map(_.toString).toSeq
+      val inMem = SparkEntry.queries("d64")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(stored.nonEmpty, "delta probe flagged nothing — eval class empty?")
+      assert(stored == inMem,
+        s"stored-index delta diverges from in-memory recompute: ${stored.diff(inMem).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS train_idx_b")
+    }
+  }
+
   test("streaming dropDuplicates converges to batch distinct") {
     val events = graft.streaming.StreamingOps.eventsStream(spark, dir)
     val q = graft.streaming.StreamingOps.runToMemorySink(

@@ -193,6 +193,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-content dedup (md5 key) converges to batch distinct-by-content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus + injected byte-identical duplicates under NEW ids in a
+    // LATER batch (the cross-batch case a per-batch distinct would miss)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ts(id: Long) = new java.sql.Timestamp(500000000L + id * 1000)
+    val dups = docs.take(20).map { case (id, text) => (id + 1000000L, text) }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.dedupContentExact(
+        mem.toDS().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("content_dedup").start()
+    try {
+      mem.addData(docs.map { case (id, t) => (id, t, ts(id)) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(dups.map { case (id, t) => (id, t, ts(id)) }.toSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("content_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // batch mirror over everything fed: one survivor per distinct text
+      val batchDistinct = docs.map(_._2).distinct.length
+      assert(out.length == batchDistinct,
+        s"stream kept ${out.length} docs vs batch ${batchDistinct} distinct texts")
+      assert(out.map(_._2).distinct.length == out.length, "emitted a duplicate content key")
+      // every injected cross-batch duplicate was dropped
+      assert(!out.exists(_._1 >= 1000000L), "a cross-batch byte-duplicate survived")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup dedup (MinHash band key) converges to batch distinct-by-band") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ts(id: Long) = new java.sql.Timestamp(500000000L + id * 1000)
+    // byte-identical dups (J=1: band-key equality deterministic) in a later batch
+    val dups = docs.take(20).map { case (id, text) => (id + 1000000L, text) }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.dedupContentNear(spark,
+        mem.toDS().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup_stream").start()
+    try {
+      mem.addData(docs.map { case (id, t) => (id, t, ts(id)) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(dups.map { case (id, t) => (id, t, ts(id)) }.toSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // batch mirror: distinct count of the SAME band-key expression over
+      // everything fed — full-replay convergence of the streaming form
+      graft.functions.GraftFunctions.register(spark)
+      val fed = (docs ++ dups).toSeq.toDF("doc_id", "text")
+      val batchKeys = fed.select(
+          graft.queries.DedupOps.minhashBandKey(col("text"), 4).as("bkey"))
+        .distinct().count()
+      assert(out.length == batchKeys,
+        s"stream kept ${out.length} docs vs batch ${batchKeys} distinct band keys")
+      assert(out.map(_._2).distinct.length == out.length, "emitted a duplicate band key")
+      assert(!out.exists(_._1 >= 1000000L), "a byte-identical near-dup (J=1) survived")
+      // the band key genuinely coarsens: it must not exceed (and for a real
+      // corpus should undercut) the exact-content key count — near-dups merge
+      val exactKeys = fed.select(md5(col("text")).as("k")).distinct().count()
+      assert(batchKeys <= exactKeys, "band key finer than exact content key")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the batch theta join") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.clickPurchaseJoin(StreamingOps.eventsStream(spark, dir)),
