@@ -211,14 +211,17 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
-      if (k > 1 && wanted("q64", "q65") &&
+      if (k > 1 && wanted("q64", "q65", "q66") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       val e = if (k == 1) baseDir else dir
       // funnel + retention: all stages shuffle on user_id, so time should
-      // track the event count (per-replica user populations are disjoint)
+      // track the event count (per-replica user populations are disjoint);
+      // q66's two-sided gap adds one predicate per stage, not a shuffle —
+      // it must scale indistinguishably from q64
       run("q64", k, e)
       run("q65", k, e)
+      run("q66", k, e)
     }
 
     println("[scale] === results ===")
