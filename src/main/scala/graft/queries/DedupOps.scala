@@ -399,6 +399,16 @@ object DedupOps {
     "d64_decontam_delta" -> ((s, dir) =>
       decontaminateDelta(trainIndex(s, dir), evalShingles(s, dir, 89, 1))),
 
+    // Incremental ingestion dedup — the daily-batch form of d53: flag each
+    // incoming doc (the %7 residue class stands in for today's batch) that
+    // near-duplicates the STANDING corpus, with its earliest corpus match.
+    // Candidates from band-bucket co-occurrence only (batch×corpus, never
+    // corpus×corpus), verified exact; the stored-index variant
+    // (writeIngestIndex/probeIngestIndex, corpus sides pre-bucketed so only
+    // batch-sized data shuffles) is plan-asserted + equivalence-spec'd in
+    // OperatorsSpec.
+    "d65_ingest_dedup" -> ((s, dir) => ingestDedup(s, dir, 0.8)),
+
     // Exact near-dup pairs (inverted-index similarity join), J >= 0.4.
     "d52_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(s, dir, 0.4).orderBy(col("ida"), col("idb"))),
@@ -565,6 +575,95 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
       .orderBy(col("doc_id"))
+
+  /** MinHash band buckets (doc_id, bucket) over a (doc_id, hs) frame —
+    * d53's 32×4 banding with the band id folded into the bucket hash, so
+    * `bucket` ALONE is the join key (a cross-band collision needs a 64-bit
+    * hash collision, and even then the exact verify discards it — extra
+    * candidates can never change the output). Shared by the in-memory d65
+    * form and the stored-index ingestion probe. */
+  private def bandBuckets(docs: DataFrame): DataFrame = {
+    val numHashes = 128; val bands = 32; val r = 4
+    docs.select(col("doc_id"), expr(s"graft_minhash(hs, $numHashes, 42)").as("sig"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
+        .as("bucket"))
+  }
+
+  /** The d65 ingestion split: incoming "today's batch" = the %7 residue
+    * class, standing corpus = the rest. One definition for the query, the
+    * stored-index spec, and the oracle mirror. */
+  private[graft] val IngestMod = 7
+  private[graft] val IngestResidue = 2
+
+  /** Incremental INGESTION dedup — the daily shape of d53: a new batch of
+    * documents arrives and each incoming doc must be checked for near-dups
+    * (J ≥ t) AGAINST THE STANDING CORPUS without re-banding or re-joining
+    * the corpus with itself. Candidates come from band-bucket co-occurrence
+    * between the incoming batch's buckets and the corpus buckets (at scale:
+    * the STORED bucket index — writeIngestIndex/probeIngestIndex — so probe
+    * cost scales with the batch, not the corpus); verify is the exact
+    * Jaccard kernel. Output per flagged incoming doc: its earliest corpus
+    * match and the match count. Exact at the J ≥ 0.8 gate by the d53 miss
+    * bound ((1-J^4)^32 ≤ 6e-8). */
+  /** The incoming-batch (doc_id, hs) frame of the d65 scenario — also what
+    * the stored-index spec feeds to probeIngestIndex. */
+  private[graft] def ingestIncoming(s: SparkSession, dir: String): DataFrame =
+    hashedDocs(s, dir).filter(col("doc_id") % IngestMod === IngestResidue)
+
+  private[graft] def ingestDedup(s: SparkSession, dir: String, t: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = hashedDocs(s, dir)
+    val corpus = docs.filter(col("doc_id") % IngestMod =!= IngestResidue)
+    val incoming = ingestIncoming(s, dir)
+    val cand = bandBuckets(incoming)
+      .join(bandBuckets(corpus).select(col("doc_id").as("cid"), col("bucket")), "bucket")
+      .select(col("doc_id").as("ida"), col("cid").as("idb")).distinct()
+    verifyJaccard(cand, docs, t)
+      .groupBy(col("ida"))
+      .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
+      .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Store the standing corpus's ingestion index: band buckets bucketed on
+    * `bucket` (the probe join key) and the per-doc shingle arrays bucketed
+    * on `doc_id` (the verify join key) — the two tables a production
+    * pipeline maintains so that per-batch dedup never reshuffles the
+    * corpus. Both probes are plan-asserted exchange-free on the stored
+    * side in OperatorsSpec. */
+  def writeIngestIndex(s: SparkSession, dir: String, bucketsTable: String,
+      shinglesTable: String, numBuckets: Int = 16): Unit = {
+    GraftFunctions.register(s)
+    val corpus = hashedDocs(s, dir)
+      .filter(col("doc_id") % IngestMod =!= IngestResidue)
+    graft.sources.Sinks.writeBucketed(bandBuckets(corpus), bucketsTable, "bucket", numBuckets)
+    graft.sources.Sinks.writeBucketed(corpus, shinglesTable, "doc_id", numBuckets)
+  }
+
+  /** Probe a stored ingestion index with a new batch (doc_id, hs): same
+    * output as the in-memory d65 form (spec-proven), but the corpus-sized
+    * sides arrive pre-bucketed — only batch-sized data shuffles. */
+  def probeIngestIndex(s: SparkSession, bucketsTable: String,
+      shinglesTable: String, incoming: DataFrame, t: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val cand = bandBuckets(incoming)
+      .join(s.table(bucketsTable).select(col("doc_id").as("cid"), col("bucket")), "bucket")
+      .select(col("doc_id").as("ida"), col("cid").as("idb")).distinct()
+    // verify joins the incoming side from the batch frame and the corpus
+    // side from the stored shingle table (bucketed on doc_id)
+    cand
+      .join(incoming.select(col("doc_id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(s.table(shinglesTable).select(col("doc_id").as("idb"), col("hs").as("hsb")), "idb")
+      .select(col("ida"), col("idb"),
+        (expr("graft_intersect_size(hsa, hsb)").cast(DoubleType) /
+          (size(col("hsa")) + size(col("hsb")) - expr("graft_intersect_size(hsa, hsb)"))).as("jac"))
+      .filter(col("jac") >= t)
+      .groupBy(col("ida"))
+      .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
+      .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
+      .orderBy(col("doc_id"))
+  }
 
   /** SimHash candidate generation + exact hamming filter via Manku-style
     * combination banding: split the 64-bit signature into 8 byte-blocks and
@@ -771,6 +870,27 @@ object DedupOps {
         |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
         |FROM tr t JOIN ev e ON t.shingle = e.shingle
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Same exactness contract as d53's oracle: at J >= 0.8 the banding miss
+    // probability is <= 6e-8, so the exact SQL mirror applies.
+    "d65_ingest_dedup" ->
+      s"""WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s FROM documents)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle
+        | WHERE a.doc_id % $IngestMod = $IngestResidue
+        |   AND b.doc_id % $IngestMod != $IngestResidue
+        | GROUP BY 1, 2),
+        |j AS (SELECT ida, idb FROM common
+        |      JOIN sizes sa ON sa.doc_id = ida
+        |      JOIN sizes sb ON sb.doc_id = idb
+        |      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+        |SELECT ida AS doc_id, min(idb) AS dup_of, count(*) AS n_matches
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d64_decontam_delta" ->
       """WITH sh AS (

@@ -219,6 +219,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestion dedup: stored corpus index probes without reshuffling either stored table; probe == in-memory d65") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.queries.DedupOps
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // structural plan traversal below
+    try {
+      DedupOps.writeIngestIndex(spark, dir, "ing_buckets", "ing_shingles", numBuckets = 8)
+      val incoming = DedupOps.ingestIncoming(spark, dir)
+      val probe = DedupOps.probeIngestIndex(spark, "ing_buckets", "ing_shingles", incoming, 0.8)
+      // the delta claim, structurally: each join side that DIRECTLY reads a
+      // stored table (no nested join below it) must be exchange-free — the
+      // stored tables enter their joins pre-bucketed, while downstream
+      // shuffles (candidate distinct, final aggregate) only ever carry
+      // batch-sized data. (Exchanges above the joins are expected; an
+      // exchange between a stored scan and its join is the regression.)
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val plan = probe.queryExecution.executedPlan
+      val storedSides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }
+        .flatten.filter { side =>
+          side.collect { case jj: SortMergeJoinExec => jj }.isEmpty &&
+            side.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty
+        }
+      assert(storedSides.size == 2,
+        s"expected the 2 stored tables as direct join sides, got ${storedSides.size}:\n$plan")
+      storedSides.foreach { side =>
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"a stored index table was reshuffled before its join:\n$side")
+      }
+      // equivalence: the stored-index probe == the in-memory contract query
+      val stored = probe.collect().map(_.toString).toSeq
+      val inMem = SparkEntry.queries("d65")(spark, dir).collect().map(_.toString).toSeq
+      assert(stored.nonEmpty, "probe flagged nothing — scenario degenerate")
+      assert(stored == inMem,
+        s"stored-index probe diverges from in-memory d65: ${stored.diff(inMem).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS ing_buckets")
+      spark.sql("DROP TABLE IF EXISTS ing_shingles")
+    }
+  }
+
   test("streaming dropDuplicates converges to batch distinct") {
     val events = graft.streaming.StreamingOps.eventsStream(spark, dir)
     val q = graft.streaming.StreamingOps.runToMemorySink(
