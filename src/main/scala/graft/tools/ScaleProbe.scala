@@ -57,6 +57,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // stored delta-probe indexes land under the work dir, not the repo
+      .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -136,10 +138,26 @@ object ScaleProbe {
     // variant (C(8,3)=56 tables × 24-bit buckets, complete for hamming≤5) —
     // the scheme SCALE.md names as the next step once 16-bit bucket
     // occupancy grows; measured here at the same corpora as d54.
+    // Delta probes (d64_probe / d65_probe): a FIXED probe input — the base
+    // sf's new-eval shingle set / incoming batch — against a stored index
+    // built (outside timing) from the ×K corpus. The production claim under
+    // test: the corpus-sized side enters its joins pre-bucketed, so probe
+    // SHUFFLE stays probe-sized while the corpus grows ×K; wall is bounded
+    // by the index scan, never by reshuffling it.
+    def tblSuffix(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
     val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
       "d54_triple" -> ((s, d) =>
         graft.queries.DedupOps.simhashPairs(s, d, choose = 3, maxHamming = 5)
-          .orderBy(col("ida"), col("idb"))))
+          .orderBy(col("ida"), col("idb"))),
+      "d64_probe" -> ((s, d) =>
+        graft.queries.DedupOps.decontaminateDelta(
+          s.table(s"scale_train_idx_${tblSuffix(d)}"),
+          graft.queries.DedupOps.evalShingles(s, baseDir, 89, 1))),
+      "d65_probe" -> ((s, d) =>
+        graft.queries.DedupOps.probeIngestIndex(s,
+          s"scale_ing_buckets_${tblSuffix(d)}",
+          s"scale_ing_shingles_${tblSuffix(d)}",
+          graft.queries.DedupOps.ingestIncoming(s, baseDir), 0.8)))
 
     def timeQuery(name: String, dir: String): (Double, Double, Double) = {
       def once(): (Double, Double, Double) = {
@@ -169,7 +187,8 @@ object ScaleProbe {
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
-      if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60", "d62") &&
+      if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
+          "d62", "d64_probe", "d65_probe") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55") &&
@@ -193,6 +212,22 @@ object ScaleProbe {
       // containment join: suffixed replicas keep containment structure
       // per shard (same rationale as d52) — prefix x full-entries join
       run("d62", k, d)
+      // delta probes: index built once per factor (outside timing) from the
+      // suffixed ×K corpus; probe input fixed at the base sf. Suffixed
+      // replicas share zero shingles with the base, so probe OUTPUT stays
+      // constant while the stored index grows ×K — any cost growth is pure
+      // index-side overhead, which the bucketed layout confines to the scan.
+      if (wanted("d64_probe")) {
+        if (!spark.catalog.tableExists(s"scale_train_idx_${tblSuffix(d)}"))
+          graft.queries.DedupOps.writeTrainIndex(spark, d, s"scale_train_idx_${tblSuffix(d)}")
+        run("d64_probe", k, d)
+      }
+      if (wanted("d65_probe")) {
+        if (!spark.catalog.tableExists(s"scale_ing_buckets_${tblSuffix(d)}"))
+          graft.queries.DedupOps.writeIngestIndex(spark, d,
+            s"scale_ing_buckets_${tblSuffix(d)}", s"scale_ing_shingles_${tblSuffix(d)}")
+        run("d65_probe", k, d)
+      }
       run("u65", k, p)
       // plain replicas: per-source caps and the vocabulary both stay
       // CONSTANT-size while the corpus grows xK — the claimed
