@@ -354,6 +354,23 @@ object DedupOps {
         .orderBy(col("lang"))
     }),
 
+    // Source-mixture EPOCH UPSAMPLING — the other half of mixture control
+    // (d57 downsamples dominant slices; this replicates under-represented
+    // ones): every doc is emitted floor(w) times plus one more iff its
+    // deterministic id residue falls under frac(w), so a source with
+    // weight 2.5 contributes each doc 2 or 3 times and exactly ~2.5x in
+    // aggregate — the epoch-expansion a data-mixing recipe ("2.5 epochs of
+    // wiki, 1 of web") compiles to. RNG-free like d57: reproducible across
+    // runs/partitionings/clusters. The contract weight derives from the
+    // source suffix (1.0–2.5 in 0.5 steps — exact in binary, so the
+    // floor/frac arithmetic is bit-identical in DuckDB).
+    "d66_epoch_upsample" -> ((s, dir) => {
+      val w = lit(1.0) +
+        (substring(col("source"), 4, 8).cast(IntegerType) % 4) * lit(0.5)
+      upsampleMixture(Tables.load(s, dir, "documents"), w)
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // The END-TO-END dataset assembly pipeline in ONE declarative DAG —
     // quality gate (t50's thresholds) → near-dup removal (d51's anti-join
     // over the exact J>=0.8 pair set) → language rebalancing (d57's
@@ -575,6 +592,24 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
       .orderBy(col("doc_id"))
+
+  /** Epoch-upsample by a per-row weight column: each row is replicated
+    * floor(w) times, plus once more iff `doc_id % mod < frac(w) * mod` —
+    * the deterministic fractional-epoch rule (no RNG: resampling a corpus
+    * must give byte-identical output on every run and partitioning). The
+    * replication is a scan-local generator (`explode(sequence)`) — zero
+    * shuffle, output rows ∝ Σw; at 100 TB this IS the epoch-expanded
+    * dataset writer, and the expansion happens at write parallelism with
+    * no data movement. */
+  def upsampleMixture(d: DataFrame, weight: Column, mod: Int = 1000): DataFrame = {
+    val copies = (floor(weight) +
+      when(pmod(col("doc_id"), lit(mod)) < (weight - floor(weight)) * mod, 1)
+        .otherwise(0)).cast(IntegerType)
+    d.select(col("doc_id"), col("source"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+  }
 
   /** MinHash band buckets (doc_id, bucket) over a (doc_id, hs) frame —
     * d53's 32×4 banding with the band id folded into the bucket hash, so
@@ -807,6 +842,22 @@ object DedupOps {
       """SELECT lang, count(*) AS n_before,
         | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // 0.5-step weights are exact in binary, so floor/frac arithmetic is
+    // bit-identical across engines; generate_series unnest narrowed to
+    // Spark's INTEGER epoch.
+    "d66_epoch_upsample" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  1.0 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.5 AS w
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source,
+        |  CAST(floor(w) + CASE WHEN doc_id % 1000 < (w - floor(w)) * 1000
+        |    THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+        | FROM w)
+        |SELECT doc_id, source, n_copies,
+        | CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch
+        |FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "d51_dedup_keep" ->

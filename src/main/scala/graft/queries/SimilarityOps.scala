@@ -107,6 +107,47 @@ object SimilarityOps {
         .filter(col("sim") >= 0.45)
         .orderBy(col("ida"), col("idb"))),
 
+    // Cluster-balanced DIVERSITY sampling — the subset-selection step of
+    // data-curation recipes: assign every vector to its nearest of k fixed
+    // anchors (deterministic here: the k smallest vec_ids; a production
+    // pipeline passes trained centroids — the plan is identical), then
+    // keep the m lowest-id members per cluster, so every region of
+    // embedding space is represented regardless of density. Scale shape:
+    // the k anchors broadcast (k rows — always broadcastable); the argmax
+    // is a partial/final hash agg on max(struct(sim, -cid)) — map-side
+    // combine reduces the k·n sim stream to n rows BEFORE the shuffle (a
+    // window-rank assignment would shuffle all k·n); the per-cluster cap
+    // is a rank window Spark rewrites to WindowGroupLimit (d61's map-side
+    // top-K shape). Ties on sim break to the smaller cid via the negated
+    // id in the struct ordering, mirrored exactly in the oracle. Sampling
+    // runs over NON-anchor vectors: a self-pair's cosine rounds to
+    // 1.0000000000000002 in IEEE double while DuckDB clamps at 1.0 — and
+    // an anchor trivially "samples" itself, so excluding it is also the
+    // semantically useful output.
+    "s64_diverse_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val k = 8; val m = 10
+      val anchors = broadcast(emb(s, dir)
+        .filter(col("vec_id") < k && col("embedding").isNotNull)
+        .select(col("vec_id").as("cid"), col("embedding").as("av")))
+      val corpus = emb(s, dir)
+        .filter(col("vec_id") >= k && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val assigned = corpus.crossJoin(anchors)
+        .select(col("vec_id"), col("cid"),
+          expr("graft_cosine(embedding, av)").as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"), (-col("best.ncid")).as("cid"),
+          col("best.sim").as("sim"))
+      val byId = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+      assigned
+        .withColumn("rnk", row_number().over(byId))
+        .filter(col("rnk") <= m)
+        .select(col("cid"), col("vec_id"), col("sim"), col("rnk"))
+        .orderBy(col("cid"), col("rnk"))
+    }),
+
     // Approximate NN via random-hyperplane LSH (parameters tuned by
     // graft.tools.RecallProbe — see annLsh). Engine-specific buckets =>
     // rows-only driver check; recall vs s56 is asserted in the ScalaTest
@@ -416,6 +457,30 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // argmax mirrored as the (sim DESC, cid ASC) rank-1 row — identical tie
+    // rule to the struct max on (sim, -cid); list_cosine_similarity over
+    // DOUBLE[] is bit-exact vs graft_cosine (established by s56/s58);
+    // row_number narrowed to Spark's INTEGER.
+    "s64_diverse_sample" ->
+      """WITH sims AS (
+        | SELECT c.vec_id, a.vec_id AS cid,
+        |  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                         CAST(a.embedding AS DOUBLE[])) AS sim
+        | FROM embeddings c JOIN embeddings a
+        |   ON a.vec_id < 8 AND a.embedding IS NOT NULL
+        | WHERE c.vec_id >= 8 AND c.embedding IS NOT NULL),
+        |best AS (
+        | SELECT vec_id, cid, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC)
+        |    AS arnk
+        | FROM sims),
+        |capped AS (
+        | SELECT cid, vec_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS INTEGER)
+        |    AS rnk
+        | FROM best WHERE arnk = 1)
+        |SELECT cid, vec_id, sim, rnk FROM capped WHERE rnk <= 10
+        |ORDER BY cid, rnk""".stripMargin,
     "s61_knn_graph" ->
       """SELECT src, nbr, CAST(rnk AS INTEGER) AS rnk FROM (
         | SELECT a.vec_id AS src, b.vec_id AS nbr,

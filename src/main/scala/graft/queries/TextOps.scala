@@ -158,6 +158,19 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Sensitive-pattern redaction — the scrubbing pass a training pipeline
+    // runs before release (PII, credentials, internal markers). The
+    // operator is [[redact]], parameterized on a pattern list; the
+    // contract query uses a term-dictionary pattern that actually FIRES on
+    // this corpus (the synthetic text contains no PII-shaped strings — a
+    // PII-pattern contract query would be a vacuous no-op oracle match),
+    // while the standard PII set ships as [[PiiPatterns]] and is spec'd in
+    // PipelineOpsSpec on constructed rows carrying real emails/phones/IPs.
+    // Pure per-row regexp pipeline: codegen, scan-bound, zero shuffle.
+    "t56_redact" -> ((s, dir) =>
+      redact(docs(s, dir), Seq("\\b(key|hash|value)\\b"), "[X]")
+        .orderBy(col("doc_id"))),
+
     // Rolling-hash (Rabin-Karp) fingerprint per document + agreement count
     // across the corpus (identical fingerprints = near-identical content).
     "t49_fingerprint" -> ((s, dir) => {
@@ -195,6 +208,42 @@ object TextOps {
         .orderBy(col("rnk"))
     })
   )
+
+  /** The standard PII scrub set: email addresses, phone-shaped number
+    * groups, IPv4 addresses. Java-regex and RE2-compatible (no lookaround,
+    * no backreferences) so the same strings drive Spark and any
+    * RE2-engined mirror. Gated by the PipelineOpsSpec redaction spec on
+    * constructed PII-bearing rows (this corpus contains none). */
+  val PiiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Redact every match of `patterns` in `text`. Patterns are applied
+    * sequentially (left fold), so a replacement never re-matches an earlier
+    * pattern; `n_redacted` counts matches per pattern on the ORIGINAL text
+    * (overlaps across patterns count once each — the audit-log convention).
+    * Output keeps the doc_id, the count, a 60-char preview, and the md5 of
+    * the full cleaned text (full-content equality without corpus-sized
+    * result rows). Per-row scalar pipeline: whole-stage codegen, scan-bound,
+    * embarrassingly parallel at 100 TB like t46-t54. */
+  /** The scrub column itself: `text` with every `patterns` match replaced,
+    * applied as a sequential left fold (a replacement never re-matches an
+    * earlier pattern). Public so specs and callers that need the full
+    * cleaned text (not [[redact]]'s audit digest) can reuse the exact rule. */
+  def redactedText(patterns: Seq[String], replacement: String): org.apache.spark.sql.Column =
+    patterns.foldLeft(col("text"))((c, p) => regexp_replace(c, p, replacement))
+
+  def redact(d: DataFrame, patterns: Seq[String],
+      replacement: String): DataFrame = {
+    require(patterns.nonEmpty, "redact needs at least one pattern")
+    val n = patterns.map(p =>
+        size(regexp_extract_all(col("text"), lit(p), lit(0))))
+      .reduce(_ + _)
+    val clean = redactedText(patterns, replacement)
+    d.select(col("doc_id"), n.as("n_redacted"),
+      substring(clean, 1, 60).as("head"), md5(clean.cast("binary")).as("clean_md5"))
+  }
 
   private val tok = QueryUtil.oracleTokenCount
 
@@ -243,6 +292,18 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same regex in both engines (Java regex here, RE2 there — the pattern
+    // uses only shared syntax); DuckDB needs the explicit 'g' flag for
+    // replace-all, which is Spark's default. len() narrowed to Spark's
+    // INTEGER size().
+    "t56_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS INTEGER)
+        |   AS n_redacted,
+        | substr(regexp_replace(text, '\b(key|hash|value)\b', '[X]', 'g'), 1, 60)
+        |   AS head,
+        | md5(regexp_replace(text, '\b(key|hash|value)\b', '[X]', 'g')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t49_fingerprint" -> fingerprintOracle,
 
     "t55_vocab" ->

@@ -38,6 +38,81 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
     }
 
+  test("t56 redaction: the PII pattern set scrubs constructed emails/phones/IPs completely") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact me at alice.smith+spam@example-mail.co and bob@x.io today"),
+      (2L, "call 415-555-0173 or 415.555.0173 x99"),
+      (3L, "server at 10.0.255.3 fell back to 192.168.1.77"),
+      (4L, "no pii here just words"),
+      (5L, "mix: eve@corp.net from 8.8.8.8 dialed 650 555 1212"))
+      .toDF("doc_id", "text")
+    val out = queries.TextOps.redact(rows, queries.TextOps.PiiPatterns, "[PII]")
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 0, 5L -> 3))
+    // nothing PII-shaped survives: re-scan the FULL cleaned text (the
+    // public output carries head+md5; the scrub column itself is asserted)
+    val clean = rows.select(col("doc_id"),
+      queries.TextOps.redactedText(queries.TextOps.PiiPatterns, "[PII]").as("c"))
+    for (p <- queries.TextOps.PiiPatterns) {
+      val leaked = clean
+        .filter(size(regexp_extract_all(col("c"), lit(p), lit(0))) > 0).count()
+      assert(leaked == 0, s"pattern $p still matches after redaction")
+    }
+    // the no-PII row is byte-identical to its input
+    assert(clean.filter(col("doc_id") === 4L).head().getString(1) ==
+      "no pii here just words")
+  }
+
+  test("d66 epoch upsampling: scan-local generator plan, exact differential vs the rule") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.IntegerType
+    val w = lit(1.0) +
+      (substring(col("source"), 4, 8).cast(IntegerType) % 4) * lit(0.5)
+    val df = queries.DedupOps.upsampleMixture(
+      Tables.load(spark, dir, "documents"), w)
+    // the 100 TB claim: replication adds NO data movement — no exchange
+    // anywhere below the sink (the contract query's orderBy is presentation)
+    val ex = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.isEmpty, s"upsampling introduced a shuffle:\n${df.queryExecution.executedPlan}")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val expected = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).flatMap { case (id, src) =>
+        val wv = 1.0 + (src.drop(3).toInt % 4) * 0.5
+        val n = wv.toInt + (if (id % 1000 < (wv - wv.toInt) * 1000) 1 else 0)
+        (1 to n).map(e => (id, src, n, e))
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("s64 diverse sample: broadcast anchors, agg-based argmax, WindowGroupLimit cap, full cluster coverage") {
+    val df = SparkEntry.queries("s64")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // anchors broadcast (k rows), never shuffled corpus-side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"anchor join is not broadcast:\n$plan")
+    // per-cluster cap runs map-side
+    assert(plan.contains("WindowGroupLimit"), s"cap not rewritten:\n$plan")
+    // the argmax is ONE aggregate over vec_id — the only WindowExec in the
+    // plan is the cap's row_number (an assignment-by-rank would add a second
+    // one, shuffling all k*n sims). String-counted because AQE hides the
+    // subtree from collect(); "Window [" never matches "WindowGroupLimit [".
+    val wins = "Window \\[".r.findAllIn(plan).size
+    assert(wins == 1, s"expected only the cap window, got $wins:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // every anchor's cluster is represented and capped at m
+    val byCid = rows.groupBy(_._1)
+    assert(byCid.keySet == (0L until 8L).toSet, s"missing clusters: ${byCid.keySet}")
+    byCid.foreach { case (cid, rs) =>
+      assert(rs.length <= 10, s"cluster $cid kept ${rs.length}")
+      assert(rs.forall(_._2 >= 8), "anchors must not sample themselves")
+    }
+  }
+
   test("d61 source cap runs as WindowGroupLimit (map-side per-source top-K, no corpus sort)") {
     val df = SparkEntry.queries("d61")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
