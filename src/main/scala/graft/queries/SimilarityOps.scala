@@ -148,6 +148,33 @@ object SimilarityOps {
         .orderBy(col("cid"), col("rnk"))
     }),
 
+    // Scalar int8 EMBEDDING QUANTIZATION — the compression pass an ANN
+    // storage layer runs before sharding (4 bytes/dim -> 1): per-dimension
+    // min/max over the corpus, then q = clamp(floor((v-lo)/(hi-lo)*256)).
+    // Deliberately floor-based (round() on .5-prone doubles diverges across
+    // engines) and integer-coded output, so it oracle-checks bit-exactly.
+    // Scale shape: ONE partial/final agg reduces the corpus to the
+    // dim-count stats table (64 rows — always broadcastable), the codes
+    // are a scan-local projection against the broadcast stats: no shuffle
+    // touches corpus-sized data, which is what lets this run inline in the
+    // same pass that writes the IVF/LSH layout. A constant dimension
+    // (hi == lo) codes to 0 by the explicit guard, same CASE in the oracle.
+    "s65_quantize" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "vf")))
+        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+          col("vf").cast(DoubleType).as("v"))
+      val stats = e.groupBy(col("dim"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      e.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(lit(255), greatest(lit(0),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 256))))
+            .cast(IntegerType).as("q"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // Approximate NN via random-hyperplane LSH (parameters tuned by
     // graft.tools.RecallProbe — see annLsh). Engine-specific buckets =>
     // rows-only driver check; recall vs s56 is asserted in the ScalaTest
@@ -457,6 +484,23 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Per-dim stats over DOUBLE casts of the float values (Spark side casts
+    // before the agg — min/max of exactly-converted floats are identical);
+    // quantization arithmetic is pure IEEE double in both engines; floor,
+    // never round. generate_subscripts is 1-based like Spark's dim0+1.
+    "s65_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |  generate_subscripts(embedding, 1) AS dim
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY 1)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        | CAST(CASE WHEN hi = lo THEN 0 ELSE
+        |   LEAST(255, GREATEST(0, floor((v - lo) / (hi - lo) * 256)))
+        | END AS INTEGER) AS q
+        |FROM e JOIN s USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+
     // argmax mirrored as the (sim DESC, cid ASC) rank-1 row — identical tie
     // rule to the struct max on (sim, -cid); list_cosine_similarity over
     // DOUBLE[] is bit-exact vs graft_cosine (established by s56/s58);
