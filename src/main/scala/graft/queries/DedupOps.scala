@@ -17,14 +17,21 @@ import graft.functions.GraftFunctions
   */
 object DedupOps {
 
-  /** doc_id + distinct word-n-gram shingles (as strings), empty when < n
-    * tokens — mirrored exactly by the DuckDB oracle's list comprehension.
-    * n=3 is the dedup default; decontamination also runs wider widths. */
-  private def shingled(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.load(s, dir, "documents")
+  /** (doc_id, text) → (doc_id, sorted distinct 64-bit word-n-gram shingle
+    * hashes) on an ARBITRARY frame: distinct word n-grams (empty when < n
+    * tokens — mirrored exactly by the DuckDB oracles' list comprehension),
+    * xxhash64'd and sorted. ONE definition shared by the corpus path
+    * ([[hashedDocs]]) and streaming micro-batches
+    * (StreamingOps.ingestDedupStream probes the stored index with each
+    * batch), so the stream and batch shingle rules cannot drift. n=3 is the
+    * dedup default; decontamination also runs wider widths. */
+  private[graft] def hashedFrame(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_distinct(QueryUtil.wordNgrams(col("toks"), n)).as("shingles"))
+      .select(col("doc_id"),
+        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs"))
 
   /** Exact-Jaccard pairs via a prefix-filtered inverted-index join (the
     * SSJoin/PPJoin prefix principle): order every doc's shingles by global
@@ -45,9 +52,8 @@ object DedupOps {
     * by index building and candidate verification). All width-3 callers
     * (d52/d53/d60) share one persisted table. */
   private def hashedDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame =
-    persistKeyed(s, s"docs:$n:$dir", shingled(s, dir, n)
-      .select(col("doc_id"),
-        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs")))
+    persistKeyed(s, s"docs:$n:$dir",
+      hashedFrame(Tables.load(s, dir, "documents"), n))
 
   /** Exact-Jaccard verify of candidate (ida, idb) pairs: two co-partitioned
     * joins — candidates to the per-doc shingle table on `ida`, then on `idb`

@@ -253,6 +253,30 @@ object StreamingOps {
       .select(col("doc_id"), col("bkey"))
   }
 
+  /** Streaming INGESTION dedup against a STORED corpus index — the
+    * continuous form of d65: every micro-batch of incoming (doc_id, text)
+    * documents is shingle-hashed with the exact batch rule
+    * (DedupOps.hashedFrame) and probed against the
+    * writeIngestIndex-materialized corpus via foreachBatch, reusing the
+    * batch probe verbatim (the canonical pattern for running existing batch
+    * logic over a stream). Because every match is computed against the
+    * STATIC corpus only — never batch×batch — each document's result is
+    * independent of how the stream is micro-batched, so the union of batch
+    * outputs equals the one-shot batch probe of the same documents
+    * (StreamingSpec proves it across a 3-batch split). Per-batch cost is
+    * the d65_probe row of SCALE.md: probe-sized shuffle against an index
+    * that never reshuffles — the 100 TB/day ingest shape. */
+  def ingestDedupStream(spark: SparkSession, bucketsTable: String,
+      shinglesTable: String, incoming: DataFrame, t: Double)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.queries.DedupOps.probeIngestIndex(spark, bucketsTable,
+          shinglesTable, graft.queries.DedupOps.hashedFrame(batch.toDF()), t),
+          batchId)
+      }
+      .start()
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -191,7 +191,7 @@ object ScaleProbe {
           "d62", "d64_probe", "d65_probe") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
-      if (k > 1 && wanted("u65", "d61", "t55") &&
+      if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -234,15 +234,26 @@ object ScaleProbe {
       // "output bounded by K/vocab, cost = one scan" regime
       run("d61", k, p)
       run("t55", k, p)
+      // plain replicas (suffixing would break the \b-bounded dictionary
+      // matches): redaction is a pure regex scan; upsampling replicates
+      // every replica by the same per-source weights — both claim
+      // scan-bound xK
+      run("t56", k, p)
+      run("d66", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
-      if (k > 1 && wanted("s58", "s61") &&
+      if (k > 1 && wanted("s58", "s61", "s64", "s65") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
       run("s58", k, d)
       run("s61", k, d)
+      // sampling/quantization: k*n broadcast-join sims reduced map-side
+      // (s64) and a scan-local coding pass against broadcast stats (s65) —
+      // both claim linear scan-bound growth, no corpus-sized shuffle
+      run("s64", k, d)
+      run("s65", k, d)
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"

@@ -292,4 +292,43 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${streamed.length} rows vs batch ${batch.length}")
     } finally q.stop()
   }
+
+  test("streaming ingestion dedup over a stored corpus index converges to the one-shot batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.DedupOps
+    DedupOps.writeIngestIndex(spark, dir,
+      "stream_ing_buckets", "stream_ing_shingles", numBuckets = 4)
+    try {
+      val incoming = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % DedupOps.IngestMod === DedupOps.IngestResidue)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(incoming.nonEmpty)
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      val q = StreamingOps.ingestDedupStream(spark, "stream_ing_buckets",
+        "stream_ing_shingles", mem.toDS().toDF("doc_id", "text"), 0.8) {
+        (res, _) => got.synchronized { got ++= res.collect().map(_.toString) }
+      }
+      // 3 micro-batches: per-doc results depend only on the static corpus,
+      // so the union must equal the one-shot probe of all incoming docs
+      try {
+        incoming.grouped(math.max(1, incoming.length / 3 + 1)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val expected = DedupOps.probeIngestIndex(spark, "stream_ing_buckets",
+        "stream_ing_shingles",
+        DedupOps.hashedFrame(incoming.toSeq.toDF("doc_id", "text")), 0.8)
+        .collect().map(_.toString)
+      assert(got.nonEmpty, "stream probe flagged nothing — scenario degenerate")
+      assert(got.sorted.toSeq == expected.sorted.toSeq,
+        s"stream union (${got.size}) != one-shot probe (${expected.length})")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stream_ing_buckets")
+      spark.sql("DROP TABLE IF EXISTS stream_ing_shingles")
+    }
+  }
 }
