@@ -371,9 +371,13 @@ object DedupOps {
     // source suffix (1.0–2.5 in 0.5 steps — exact in binary, so the
     // floor/frac arithmetic is bit-identical in DuckDB).
     "d66_epoch_upsample" -> ((s, dir) => {
+      // 2-arg substr: the FULL numeric suffix, exactly like the oracle's
+      // substr(source, 4) and the spec's src.drop(3) — three mirrors of one
+      // rule must stay identical
       val w = lit(1.0) +
-        (substring(col("source"), 4, 8).cast(IntegerType) % 4) * lit(0.5)
+        (expr("substr(source, 4)").cast(IntegerType) % 4) * lit(0.5)
       upsampleMixture(Tables.load(s, dir, "documents"), w)
+        .select(col("doc_id"), col("source"), col("n_copies"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
@@ -611,10 +615,13 @@ object DedupOps {
     val copies = (floor(weight) +
       when(pmod(col("doc_id"), lit(mod)) < (weight - floor(weight)) * mod, 1)
         .otherwise(0)).cast(IntegerType)
-    d.select(col("doc_id"), col("source"), copies.as("n_copies"))
+    // every input column survives (this IS the epoch-expanded dataset
+    // writer — dropping `text` would make the output unwritable as a
+    // corpus); callers wanting an audit projection select after. Requires
+    // a `doc_id` key column for the deterministic fractional rule.
+    d.withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
-      .select(col("doc_id"), col("source"), col("n_copies"),
-        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+      .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
   }
 
   /** MinHash band buckets (doc_id, bucket) over a (doc_id, hs) frame —
@@ -625,7 +632,14 @@ object DedupOps {
     * form and the stored-index ingestion probe. */
   private def bandBuckets(docs: DataFrame): DataFrame = {
     val numHashes = 128; val bands = 32; val r = 4
-    docs.select(col("doc_id"), expr(s"graft_minhash(hs, $numHashes, 42)").as("sig"))
+    // shingle-less (<3-token) docs generate NO buckets: their minhash
+    // signatures are all-sentinel and identical, so without this guard
+    // every short doc would collide with every other in every band —
+    // quadratic candidate blowup for pairs the verify then discards anyway
+    // (0-shingle Jaccard is null). Excluding them is output-neutral and
+    // keeps the candidate count proportional to real bucket co-occurrence.
+    docs.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(s"graft_minhash(hs, $numHashes, 42)").as("sig"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $r + 1, $r)))"))
         .as("bucket"))

@@ -105,7 +105,9 @@ private[graft] object QueryUtil {
       // would silently uncache the survivor too. Distinct memo keys wrap
       // distinct plans today, but that is a convention of the current
       // callers, not an invariant the map can enforce — guard, don't assume.
-      val survivors = perSession.values
+      // snapshot survivors only when something was actually evicted — the
+      // common (under-cap) miss path pays neither the lock nor the copy
+      val survivors = if (evicted.isEmpty) Nil else perSession.values
       evicted.foreach { e =>
         if (!survivors.exists(v =>
             v.queryExecution.analyzed.sameResult(e.queryExecution.analyzed)))

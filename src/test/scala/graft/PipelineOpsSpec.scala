@@ -69,9 +69,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.IntegerType
     val w = lit(1.0) +
-      (substring(col("source"), 4, 8).cast(IntegerType) % 4) * lit(0.5)
-    val df = queries.DedupOps.upsampleMixture(
+      (expr("substr(source, 4)").cast(IntegerType) % 4) * lit(0.5)
+    val full = queries.DedupOps.upsampleMixture(
       Tables.load(spark, dir, "documents"), w)
+    // the generic operator keeps EVERY input column (it is the dataset
+    // writer); text must survive replication
+    assert(full.columns.contains("text") && full.columns.contains("epoch"))
+    val df = full.select(col("doc_id"), col("source"), col("n_copies"), col("epoch"))
     // the 100 TB claim: replication adds NO data movement — no exchange
     // anywhere below the sink (the contract query's orderBy is presentation)
     val ex = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }

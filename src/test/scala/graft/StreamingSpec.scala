@@ -202,7 +202,10 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    def ts(id: Long) = new java.sql.Timestamp(500000000L + id * 1000)
+    // 1 ms per id: the whole corpus spans well under the 10-minute
+    // watermark delay, so no dedup key is evicted before the duplicate
+    // batch arrives even if the fixture grows by orders of magnitude
+    def ts(id: Long) = new java.sql.Timestamp(500000000L + id)
     val dups = docs.take(20).map { case (id, text) => (id + 1000000L, text) }
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val q = StreamingOps.dedupContentExact(
@@ -233,7 +236,10 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    def ts(id: Long) = new java.sql.Timestamp(500000000L + id * 1000)
+    // 1 ms per id: the whole corpus spans well under the 10-minute
+    // watermark delay, so no dedup key is evicted before the duplicate
+    // batch arrives even if the fixture grows by orders of magnitude
+    def ts(id: Long) = new java.sql.Timestamp(500000000L + id)
     // byte-identical dups (J=1: band-key equality deterministic) in a later batch
     val dups = docs.take(20).map { case (id, text) => (id + 1000000L, text) }
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
