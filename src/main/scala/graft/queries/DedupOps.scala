@@ -381,6 +381,31 @@ object DedupOps {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // Reproducible GLOBAL SHUFFLE + shard assignment — the training-order
+    // step after packing: every epoch must visit docs in a pseudorandom
+    // order that is byte-identical across reruns/partitionings (no RNG,
+    // no zipWithIndex). Shuffle key = md5 of (seed : doc_id) — identical
+    // string md5 in both engines; shard = first hex nibble (16 shards);
+    // within-shard order = the key itself (doc_id tiebreak for absolute
+    // determinism). Scale shape: the ONE shuffle is the shard exchange —
+    // exactly the data movement a training-shuffle write must pay — and
+    // the per-shard rank is WindowGroupLimit-free by design (full ranks
+    // are the output); shard count becomes a parameter ∝ cluster in
+    // production, the nibble is the 16-shard contract instance.
+    "d67_global_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat_ws(":", lit("seed42"), col("doc_id")).cast("binary"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), key.as("skey"))
+        .withColumn("shard",
+          (expr("instr('0123456789abcdef', substr(skey, 1, 1))") - 1)
+            .cast(IntegerType))
+        .withColumn("rn", row_number().over(w))
+        .select(col("shard"), col("rn"), col("doc_id"), col("skey"))
+        .orderBy(col("shard"), col("rn"))
+    }),
+
     // The END-TO-END dataset assembly pipeline in ONE declarative DAG —
     // quality gate (t50's thresholds) → near-dup removal (d51's anti-join
     // over the exact J>=0.8 pair set) → language rebalancing (d57's
@@ -862,6 +887,23 @@ object DedupOps {
       """SELECT lang, count(*) AS n_before,
         | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // 'seed:id' || concatenation matches Spark's concat_ws string cast of
+    // the BIGINT; md5 of equal bytes is equal hex; instr is 1-based in
+    // both engines. row_number is total because (skey, doc_id) is unique.
+    "d67_global_shuffle" ->
+      """WITH k AS (
+        | SELECT doc_id,
+        |  md5('seed42:' || CAST(doc_id AS VARCHAR)) AS skey
+        | FROM documents)
+        |SELECT
+        | CAST(instr('0123456789abcdef', substr(skey, 1, 1)) - 1 AS INTEGER)
+        |   AS shard,
+        | CAST(row_number() OVER (
+        |   PARTITION BY instr('0123456789abcdef', substr(skey, 1, 1))
+        |   ORDER BY skey, doc_id) AS INTEGER) AS rn,
+        | doc_id, skey
+        |FROM k ORDER BY shard, rn""".stripMargin,
+
     // 0.5-step weights are exact in binary, so floor/frac arithmetic is
     // bit-identical across engines; generate_series unnest narrowed to
     // Spark's INTEGER epoch.

@@ -747,6 +747,29 @@ object Relational {
         .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
     }),
 
+    // Event PATH mining — the "what do users do next" product-analytics
+    // query: global top consecutive event-type trigrams over each user's
+    // time-ordered stream. Scale shape: ONE user_id-partitioned window
+    // (the same partitioning every per-user stage in this file shuffles
+    // on — reusable on a cluster), a partial/final count agg that reduces
+    // the path stream to the tiny distinct-trigram table, and a top-20
+    // TakeOrderedAndProject — never a global sort of corpus-sized data.
+    // Ordering (ts, event_id) is the q19 convention, already proven
+    // hash-exact cross-engine.
+    "q67_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("e1"),
+          col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     // Weekly cohort retention: cohort = ISO week of a user's first event,
     // retained = distinct users active at each week offset. Two aggregates
     // and one user_id equi-join; weeks are Monday-truncated in both
@@ -1174,6 +1197,18 @@ object Relational {
         |       (SELECT count(*) FROM v) AS n_viewed,
         |       (SELECT count(*) FROM c) AS n_clicked,
         |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+
+    "q67_event_paths" ->
+      """WITH p AS (
+        | SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n FROM p
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q66_funnel_window" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
