@@ -191,7 +191,7 @@ object ScaleProbe {
           "d62", "d64_probe", "d65_probe") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
-      if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66") &&
+      if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -240,6 +240,9 @@ object ScaleProbe {
       // scan-bound xK
       run("t56", k, p)
       run("d66", k, p)
+      // global shuffle: the one exchange IS the shard write — shuffle
+      // bytes must track corpus size, time must stay exchange-bound
+      run("d67", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
@@ -257,7 +260,7 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
-      if (k > 1 && wanted("q64", "q65", "q66") &&
+      if (k > 1 && wanted("q64", "q65", "q66", "q67") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       val e = if (k == 1) baseDir else dir
@@ -268,6 +271,9 @@ object ScaleProbe {
       run("q64", k, e)
       run("q65", k, e)
       run("q66", k, e)
+      // path mining: one user_id window + agg to the constant-size
+      // trigram table — linear, shuffle ∝ events
+      run("q67", k, e)
     }
 
     println("[scale] === results ===")
