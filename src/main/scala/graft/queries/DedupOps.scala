@@ -95,7 +95,7 @@ object DedupOps {
         .select(col("doc_id"), col("sh"), col("n"), col("rk"))
     })
 
-  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     GraftFunctions.register(s)
     val docs = hashedDocs(s, dir)
     val prefix = rankedPrefix(s, dir, threshold)
@@ -189,7 +189,7 @@ object DedupOps {
     oracleJaccardCore(threshold) + "\nORDER BY ida, idb"
 
   /** Unordered pair query, composable as a CTE body (d51). */
-  private def oracleJaccardCore(threshold: Double): String =
+  private[graft] def oracleJaccardCore(threshold: Double): String =
     s"""WITH sh AS (
        | SELECT doc_id, unnest(list_distinct(
        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle

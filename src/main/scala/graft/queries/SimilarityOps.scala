@@ -148,6 +148,30 @@ object SimilarityOps {
         .orderBy(col("cid"), col("rnk"))
     }),
 
+    // DEDUP-METHOD AGREEMENT report — the calibration artifact a pipeline
+    // owner reads before picking thresholds: do the surface-text near-dup
+    // gate (d52's exact Jaccard, J ≥ 0.8) and the semantic near-dup gate
+    // (s58's exact cosine, ≥ 0.45) flag the same pair population? Output =
+    // one row of pair counts: both / text-only (rewordings share embedding
+    // but not shingles → here: byte-near dups the embedding threshold
+    // misses) / semantic-only. Composes the two already-proven exact pair
+    // generators on their shared id space (vec_id == doc_id) with one
+    // full-outer join + one agg; docs without embeddings land in text-only
+    // by construction. Scale = the max of its two inputs (both measured);
+    // the join adds one pair-keyed shuffle of the flagged pairs only.
+    "s66_dup_agreement" -> ((s, dir) => {
+      val txt = graft.queries.DedupOps.jaccardPairs(s, dir, 0.8)
+        .select(col("ida"), col("idb"), lit(1).as("t"))
+      val sem = tiledPairSims(s, dir)
+        .filter(col("sim") >= 0.45)
+        .select(col("ida"), col("idb"), lit(1).as("e"))
+      txt.join(sem, Seq("ida", "idb"), "full_outer")
+        .agg(
+          count(when(col("t").isNotNull && col("e").isNotNull, 1)).as("n_both"),
+          count(when(col("t").isNotNull && col("e").isNull, 1)).as("n_text_only"),
+          count(when(col("t").isNull && col("e").isNotNull, 1)).as("n_sem_only"))
+    }),
+
     // Scalar int8 EMBEDDING QUANTIZATION — the compression pass an ANN
     // storage layer runs before sharding (4 bytes/dim -> 1): per-dimension
     // min/max over the corpus, then q = clamp(floor((v-lo)/(hi-lo)*256)).
@@ -484,6 +508,26 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Composes the d52 jaccard core with the s58 cosine pair set; both
+    // emit (ida < idb)-normalized pairs on the shared doc_id/vec_id space,
+    // so INTERSECT/EXCEPT mirror the full-outer-join classification.
+    "s66_dup_agreement" ->
+      s"""WITH jp AS (${graft.queries.DedupOps.oracleJaccardCore(0.8)}),
+        |t AS (SELECT ida, idb FROM jp),
+        |e AS (
+        | SELECT a.vec_id AS ida, b.vec_id AS idb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |nb AS (SELECT count(*) AS n FROM
+        |  (SELECT * FROM t INTERSECT SELECT * FROM e)),
+        |nt AS (SELECT count(*) AS n FROM
+        |  (SELECT * FROM t EXCEPT SELECT * FROM e)),
+        |ne AS (SELECT count(*) AS n FROM
+        |  (SELECT * FROM e EXCEPT SELECT * FROM t))
+        |SELECT nb.n AS n_both, nt.n AS n_text_only, ne.n AS n_sem_only
+        |FROM nb, nt, ne""".stripMargin,
+
     // Per-dim stats over DOUBLE casts of the float values (Spark side casts
     // before the agg — min/max of exactly-converted floats are identical);
     // quantization arithmetic is pure IEEE double in both engines; floor,
