@@ -150,7 +150,9 @@ object SimilarityOps {
 
     // DEDUP-METHOD AGREEMENT report — the calibration artifact a pipeline
     // owner reads before picking thresholds: do the surface-text near-dup
-    // gate (d52's exact Jaccard, J ≥ 0.8) and the semantic near-dup gate
+    // gate (the exact-Jaccard join at the J ≥ 0.8 dedup threshold — the
+    // d51/d56 pair set; d52's contract instance runs the looser 0.4) and
+    // the semantic near-dup gate
     // (s58's exact cosine, ≥ 0.45) flag the same pair population? Output =
     // one row of pair counts: both / text-only (rewordings share embedding
     // but not shingles → here: byte-near dups the embedding threshold
