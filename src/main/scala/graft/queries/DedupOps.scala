@@ -406,6 +406,39 @@ object DedupOps {
         .orderBy(col("shard"), col("rn"))
     }),
 
+    // Z-ORDER LAYOUT audit — the multi-dimensional data-skipping layout
+    // lake tables use at 100 TB (OPTIMIZE ZORDER): interleave the bits of
+    // two scan dimensions so that sorting by the single z-value keeps BOTH
+    // dimensions locally bounded per file — a range predicate on either
+    // column then prunes most files by their min/max footer stats. This
+    // query makes the locality measurable: 16 contiguous z-range tiles
+    // with each tile's bounding box on both dims (tight boxes = effective
+    // skipping; a doc_id-sorted layout would give full-width n_chars boxes
+    // in every tile). Scale shape: the z-value is scan-local integer bit
+    // arithmetic (codegen), the tile rule is a broadcast 1-row min/max —
+    // no global window/sort; the production write is then one range
+    // sort by z, the same exchange d67 pays. Identical unrolled bit
+    // formula in both engines.
+    "d68_zorder_layout" -> ((s, dir) => {
+      val a = col("n_chars").cast(LongType).bitwiseAND(lit(65535L))
+      val b = col("doc_id").bitwiseAND(lit(65535L))
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      val docs0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).withColumn("z", z)
+      val zstats = docs0.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      docs0.crossJoin(broadcast(zstats))
+        .withColumn("tile",
+          expr("(z - zmin) * 16 div (zmax - zmin + 1)").cast(IntegerType))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("tile"))
+    }),
+
     // The END-TO-END dataset assembly pipeline in ONE declarative DAG —
     // quality gate (t50's thresholds) → near-dup removal (d51's anti-join
     // over the exact J>=0.8 pair set) → language rebalancing (d57's
@@ -887,6 +920,23 @@ object DedupOps {
       """SELECT lang, count(*) AS n_before,
         | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same unrolled 16-term interleave; // is DuckDB integer division
+    // (Spark `div`); tile < 16 by construction ((zmax-zmin)*16 <
+    // (zmax-zmin+1)*16).
+    "d68_zorder_layout" -> {
+      val zExpr = (0 until 16).map { i =>
+        s"((((n_chars & 65535) >> $i) & 1) << ${2 * i}) + " +
+          s"((((doc_id & 65535) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH z AS (SELECT doc_id, n_chars, $zExpr AS z FROM documents),
+        |st AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+        |SELECT CAST(((z - zmin) * 16) // (zmax - zmin + 1) AS INTEGER) AS tile,
+        | count(*) AS n,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM z, st GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // 'seed:id' || concatenation matches Spark's concat_ws string cast of
     // the BIGINT; md5 of equal bytes is equal hex; instr is 1-based in
     // both engines. row_number is total because (skey, doc_id) is unique.
