@@ -117,6 +117,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d67 global shuffle is partitioning-invariant (identical bytes from any input layout)") {
+    // the operator's reason to exist: training order must be reproducible
+    // across reruns AND cluster layouts — md5 keys + total (skey, doc_id)
+    // order make output independent of how the input arrives
+    val base = SparkEntry.queries("d67")(spark, dir).collect().map(_.toString)
+    val reparted = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.IntegerType
+      val key = md5(concat_ws(":", lit("seed42"), col("doc_id")).cast("binary"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      Tables.load(spark, dir, "documents").repartition(13)
+        .select(col("doc_id"), key.as("skey"))
+        .withColumn("shard",
+          (expr("instr('0123456789abcdef', substr(skey, 1, 1))") - 1)
+            .cast(IntegerType))
+        .withColumn("rn", row_number().over(w))
+        .select(col("shard"), col("rn"), col("doc_id"), col("skey"))
+        .orderBy(col("shard"), col("rn"))
+        .collect().map(_.toString)
+    }
+    assert(base.nonEmpty && base.sameElements(reparted),
+      "shuffle order changed with input partitioning")
+  }
+
+  test("s65 quantization: every dequantized value is within one coding step of the original") {
+    // the quantizer's implicit guarantee, stated and gated: with
+    // q = floor((v-lo)/(hi-lo)*256) clamped to [0,255], the bucket
+    // midpoint reconstruction lo + (q+0.5)*(hi-lo)/256 sits within
+    // (hi-lo)/256 of v (loose 2x bound — immune to IEEE rounding dust)
+    val rows = SparkEntry.queries("s65")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val lo = Array.fill(65)(Double.MaxValue); val hi = Array.fill(65)(Double.MinValue)
+    emb.values.foreach(v => v.zipWithIndex.foreach { case (x, i) =>
+      lo(i + 1) = math.min(lo(i + 1), x.toDouble); hi(i + 1) = math.max(hi(i + 1), x.toDouble) })
+    rows.foreach { case (id, dim, q) =>
+      val (l, h) = (lo(dim), hi(dim)); val v = emb(id)(dim - 1).toDouble
+      if (h > l) {
+        val dequant = l + (q + 0.5) * (h - l) / 256
+        assert(math.abs(dequant - v) <= (h - l) / 256,
+          s"vec $id dim $dim: q=$q dequant=$dequant v=$v range=[$l,$h]")
+      } else assert(q == 0)
+    }
+  }
+
   test("d61 source cap runs as WindowGroupLimit (map-side per-source top-K, no corpus sort)") {
     val df = SparkEntry.queries("d61")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
