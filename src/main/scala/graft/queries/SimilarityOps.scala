@@ -148,6 +148,37 @@ object SimilarityOps {
         .orderBy(col("cid"), col("rnk"))
     }),
 
+    // FILTERED vector search — the metadata-constrained ANN shape every
+    // vector store exposes ("top-k similar docs FROM source X"): the
+    // predicate is applied BEFORE the search (it joins the documents
+    // metadata on the shared id space and Catalyst pushes the source
+    // filter into that parquet scan), then exact top-k runs on the
+    // survivors only. The composition order is the point: post-filtering
+    // an unconstrained top-k would return fewer than k (or zero) rows per
+    // query; pre-filtering shrinks the scanned corpus instead — at 100 TB
+    // with the IVF/LSH layouts the same predicate prunes cells/buckets
+    // before any distance is computed. Broadcast queries × filtered scan,
+    // rank-window top-3 (WindowGroupLimit).
+    "s67_filtered_ann" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val allowed = Tables.load(s, dir, "documents")
+        .filter(col("source") === "src3").select(col("doc_id"))
+      val q = broadcast(emb(s, dir)
+        .filter(col("vec_id") < 10 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val c = emb(s, dir).filter(col("vec_id") >= 10)
+        .join(allowed, col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      q.crossJoin(c)
+        .select(col("qid"), col("nid"),
+          expr("graft_cosine(qv, cv)").as("sim"))
+        .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // DEDUP-METHOD AGREEMENT report — the calibration artifact a pipeline
     // owner reads before picking thresholds: do the surface-text near-dup
     // gate (the exact-Jaccard join at the J ≥ 0.8 dedup threshold — the
@@ -510,6 +541,21 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same shape as the s56 oracle with the metadata join; rnk dropped to
+    // 3 and narrowed to INTEGER.
+    "s67_filtered_ann" ->
+      """SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+        |    AS rnk
+        | FROM embeddings q
+        | JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+        | JOIN documents d ON c.vec_id = d.doc_id AND d.source = 'src3'
+        | WHERE q.embedding IS NOT NULL)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     // Composes the d52 jaccard core with the s58 cosine pair set; both
     // emit (ida < idb)-normalized pairs on the shared doc_id/vec_id space,
     // so INTERSECT/EXCEPT mirror the full-outer-join classification.

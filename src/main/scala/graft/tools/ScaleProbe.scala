@@ -260,6 +260,19 @@ object ScaleProbe {
       run("s64", k, d)
       run("s65", k, d)
     }
+    // agreement report (s66): needs BOTH tables in ONE dir with consistent
+    // ids — synthDocs and synthEmb share the 100000000L per-replica offset,
+    // so the combined corpus keeps the doc_id == vec_id alignment the
+    // report joins on; both pair sets replicate per shard (suffix/flip).
+    for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
+      val dir = s"$workDir/combo_x$k"
+      if (k > 1 && wanted("s66") &&
+          !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        synthDocs(k, suffixTokens = true, dir)
+        synthEmb(k, dir)
+      }
+      run("s66", k, if (k == 1) baseDir else dir)
+    }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67") &&
