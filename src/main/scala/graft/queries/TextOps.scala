@@ -194,20 +194,58 @@ object TextOps {
     // across engines and partitionings.
     "t55_vocab" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val freq = docs(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
       val byRank = Window.orderBy(col("n").desc, col("token").asc)
-      freq
-        .withColumn("rnk", row_number().over(byRank))
+      rankedVocab(s, dir)
         .withColumn("cum_n", sum(col("n")).over(
           byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("total", sum(col("n")).over(Window.partitionBy()))
         .select(col("token"), col("n"), col("rnk"), col("cum_n"),
           (col("cum_n").cast(DoubleType) / col("total").cast(DoubleType)).as("share"))
         .orderBy(col("rnk"))
+    }),
+
+    // TOKENIZATION against the trained vocabulary — the step that turns the
+    // cleaned corpus into the integer sequences training actually consumes:
+    // every whitespace token maps to its t55 vocab rank (the id a frequency-
+    // sorted tokenizer assigns), re-assembled in document order. Scale
+    // shape: tokens explode scan-locally with their positions; the id map
+    // is ONE equi-join against the vocab table (broadcastable at this
+    // vocab's size, a plain shuffle join at web scale — no hint forces
+    // either); re-assembly is a partial/final agg per doc_id
+    // (sort_array(collect_list(struct(pos,id)))), so order is recovered
+    // without a window over corpus-sized data. Output is scalar-only
+    // (length, head preview, exact id sum) to keep the cross-engine compare
+    // on primitive columns.
+    "t57_tokenize" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+"))
+          .as(Seq("pos", "token")))
+      toks.join(rankedVocab(s, dir).select(col("token"), col("rnk").as("tid")),
+          "token")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).as("n_tok"),
+          concat_ws(" ",
+            expr("transform(slice(ps, 1, 10), x -> cast(x.tid AS string))"))
+            .as("ids_head"),
+          expr("aggregate(ps, 0L, (acc, x) -> acc + x.tid)").as("ids_sum"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** The t55 frequency-ranked vocabulary (token, n, rnk) — rank 1 = most
+    * frequent, ties broken by token text; shared by the vocab-statistics
+    * query and t57 tokenization so the id assignment cannot drift. The
+    * rank window runs on the vocab-sized agg output only. */
+  private def rankedVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+  }
 
   /** The standard PII scrub set: email addresses, phone-shaped number
     * groups, IPv4 addresses. Java-regex and RE2-compatible (no lookaround,
@@ -292,6 +330,31 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // The vocab CTE mirrors t55's rank rule; list(... ORDER BY pos)
+    // rebuilds document order; sum(INTEGER) widened by DuckDB to HUGEINT,
+    // cast back to Spark's BIGINT fold result.
+    "t57_tokenize" ->
+      """WITH v AS (
+        | SELECT token, count(*) AS n FROM
+        |  (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |   FROM documents)
+        | GROUP BY 1),
+        |r AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER)
+        |    AS tid
+        | FROM v),
+        |t AS (
+        | SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
+        |  unnest(s) AS token
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s
+        |       FROM documents)),
+        |j AS (SELECT doc_id, pos, tid FROM t JOIN r USING (token))
+        |SELECT doc_id,
+        | CAST(count(*) AS INTEGER) AS n_tok,
+        | array_to_string(list(tid ORDER BY pos)[1:10], ' ') AS ids_head,
+        | CAST(sum(tid) AS BIGINT) AS ids_sum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Same regex in both engines (Java regex here, RE2 there — the pattern
     // uses only shared syntax); DuckDB needs the explicit 'g' flag for
     // replace-all, which is Spark's default. len() narrowed to Spark's

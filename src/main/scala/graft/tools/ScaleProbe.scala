@@ -191,7 +191,8 @@ object ScaleProbe {
           "d62", "d64_probe", "d65_probe") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
-      if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68") &&
+      if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
+          "t57") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -245,6 +246,9 @@ object ScaleProbe {
       run("d67", k, p)
       // z-order audit: scan-local bit arithmetic + broadcast stats row
       run("d68", k, p)
+      // tokenization: plain replicas keep the vocab CONSTANT while token
+      // volume grows xK — join stays vocab-sized, re-assembly agg ∝ data
+      run("t57", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
