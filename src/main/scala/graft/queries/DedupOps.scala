@@ -392,19 +392,9 @@ object DedupOps {
     // the per-shard rank is WindowGroupLimit-free by design (full ranks
     // are the output); shard count becomes a parameter ∝ cluster in
     // production, the nibble is the 16-shard contract instance.
-    "d67_global_shuffle" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val key = md5(concat_ws(":", lit("seed42"), col("doc_id")).cast("binary"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), key.as("skey"))
-        .withColumn("shard",
-          (expr("instr('0123456789abcdef', substr(skey, 1, 1))") - 1)
-            .cast(IntegerType))
-        .withColumn("rn", row_number().over(w))
-        .select(col("shard"), col("rn"), col("doc_id"), col("skey"))
-        .orderBy(col("shard"), col("rn"))
-    }),
+    "d67_global_shuffle" -> ((s, dir) =>
+      globalShuffle(Tables.load(s, dir, "documents"))
+        .orderBy(col("shard"), col("rn"))),
 
     // Z-ORDER LAYOUT audit — the multi-dimensional data-skipping layout
     // lake tables use at 100 TB (OPTIMIZE ZORDER): interleave the bits of
@@ -660,6 +650,24 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
       .orderBy(col("doc_id"))
+
+  /** The d67 shuffle rule on an ARBITRARY frame with a `doc_id` key (the
+    * contract query applies it to the documents table; the invariance spec
+    * to a repartition(13) copy): md5(seed:doc_id) shuffle key, first hex
+    * nibble as shard, within-shard rank under the total (skey, doc_id)
+    * order. One definition, so the query and its partitioning-invariance
+    * proof cannot drift. */
+  private[graft] def globalShuffle(d: DataFrame, seed: String = "seed42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(seed), col("doc_id")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    d.select(col("doc_id"), key.as("skey"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substr(skey, 1, 1))") - 1)
+          .cast(IntegerType))
+      .withColumn("rn", row_number().over(w))
+      .select(col("shard"), col("rn"), col("doc_id"), col("skey"))
+  }
 
   /** Epoch-upsample by a per-row weight column: each row is replicated
     * floor(w) times, plus once more iff `doc_id % mod < frac(w) * mod` —

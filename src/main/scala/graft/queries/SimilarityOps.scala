@@ -169,6 +169,9 @@ object SimilarityOps {
       val c = emb(s, dir).filter(col("vec_id") >= 10)
         .join(allowed, col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+        // same single-split mitigation as s56: spread the streamed side of
+        // the BNLJ across the cluster (free from the file layout on real data)
+        .repartition(s.sparkContext.defaultParallelism)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
       q.crossJoin(c)

@@ -122,21 +122,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // across reruns AND cluster layouts — md5 keys + total (skey, doc_id)
     // order make output independent of how the input arrives
     val base = SparkEntry.queries("d67")(spark, dir).collect().map(_.toString)
-    val reparted = {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.IntegerType
-      val key = md5(concat_ws(":", lit("seed42"), col("doc_id")).cast("binary"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-      Tables.load(spark, dir, "documents").repartition(13)
-        .select(col("doc_id"), key.as("skey"))
-        .withColumn("shard",
-          (expr("instr('0123456789abcdef', substr(skey, 1, 1))") - 1)
-            .cast(IntegerType))
-        .withColumn("rn", row_number().over(w))
-        .select(col("shard"), col("rn"), col("doc_id"), col("skey"))
-        .orderBy(col("shard"), col("rn"))
-        .collect().map(_.toString)
-    }
+    val reparted = queries.DedupOps.globalShuffle(
+        Tables.load(spark, dir, "documents").repartition(13))
+      .orderBy(col("shard"), col("rn"))
+      .collect().map(_.toString)
     assert(base.nonEmpty && base.sameElements(reparted),
       "shuffle order changed with input partitioning")
   }
