@@ -396,6 +396,39 @@ object DedupOps {
       globalShuffle(Tables.load(s, dir, "documents"))
         .orderBy(col("shard"), col("rn"))),
 
+    // PIPELINE V2 — the r6 stages composed as ONE declarative DAG, the way
+    // d58 composes the r4 stages: quality gate (t50's shared predicate) →
+    // exact-content dedup (d50's rule: keep the smallest doc_id per
+    // md5(text) — the rk=1 filter rewrites to WindowGroupLimit, map-side)
+    // → decontamination drop (d60's width-3 rule; eval-class docs are
+    // never flagged — they model the external benchmark) → epoch
+    // upsampling (d66's weights, text preserved through replication) →
+    // per-source audit with exact token totals. Catalyst fuses the scalar
+    // gates into the scan; the added shuffles are exactly the semantic
+    // ones (content key, shingle join, source agg) — composition costs
+    // what its stages cost, which is the point of building every stage as
+    // a DataFrame transform.
+    "d69_pipeline_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val quality = Tables.load(s, dir, "documents")
+        .filter(QueryUtil.qualityKeep(col("text")))
+      val wDup = Window.partitionBy(col("ck")).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("ck", md5(col("text").cast("binary")))
+        .withColumn("rk", row_number().over(wDup))
+        .filter(col("rk") === 1).drop("ck", "rk")
+      val flagged = decontaminate(s, dir, 3).select(col("doc_id"))
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      val w = lit(1.0) +
+        (expr("substr(source, 4)").cast(IntegerType) % 4) * lit(0.5)
+      upsampleMixture(clean, w)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(QueryUtil.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Z-ORDER LAYOUT audit — the multi-dimensional data-skipping layout
     // lake tables use at 100 TB (OPTIMIZE ZORDER): interleave the bits of
     // two scan dimensions so that sorting by the single z-value keeps BOTH
@@ -928,6 +961,43 @@ object DedupOps {
       """SELECT lang, count(*) AS n_before,
         | count(*) FILTER (WHERE lang != 'en' OR doc_id % 4 = 0) AS n_after
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Stage mirrors all shared with their standalone oracles: quality
+    // predicate (t50/d58), QUALIFY-dedup (d50's min-id rule),
+    // decontamination shingle join (d60), generate_series upsample (d66),
+    // token count (t46/t47). sum/count widths cast back to Spark's BIGINT.
+    "d69_pipeline_v2" ->
+      s"""WITH q AS (
+        | SELECT * FROM documents WHERE ${QueryUtil.oracleQualityPredicate}),
+        |d AS (
+        | SELECT * FROM q QUALIFY
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s
+        |       FROM documents)),
+        |flag AS (
+        | SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON t.shingle = e.shingle
+        | WHERE t.doc_id % 97 != 0 AND e.doc_id % 97 = 0),
+        |clean AS (
+        | SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+        |c AS (
+        | SELECT doc_id, source, text,
+        |  CAST(floor(w) + CASE WHEN doc_id % 1000 < (w - floor(w)) * 1000
+        |    THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+        | FROM (SELECT doc_id, source, text,
+        |   1.0 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.5 AS w
+        |  FROM clean)),
+        |e AS (
+        | SELECT doc_id, source, text,
+        |  unnest(generate_series(1, n_copies)) AS epoch
+        | FROM c WHERE n_copies > 0)
+        |SELECT source,
+        | count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_rows,
+        | CAST(sum(${QueryUtil.oracleTokenCount}) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Same unrolled 16-term interleave; // is DuckDB integer division
     // (Spark `div`); tile < 16 by construction ((zmax-zmin)*16 <
     // (zmax-zmin+1)*16).

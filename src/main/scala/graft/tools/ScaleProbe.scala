@@ -188,7 +188,7 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
-          "d62", "d64_probe", "d65_probe") &&
+          "d62", "d64_probe", "d65_probe", "d69") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -213,6 +213,9 @@ object ScaleProbe {
       // containment join: suffixed replicas keep containment structure
       // per shard (same rationale as d52) — prefix x full-entries join
       run("d62", k, d)
+      // pipeline v2: quality/dedup/decontam/upsample structure replicates
+      // per shard (suffixed texts stay distinct across replicas)
+      run("d69", k, d)
       // delta probes: index built once per factor (outside timing) from the
       // suffixed ×K corpus; probe input fixed at the base sf. Suffixed
       // replicas share zero shingles with the base, so probe OUTPUT stays
