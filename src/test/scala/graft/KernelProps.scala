@@ -187,4 +187,25 @@ object KernelProps extends Properties("graft.kernels") {
         .asInstanceOf[java.sql.Timestamp]
       ts.getTime == ms && dt.getTime == ms
     }
+
+  // PII redaction idempotence at the pattern level: "[PII]" can never
+  // create a new match for any pattern in the set, so a second pass is a
+  // no-op. Spark's regexp_replace runs this exact Java regex engine, so
+  // String.replaceAll is a faithful single-node mirror of the fold in
+  // TextOps.redactedText.
+  private val piiWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+  private val piiToken = Gen.oneOf(
+    piiWord,
+    for { a <- piiWord; b <- piiWord } yield s"$a@$b.com",
+    for { a <- Gen.chooseNum(100, 999); b <- Gen.chooseNum(100, 999);
+          c <- Gen.chooseNum(1000, 9999) } yield s"$a-$b-$c",
+    Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString(".")))
+
+  property("PII redaction is idempotent (second pass is a no-op)") =
+    forAll(Gen.listOf(piiToken).map(_.mkString(" "))) { text =>
+      def scrub(t: String) = graft.queries.TextOps.PiiPatterns
+        .foldLeft(t)((acc, p) => acc.replaceAll(p, "[PII]"))
+      val once = scrub(text)
+      scrub(once) == once
+    }
 }
