@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,6 +35,7 @@ private[functions] object TypeChecks {
     case (ArrayType(LongType, _), "array<bigint>") => true
     case (ArrayType(_: StringType, _), "array<string>") => true
     case (ArrayType(FloatType, _), "array<float>") => true
+    case (ArrayType(DoubleType, _), "array<double>") => true
     case (IntegerType, "int") => true
     case (_: StringType, "string") => true
     case (BinaryType, "binary") => true
@@ -146,6 +147,49 @@ case class HyperplaneSig(child: Expression, table: Expression, nbits: Int)
   override def prettyName: String = "graft_hyperplane"
 }
 
+/** Int8-pack a float vector under per-dim (lo, hi) stats (the s65 affine
+  * scheme): (array<float>, array<double>, array<double>) -> binary. Runs
+  * once per corpus vector at index-build time; codegen'd so the write stays
+  * one whole-stage scan. */
+case class Q8Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "array<float>",
+      second.dataType -> "array<double>", third.dataType -> "array<double>")
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any, lo: Any, hi: Any): Any =
+    Kernels.q8Encode(v.asInstanceOf[ArrayData], lo.asInstanceOf[ArrayData],
+      hi.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, lo, hi) => s"graft.functions.Kernels.q8Encode($v, $lo, $hi)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Q8Encode = copy(f, s, t)
+  override def prettyName: String = "graft_q8_encode"
+}
+
+/** Asymmetric quantized cosine: (array<float> query, binary int8 codes,
+  * array<double> lo, array<double> hi) -> double, dequantizing inside the
+  * dot-product loop. This sits in the quantized-ANN rerank hot path
+  * (O(|Q|·candidates) evals) — codegen'd static kernel call, same policy as
+  * graft_cosine. */
+case class CosineQ8(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "array<float>",
+      second.dataType -> "binary",
+      third.dataType -> "array<double>", fourth.dataType -> "array<double>")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(q: Any, code: Any, lo: Any, hi: Any): Any =
+    Kernels.cosineQ8(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[ArrayData], hi.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (q, c, lo, hi) => s"graft.functions.Kernels.cosineQ8($q, $c, $lo, $hi)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): CosineQ8 = copy(f, s, t, q)
+  override def prettyName: String = "graft_cosine_q8"
+}
+
 /** Stopword-profile language identification: string -> string lang code. */
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -230,5 +274,9 @@ object GraftFunctions {
       es => DistinctCount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane",
       es => HyperplaneSig(es.head, es(1), lit(es(2), "nbits").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_q8_encode",
+      es => Q8Encode(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine_q8",
+      es => CosineQ8(es.head, es(1), es(2), es(3)), "scala_udf")
   }
 }

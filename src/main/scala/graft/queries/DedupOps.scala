@@ -61,11 +61,16 @@ object DedupOps {
     * `broadcast()` hint: at 100 TB the docs side IS the corpus, and forcing
     * it onto the build side is a guaranteed executor OOM. Declarative joins
     * let AQE broadcast when (and only when) a side is actually small.
-    * Unordered — callers that need a sorted result add their own orderBy. */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    * Unordered — callers that need a sorted result add their own orderBy.
+    * `left`/`right` are the (doc_id, hs) frames the pair sides resolve
+    * against — identical for self-join dedup (d52/d53/d65 in-memory), the
+    * batch frame vs the stored shingle table for index probes — so the
+    * formula and threshold semantics cannot drift between paths. */
+  private def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame =
     cand
-      .join(docs.select(col("doc_id").as("ida"), col("hs").as("hsa")), "ida")
-      .join(docs.select(col("doc_id").as("idb"), col("hs").as("hsb")), "idb")
+      .join(left.select(col("doc_id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(right.select(col("doc_id").as("idb"), col("hs").as("hsb")), "idb")
       .select(col("ida"), col("idb"),
         (expr("graft_intersect_size(hsa, hsb)").cast(DoubleType) /
           (size(col("hsa")) + size(col("hsb")) - expr("graft_intersect_size(hsa, hsb)"))).as("jac"))
@@ -144,7 +149,7 @@ object DedupOps {
             .cast(DoubleType) >=
         lit(threshold) / (1.0 + threshold) * (col("na") + col("nb")) - lit(1e-6))
       .select(col("ida"), col("idb"))
-    verifyJaccard(cand, docs, threshold)
+    verifyJaccard(cand, docs, docs, threshold)
   }
 
   /** Asymmetric CONTAINMENT join: ordered pairs (ida, idb) with
@@ -564,7 +569,7 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      verifyJaccard(cand, docs, 0.8).orderBy(col("ida"), col("idb"))
+      verifyJaccard(cand, docs, docs, 0.8).orderBy(col("ida"), col("idb"))
     }),
 
     // SimHash near-dup: 64-bit signature over tokens, banded buckets,
@@ -765,6 +770,16 @@ object DedupOps {
   private[graft] def ingestIncoming(s: SparkSession, dir: String): DataFrame =
     hashedDocs(s, dir).filter(col("doc_id") % IngestMod === IngestResidue)
 
+  /** Shared d65 report tail: earliest corpus match + match count per
+    * flagged incoming doc. One definition for the in-memory and
+    * stored-index paths. */
+  private def ingestReport(verified: DataFrame): DataFrame =
+    verified
+      .groupBy(col("ida"))
+      .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
+      .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
+      .orderBy(col("doc_id"))
+
   private[graft] def ingestDedup(s: SparkSession, dir: String, t: Double): DataFrame = {
     GraftFunctions.register(s)
     val docs = hashedDocs(s, dir)
@@ -773,11 +788,7 @@ object DedupOps {
     val cand = bandBuckets(incoming)
       .join(bandBuckets(corpus).select(col("doc_id").as("cid"), col("bucket")), "bucket")
       .select(col("doc_id").as("ida"), col("cid").as("idb")).distinct()
-    verifyJaccard(cand, docs, t)
-      .groupBy(col("ida"))
-      .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
-      .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
-      .orderBy(col("doc_id"))
+    ingestReport(verifyJaccard(cand, incoming, corpus, t))
   }
 
   /** Store the standing corpus's ingestion index: band buckets bucketed on
@@ -805,18 +816,10 @@ object DedupOps {
       .join(s.table(bucketsTable).select(col("doc_id").as("cid"), col("bucket")), "bucket")
       .select(col("doc_id").as("ida"), col("cid").as("idb")).distinct()
     // verify joins the incoming side from the batch frame and the corpus
-    // side from the stored shingle table (bucketed on doc_id)
-    cand
-      .join(incoming.select(col("doc_id").as("ida"), col("hs").as("hsa")), "ida")
-      .join(s.table(shinglesTable).select(col("doc_id").as("idb"), col("hs").as("hsb")), "idb")
-      .select(col("ida"), col("idb"),
-        (expr("graft_intersect_size(hsa, hsb)").cast(DoubleType) /
-          (size(col("hsa")) + size(col("hsb")) - expr("graft_intersect_size(hsa, hsb)"))).as("jac"))
-      .filter(col("jac") >= t)
-      .groupBy(col("ida"))
-      .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
-      .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
-      .orderBy(col("doc_id"))
+    // side from the stored shingle table (bucketed on doc_id) — the same
+    // verifyJaccard kernel as the in-memory d65 path, so formula and
+    // threshold cannot drift between them
+    ingestReport(verifyJaccard(cand, incoming, s.table(shinglesTable), t))
   }
 
   /** SimHash candidate generation + exact hamming filter via Manku-style

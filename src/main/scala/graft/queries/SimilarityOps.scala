@@ -166,7 +166,8 @@ object SimilarityOps {
       val q = broadcast(emb(s, dir)
         .filter(col("vec_id") < 10 && col("embedding").isNotNull)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
-      val c = emb(s, dir).filter(col("vec_id") >= 10)
+      val c = emb(s, dir)
+        .filter(col("vec_id") >= 10 && col("embedding").isNotNull)
         .join(allowed, col("vec_id") === col("doc_id"))
         .select(col("vec_id").as("nid"), col("embedding").as("cv"))
         // same single-split mitigation as s56: spread the streamed side of
@@ -426,11 +427,14 @@ object SimilarityOps {
     graft.sources.Sinks.readPartitioned(s, path)
       .filter(col("cell").isin(cells.map(Int.box): _*))
 
-  def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
-    GraftFunctions.register(s)
-    val corpusCells = corpusWithCells(s, dir, c, iters)
+  /** Query-side probe list (qid, qv, cell): each query vector exploded to
+    * its nprobe argmax-cosine cells via the bounded top-k aggregate. ONE
+    * definition shared by the float (annIvf) and int8 (annIvfQ8) rerank
+    * paths — the coarse quantizer does not change when the fine codes do. */
+  private def ivfQueryProbes(s: SparkSession, dir: String,
+      c: Int, nprobe: Int, iters: Int): DataFrame = {
     val centroids = trainCentroids(s, dir, c, iters)
-    val queryProbes = emb(s, dir).filter(col("vec_id") < 10)
+    emb(s, dir).filter(col("vec_id") < 10)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
         expr("graft_cosine(embedding, cv)").as("sim"))
@@ -439,6 +443,12 @@ object SimilarityOps {
         expr(s"graft_topk_pairs(sim, cast(cell as bigint), $nprobe)").as("top"))
       .select(col("qid"), col("qv"),
         explode(expr("transform(top, x -> cast(x.id as int))")).as("cell"))
+  }
+
+  def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val corpusCells = corpusWithCells(s, dir, c, iters)
+    val queryProbes = ivfQueryProbes(s, dir, c, nprobe, iters)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     queryProbes.join(corpusCells, "cell") // shuffle on cell id — the probe
       .select(col("qid"), col("nid"),
@@ -446,6 +456,89 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 5)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  // --- int8-quantized IVF: the compressed vector store -------------------
+
+  /** Per-dimension corpus (lo, hi) stats as ONE broadcastable row
+    * (lo: array<double>, hi: array<double>) in dim order — the s65 affine
+    * grid, shared by the encode (index write) and probe (asymmetric rerank)
+    * sides: both must read the SAME stats or codes decode against the wrong
+    * grid. Corpus split only (vec_id >= 10) — queries stay float and never
+    * influence the grid. One partial/final agg reduces the corpus to 64
+    * rows, then to one; nothing corpus-sized shuffles. */
+  private[graft] def q8Stats(s: SparkSession, dir: String): DataFrame =
+    QueryUtil.persistKeyed(s, s"q8stats:$dir", {
+      emb(s, dir).filter(col("vec_id") >= 10 && col("embedding").isNotNull)
+        .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .groupBy(col("dim"))
+        .agg(min(col("vf").cast(DoubleType)).as("lo"),
+          max(col("vf").cast(DoubleType)).as("hi"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("dim"), col("lo")))).as("dl"),
+          array_sort(collect_list(struct(col("dim"), col("hi")))).as("dh"))
+        .select(expr("transform(dl, x -> x.lo)").as("lo"),
+          expr("transform(dh, x -> x.hi)").as("hi"))
+    })
+
+  /** Corpus inverted lists with int8 codes instead of float arrays:
+    * (nid, code binary, cell) — 1 byte/dim, the 4× memory/IO reduction a
+    * 100 TB vector store actually ships. Encode is a scan-local codegen'd
+    * kernel against the broadcast 1-row stats; cell assignment is shared
+    * with the float path (corpusWithCells), so the quantized index prunes
+    * identically. */
+  private[graft] def corpusCellsQ8(s: SparkSession, dir: String,
+      c: Int, iters: Int): DataFrame =
+    corpusWithCells(s, dir, c, iters)
+      .crossJoin(broadcast(q8Stats(s, dir)))
+      .select(col("nid"), expr("graft_q8_encode(cv2, lo, hi)").as("code"), col("cell"))
+
+  /** The quantized IVF storage layer: inverted lists hive-partitioned by
+    * cell exactly like writeIvfCorpus but carrying int8 codes, plus the
+    * (lo, hi) grid as a sidecar parquet at `${path}_stats` — the probe must
+    * dequantize on the grid the codes were written with, so the grid
+    * travels with the layout, not with the session. */
+  def writeIvfCorpusQuantized(s: SparkSession, dir: String, path: String,
+      c: Int, iters: Int): Unit = {
+    GraftFunctions.register(s)
+    graft.sources.Sinks.writePartitioned(corpusCellsQ8(s, dir, c, iters), path, Seq("cell"))
+    q8Stats(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${path}_stats")
+  }
+
+  /** Partition-pruned probe read over a writeIvfCorpusQuantized layout —
+    * same pruning as probeIvfCells (cell is the partition key either way). */
+  def probeIvfCellsQuantized(s: SparkSession, path: String, cells: Seq[Int]): DataFrame =
+    graft.sources.Sinks.readPartitioned(s, path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+
+  /** The stored grid sidecar of a writeIvfCorpusQuantized layout. */
+  def readQ8Stats(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${path}_stats")
+
+  /** Asymmetric rerank over int8 inverted lists: float queries against
+    * coded candidates via graft_cosine_q8 (dequantize fused into the dot
+    * product — no float array ever materializes on the corpus side).
+    * `corpusQ` is (nid, code, cell) from either corpusCellsQ8 (in-memory)
+    * or probeIvfCellsQuantized (stored layout); `stats` is the matching
+    * grid row. Same probe list, tie rule, and top-5 shape as annIvf. */
+  private[graft] def annIvfQ8Over(s: SparkSession, dir: String, corpusQ: DataFrame,
+      stats: DataFrame, c: Int, nprobe: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val queryProbes = ivfQueryProbes(s, dir, c, nprobe, iters)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    queryProbes.join(corpusQ, "cell")
+      .crossJoin(broadcast(stats)) // 1 row: the dequantization grid
+      .select(col("qid"), col("nid"),
+        expr("graft_cosine_q8(qv, code, lo, hi)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def annIvfQ8(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    annIvfQ8Over(s, dir, corpusCellsQ8(s, dir, c, iters), q8Stats(s, dir), c, nprobe, iters)
   }
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -458,6 +551,17 @@ object SimilarityOps {
     // broadcast. Engine-specific cells => rows-only driver check; recall vs
     // exact s56 is asserted in the ScalaTest spec.
     "s60_ann_ivf" -> ((s, dir) => annIvf(s, dir, IvfCells, IvfNprobe, iters = 3)),
+
+    // INT8-QUANTIZED IVF — the compressed form of s60: same coarse
+    // quantizer and probe list, but the inverted lists carry 1-byte-per-dim
+    // codes (the s65 affine grid) and the rerank runs the asymmetric
+    // graft_cosine_q8 kernel (float query × int8 candidate, dequantize
+    // fused into the dot product). 4× less corpus memory/IO — at 100 TB
+    // this is what makes the vector store fit; stored layout =
+    // writeIvfCorpusQuantized (partition-pruned probe, plan-asserted).
+    // Engine-specific cells + codes => rows-only driver check; recall@5 vs
+    // exact s56 is spec-gated at the measured floor (PipelineOpsSpec).
+    "s68_ann_ivf_q8" -> ((s, dir) => annIvfQ8(s, dir, IvfCells, IvfNprobe, iters = 3)),
 
     // Exact k-NN graph (k=3) over ALL vectors — the neighborhood structure
     // that downstream clustering / graph-dedup / diversity sampling reads.
@@ -556,7 +660,7 @@ object SimilarityOps {
         | FROM embeddings q
         | JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
         | JOIN documents d ON c.vec_id = d.doc_id AND d.source = 'src3'
-        | WHERE q.embedding IS NOT NULL)
+        | WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     // Composes the d52 jaccard core with the s58 cosine pair set; both

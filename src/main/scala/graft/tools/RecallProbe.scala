@@ -41,6 +41,12 @@ object RecallProbe {
       val r = recall(pairs(SimilarityOps.annIvf(spark, dir, c, np, iters = 3)))
       println(f"[probe] ivf c=$c%2d nprobe=$np  recall@5=$r%.3f")
     }
+    // int8-quantized rerank vs the float path at the same operating points:
+    // the delta isolates the quantization loss (same cells, same probes)
+    for (c <- Seq(8, 16); np <- Seq(4, 6, 8)) {
+      val r = recall(pairs(SimilarityOps.annIvfQ8(spark, dir, c, np, iters = 3)))
+      println(f"[probe] ivf-q8 c=$c%2d nprobe=$np  recall@5=$r%.3f")
+    }
     spark.stop()
   }
 }

@@ -145,6 +145,23 @@ object ScaleProbe {
     // SHUFFLE stays probe-sized while the corpus grows ×K; wall is bounded
     // by the index scan, never by reshuffling it.
     def tblSuffix(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // Managed-table data persists under $workDir/warehouse across JVMs while
+    // the in-memory catalog does not; a stale location makes
+    // saveAsTable(Overwrite) fail. Drop the leftover dir before a rebuild so
+    // reruns with the same workDir are idempotent (the parquet corpora get
+    // the same treatment via their file-existence guards).
+    def dropStaleIndex(tbls: String*): Unit = tbls.foreach { t =>
+      if (!spark.catalog.tableExists(t)) {
+        val loc = new java.io.File(s"$workDir/warehouse/${t.toLowerCase}")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
+    }
     val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
       "d54_triple" -> ((s, d) =>
         graft.queries.DedupOps.simhashPairs(s, d, choose = 3, maxHamming = 5)
@@ -222,14 +239,19 @@ object ScaleProbe {
       // constant while the stored index grows ×K — any cost growth is pure
       // index-side overhead, which the bucketed layout confines to the scan.
       if (wanted("d64_probe")) {
-        if (!spark.catalog.tableExists(s"scale_train_idx_${tblSuffix(d)}"))
+        if (!spark.catalog.tableExists(s"scale_train_idx_${tblSuffix(d)}")) {
+          dropStaleIndex(s"scale_train_idx_${tblSuffix(d)}")
           graft.queries.DedupOps.writeTrainIndex(spark, d, s"scale_train_idx_${tblSuffix(d)}")
+        }
         run("d64_probe", k, d)
       }
       if (wanted("d65_probe")) {
-        if (!spark.catalog.tableExists(s"scale_ing_buckets_${tblSuffix(d)}"))
+        if (!spark.catalog.tableExists(s"scale_ing_buckets_${tblSuffix(d)}")) {
+          dropStaleIndex(
+            s"scale_ing_buckets_${tblSuffix(d)}", s"scale_ing_shingles_${tblSuffix(d)}")
           graft.queries.DedupOps.writeIngestIndex(spark, d,
             s"scale_ing_buckets_${tblSuffix(d)}", s"scale_ing_shingles_${tblSuffix(d)}")
+        }
         run("d65_probe", k, d)
       }
       run("u65", k, p)

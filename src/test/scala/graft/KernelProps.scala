@@ -208,4 +208,24 @@ object KernelProps extends Properties("graft.kernels") {
       val once = scrub(text)
       scrub(once) == once
     }
+
+  // Int8 quantization invariant the s68 rerank rests on: for any corpus
+  // column (one dimension's values) coded on its own (lo=min, hi=max) grid,
+  // the midpoint reconstruction v̂ = lo + (q + 0.5)(hi - lo)/256 is within
+  // half a quantization step of the original — the worst case (v == hi,
+  // clamped to code 255) attains exactly step/2. Dims are independent, so
+  // the per-dim bound IS the vector bound.
+  property("q8 per-dim reconstruction error <= half a quantization step") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-64.0, 64.0))) { ds =>
+      val vals = ds.map(_.toFloat)
+      val lo = vals.min.toDouble; val hi = vals.max.toDouble
+      val step = (hi - lo) / 256.0
+      def farr(v: Float) = new GenericArrayData(Array[Any](v))
+      def darr(d: Double) = new GenericArrayData(Array[Any](d))
+      vals.forall { v =>
+        val q = Kernels.q8Encode(farr(v), darr(lo), darr(hi))(0) + 128
+        val vhat = if (hi == lo) lo else lo + (q + 0.5) * step
+        math.abs(vhat - v) <= step / 2 + 1e-9
+      }
+    }
 }

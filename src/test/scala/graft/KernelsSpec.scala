@@ -93,6 +93,45 @@ class KernelsSpec extends AnyFunSuite {
       Kernels.hyperplaneSig(v, 2, 8) != s1)
   }
 
+  test("q8 encode: boundary codes, degenerate dims, and mismatch rejection") {
+    def f(xs: Float*) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+    def d(xs: Double*) = new GenericArrayData(xs.map(_.asInstanceOf[Any]).toArray)
+    val lo = d(0.0, -1.0, 5.0)
+    val hi = d(1.0, 1.0, 5.0) // third dim degenerate (hi == lo)
+    val code = Kernels.q8Encode(f(0f, 1f, 5f), lo, hi)
+    // v = lo -> q 0 -> byte -128; v = hi -> floor(256) clamps to 255 -> 127;
+    // degenerate dim -> q 0 by the guard
+    assert(code.toSeq == Seq(-128, 127, -128).map(_.toByte))
+    // midpoint of dim 0: q = floor(0.5*256) = 128 -> byte 0
+    assert(Kernels.q8Encode(f(0.5f, 0f, 5f), lo, hi)(0) == 0.toByte)
+    intercept[IllegalArgumentException] {
+      Kernels.q8Encode(f(0f, 1f), lo, hi)
+    }
+  }
+
+  test("q8 asymmetric cosine tracks float cosine within quantization error") {
+    // deterministic pseudo-random 64-dim vectors (the embeddings' shape)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i * 7).toFloat))
+    def f(xs: Array[Float]) = new GenericArrayData(xs.map(_.asInstanceOf[Any]))
+    val vs = (1 to 8).map(vec)
+    val dims = 0 until 64
+    val lo = new GenericArrayData(
+      dims.map(i => vs.map(_(i)).min.toDouble.asInstanceOf[Any]).toArray)
+    val hi = new GenericArrayData(
+      dims.map(i => vs.map(_(i)).max.toDouble.asInstanceOf[Any]).toArray)
+    for (q <- vs; c <- vs) {
+      val exact = Kernels.cosineFloat(f(q), f(c))
+      val approx = Kernels.cosineQ8(f(q), Kernels.q8Encode(f(c), lo, hi), lo, hi)
+      // 256 levels/dim over these ranges: cosine moves < 0.01
+      assert(math.abs(exact - approx) < 0.01,
+        s"quantized cosine drifted: $exact vs $approx")
+    }
+    intercept[IllegalArgumentException] {
+      Kernels.cosineQ8(f(vec(1).take(63)), Kernels.q8Encode(f(vec(2)), lo, hi), lo, hi)
+    }
+  }
+
   test("fake image meta is stable arithmetic") {
     assert(Kernels.fakeWidth(100) == 164)
     assert(Kernels.fakeHeight(100) == 64 + 700 % 512)

@@ -99,6 +99,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(read.select("cell").distinct().collect().map(_.getInt(0)).toSet == probes.toSet)
   }
 
+  test("quantized IVF layout: pruned probe, stored rerank == in-memory, bytes shrink vs float") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.SimilarityOps
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    val outF = java.nio.file.Files.createTempDirectory("graft-ivff-").toString
+    val outQ = java.nio.file.Files.createTempDirectory("graft-ivfq-").toString
+    SimilarityOps.writeIvfCorpus(spark, dir, outF, c, iters = 3)
+    SimilarityOps.writeIvfCorpusQuantized(spark, dir, outQ, c, iters = 3)
+    // 1) the probe read prunes to the probed cell directories, same as the
+    // float layout (cell is the partition key either way)
+    val allCells = Sinks.readPartitioned(spark, outQ)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(allCells.size > nprobe, s"corpus landed in only ${allCells.size} cells")
+    val probes = allCells.toSeq.sorted.take(nprobe)
+    val read = SimilarityOps.probeIvfCellsQuantized(spark, outQ, probes)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one file scan:\n${read.queryExecution.executedPlan}")
+    assert(scans.head.selectedPartitions.partitionCount == probes.size,
+      s"scan read ${scans.head.selectedPartitions.partitionCount} partition dirs, " +
+        s"expected ${probes.size} of ${allCells.size}")
+    // 2) rerank over the STORED layout (codes + grid sidecar) returns the
+    // identical answer to the in-memory s68 path — the storage changes the
+    // I/O, not the result
+    val stored = SimilarityOps.annIvfQ8Over(spark, dir,
+        Sinks.readPartitioned(spark, outQ), SimilarityOps.readQ8Stats(spark, outQ),
+        c, nprobe, iters = 3)
+      .collect().map(_.toString).toSeq
+    val inMem = SimilarityOps.annIvfQ8(spark, dir, c, nprobe, iters = 3)
+      .collect().map(_.toString).toSeq
+    assert(stored == inMem, "stored-layout rerank diverged from the in-memory path")
+    // 3) the point of quantizing: the stored inverted lists shrink. Raw is
+    // 4x (1 byte vs 4 bytes per dim); parquet encoding keeps most of it —
+    // gate at >= 2.5x, record the measured ratio in SCALE.md
+    def parquetBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(f => f.toString.endsWith(".parquet"))
+        .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      finally s.close()
+    }
+    val bf = parquetBytes(outF); val bq = parquetBytes(outQ)
+    info(f"stored inverted lists: float $bf%d B vs q8 $bq%d B = ${bf.toDouble / bq}%.2fx")
+    assert(bf > bq * 2.5,
+      f"quantized layout not smaller enough: float $bf%d B vs q8 $bq%d B " +
+        f"(${bf.toDouble / bq}%.2fx)")
+  }
+
   test("LSH buckets partitioned by (tbl, bucket): a query's probe reads only its bucket dirs") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.SimilarityOps
