@@ -51,7 +51,7 @@ object DedupOps {
   /** doc_id + sorted distinct shingle hashes, persisted (read multiple times
     * by index building and candidate verification). All width-3 callers
     * (d52/d53/d60) share one persisted table. */
-  private def hashedDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+  private[graft] def hashedDocs(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     persistKeyed(s, s"docs:$n:$dir",
       hashedFrame(Tables.load(s, dir, "documents"), n))
 
@@ -675,6 +675,15 @@ object DedupOps {
       width: Int = 3, buckets: Int = 16): Unit =
     graft.sources.Sinks.writeBucketed(trainIndex(s, dir, width), tableName, "sh", buckets)
 
+  /** Day-2 of the decontamination loop: append NEW train docs' shingles
+    * (a (doc_id, hs) frame, exploded here to the index's (doc_id, sh)
+    * schema) into the standing train index under its stored bucket spec.
+    * Append cost ∝ the new docs; the corpus-sized index is never rebuilt.
+    * Probe-after-append ≡ probe-against-rebuilt-index (OperatorsSpec). */
+  def appendTrainIndex(s: SparkSession, tableName: String, newDocs: DataFrame): Unit =
+    graft.sources.Sinks.appendBucketed(s,
+      newDocs.select(col("doc_id"), explode(col("hs")).as("sh")), tableName)
+
   /** Incremental (delta) decontamination: flag train docs sharing a
     * `width`-gram with a NEW eval set, given the train index (the stored
     * bucketed table, or an in-memory frame) and the new eval shingles
@@ -798,12 +807,36 @@ object DedupOps {
     * corpus. Both probes are plan-asserted exchange-free on the stored
     * side in OperatorsSpec. */
   def writeIngestIndex(s: SparkSession, dir: String, bucketsTable: String,
+      shinglesTable: String, numBuckets: Int = 16): Unit =
+    writeIngestIndexFrom(s,
+      hashedDocs(s, dir).filter(col("doc_id") % IngestMod =!= IngestResidue),
+      bucketsTable, shinglesTable, numBuckets)
+
+  /** [[writeIngestIndex]] over an explicit corpus (doc_id, hs) frame — the
+    * production entry point (the %-residue split above is test scaffolding
+    * for the contract query's scenario). */
+  def writeIngestIndexFrom(s: SparkSession, corpus: DataFrame, bucketsTable: String,
       shinglesTable: String, numBuckets: Int = 16): Unit = {
     GraftFunctions.register(s)
-    val corpus = hashedDocs(s, dir)
-      .filter(col("doc_id") % IngestMod =!= IngestResidue)
     graft.sources.Sinks.writeBucketed(bandBuckets(corpus), bucketsTable, "bucket", numBuckets)
     graft.sources.Sinks.writeBucketed(corpus, shinglesTable, "doc_id", numBuckets)
+  }
+
+  /** Day-2 of the ingestion loop: fold an ACCEPTED batch (doc_id, hs) into
+    * the standing index — its band buckets into the bucket table, its
+    * shingle rows into the shingle table — under each table's own stored
+    * bucket spec, so tomorrow's [[probeIngestIndex]] sees today's accepted
+    * docs as corpus. Append cost ∝ the batch (band/shingle rows of the new
+    * docs only); the standing corpus is never re-banded, re-shuffled, or
+    * rewritten. Without this the indexes are write-once and day 2 needs a
+    * full rebuild — the probe → accept → append cycle is the actual daily
+    * loop a production pipeline runs. Probe-after-append ≡
+    * probe-against-rebuilt-index is spec-proven in OperatorsSpec. */
+  def appendIngestIndex(s: SparkSession, bucketsTable: String,
+      shinglesTable: String, accepted: DataFrame): Unit = {
+    GraftFunctions.register(s)
+    graft.sources.Sinks.appendBucketed(s, bandBuckets(accepted), bucketsTable)
+    graft.sources.Sinks.appendBucketed(s, accepted, shinglesTable)
   }
 
   /** Probe a stored ingestion index with a new batch (doc_id, hs): same

@@ -39,4 +39,26 @@ object Sinks {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** Append rows into an EXISTING bucketed table under its own bucket spec
+    * (read from the catalog, so an append can never silently diverge from
+    * the layout the table was written with — Spark rejects a mismatched
+    * spec, and this way there is nothing for the caller to mis-state).
+    * Appends add files per bucket rather than rewriting: cost ∝ the
+    * appended batch, which is what makes a standing 100 TB index
+    * maintainable day over day. Reads stay exchange-free on the bucket key;
+    * with >1 file per bucket Spark drops only the sorted-scan assumption
+    * (a per-task sort, not a shuffle, for sort-merge joins). */
+  def appendBucketed(spark: SparkSession, df: DataFrame, tableName: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendBucketed: table $tableName is not bucketed"))
+    df.write.mode(SaveMode.Append)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(tableName)
+  }
 }

@@ -176,12 +176,11 @@ object ScaleProbe {
           s"scale_ing_shingles_${tblSuffix(d)}",
           graft.queries.DedupOps.ingestIncoming(s, baseDir), 0.8)))
 
-    def timeQuery(name: String, dir: String): (Double, Double, Double) = {
+    def timeAction(body: => Unit): (Double, Double, Double) = {
       def once(): (Double, Double, Double) = {
         shufWrite.set(0); spilled.set(0)
         val t0 = System.nanoTime()
-        extraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        body
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 30000)
         (t, shufWrite.get / 1e6, spilled.get / 1e6)
@@ -189,23 +188,29 @@ object ScaleProbe {
       once() // cold
       (1 to 2).map(_ => once()).minBy(_._1)
     }
+    def timeQuery(name: String, dir: String): (Double, Double, Double) =
+      timeAction {
+        extraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
 
     val rows = scala.collection.mutable.ArrayBuffer[String]()
-    def run(name: String, factor: Int, dir: String): Unit = {
-      if (onlyQ.forall(_.contains(name)) && onlyF.forall(_.contains(factor))) {
-        val (sec, shufMb, spillMb) = timeQuery(name, dir)
-        val line = f"| $name | ${factor}x | $sec%.2f | $shufMb%.1f | $spillMb%.1f | $shufflePartitions |"
-        println(s"[scale] $line")
-        rows += line
-      }
+    def record(name: String, factor: Int, m: (Double, Double, Double)): Unit = {
+      val (sec, shufMb, spillMb) = m
+      val line = f"| $name | ${factor}x | $sec%.2f | $shufMb%.1f | $spillMb%.1f | $shufflePartitions |"
+      println(s"[scale] $line")
+      rows += line
     }
+    def run(name: String, factor: Int, dir: String): Unit =
+      if (onlyQ.forall(_.contains(name)) && onlyF.forall(_.contains(factor)))
+        record(name, factor, timeQuery(name, dir))
     def wanted(names: String*): Boolean =
       onlyQ.forall(q => names.exists(q.contains))
 
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
-          "d62", "d64_probe", "d65_probe", "d69") &&
+          "d62", "d64_probe", "d65_probe", "d65_append", "d69") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -245,7 +250,7 @@ object ScaleProbe {
         }
         run("d64_probe", k, d)
       }
-      if (wanted("d65_probe")) {
+      if (wanted("d65_probe", "d65_append")) {
         if (!spark.catalog.tableExists(s"scale_ing_buckets_${tblSuffix(d)}")) {
           dropStaleIndex(
             s"scale_ing_buckets_${tblSuffix(d)}", s"scale_ing_shingles_${tblSuffix(d)}")
@@ -253,6 +258,21 @@ object ScaleProbe {
             s"scale_ing_buckets_${tblSuffix(d)}", s"scale_ing_shingles_${tblSuffix(d)}")
         }
         run("d65_probe", k, d)
+        // append a FIXED base-sf batch into the ×K standing index: the day-2
+        // claim is append cost ∝ batch, flat while the index grows ×K.
+        // Runs AFTER the probe (the append makes the batch corpus; probing
+        // the same batch again would then self-match). Timed appends
+        // accumulate duplicate rows in the scratch tables — harmless for the
+        // cost claim (each append writes only batch-sized data) and the
+        // tables are rebuilt per JVM.
+        if (onlyQ.forall(_.contains("d65_append")) && onlyF.forall(_.contains(k))) {
+          val batch = graft.queries.DedupOps.ingestIncoming(spark, baseDir)
+          record("d65_append", k, timeAction {
+            graft.queries.DedupOps.appendIngestIndex(spark,
+              s"scale_ing_buckets_${tblSuffix(d)}",
+              s"scale_ing_shingles_${tblSuffix(d)}", batch)
+          })
+        }
       }
       run("u65", k, p)
       // plain replicas: per-source caps and the vocabulary both stay

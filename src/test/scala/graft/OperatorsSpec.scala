@@ -312,6 +312,83 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestion index append: day-2 probe == probe against a rebuilt index, still exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.queries.DedupOps
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the daily loop: day-1 index over part of the corpus, day-2 batch
+      // accepted and APPENDED (never a rebuild), day-3 probe must see the
+      // appended docs as corpus — identical to an index rebuilt from scratch
+      val docs = DedupOps.hashedDocs(spark, dir)
+      val m = DedupOps.IngestMod; val r = DedupOps.IngestResidue
+      val day1 = docs.filter(col("doc_id") % m =!= r && col("doc_id") % m =!= (r + 2))
+      val day2 = docs.filter(col("doc_id") % m === (r + 2))
+      assert(day2.count() > 0, "day-2 batch empty — scenario degenerate")
+      DedupOps.writeIngestIndexFrom(spark, day1, "app_buckets", "app_shingles", numBuckets = 8)
+      DedupOps.appendIngestIndex(spark, "app_buckets", "app_shingles", day2)
+      val incoming = DedupOps.ingestIncoming(spark, dir)
+      val probe = DedupOps.probeIngestIndex(spark, "app_buckets", "app_shingles", incoming, 0.8)
+      // the appended tables (now >1 file per bucket) must still enter their
+      // joins pre-bucketed: no exchange between a stored scan and its join
+      val plan = probe.queryExecution.executedPlan
+      val storedSides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }
+        .flatten.filter { side =>
+          side.collect { case jj: SortMergeJoinExec => jj }.isEmpty &&
+            side.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty
+        }
+      assert(storedSides.size == 2,
+        s"expected the 2 appended tables as direct join sides, got ${storedSides.size}:\n$plan")
+      storedSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"an appended index table was reshuffled before its join:\n$side")
+      }
+      // equivalence: probe-after-append == probe against an index rebuilt
+      // from the full corpus (day1 + day2 == the %m != r class)
+      DedupOps.writeIngestIndex(spark, dir, "rb_buckets", "rb_shingles", numBuckets = 8)
+      val appended = probe.collect().map(_.toString).toSeq
+      val rebuilt = DedupOps.probeIngestIndex(spark, "rb_buckets", "rb_shingles", incoming, 0.8)
+        .collect().map(_.toString).toSeq
+      assert(appended.nonEmpty, "probe flagged nothing — scenario degenerate")
+      assert(appended == rebuilt,
+        s"append diverged from rebuild: ${appended.diff(rebuilt).take(3)} / ${rebuilt.diff(appended).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      Seq("app_buckets", "app_shingles", "rb_buckets", "rb_shingles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("train index append: delta decontamination after append == rebuilt index") {
+    import graft.queries.DedupOps
+    try {
+      // day-1 index = train docs outside the %5==3 class; day-2 appends that
+      // class's shingles (train membership rule %97 != 0 respected)
+      Sinks.writeBucketed(
+        DedupOps.trainIndex(spark, dir).filter(col("doc_id") % 5 =!= 3),
+        "train_app_idx", "sh", 8)
+      DedupOps.appendTrainIndex(spark, "train_app_idx",
+        DedupOps.hashedDocs(spark, dir)
+          .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 5 === 3))
+      DedupOps.writeTrainIndex(spark, dir, "train_rb_idx", width = 3, buckets = 8)
+      val newEval = DedupOps.evalShingles(spark, dir, 89, 1)
+      val appended = DedupOps.decontaminateDelta(spark.table("train_app_idx"), newEval)
+        .collect().map(_.toString).toSeq
+      val rebuilt = DedupOps.decontaminateDelta(spark.table("train_rb_idx"), newEval)
+        .collect().map(_.toString).toSeq
+      assert(appended.nonEmpty, "delta probe flagged nothing — eval class empty?")
+      assert(appended == rebuilt,
+        s"train append diverged from rebuild: ${appended.diff(rebuilt).take(3)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS train_app_idx")
+      spark.sql("DROP TABLE IF EXISTS train_rb_idx")
+    }
+  }
+
   test("streaming dropDuplicates converges to batch distinct") {
     val events = graft.streaming.StreamingOps.eventsStream(spark, dir)
     val q = graft.streaming.StreamingOps.runToMemorySink(
