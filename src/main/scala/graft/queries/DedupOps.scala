@@ -273,6 +273,62 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("n_tok"), col("shard"))
   }
 
+  /** Global EXCLUSIVE prefix sum of `n_tok` in doc_id order — the d59
+    * two-pass scheme without the per-lang partition: bucket-local windows
+    * (each bucket's rows sort in one task) plus a broadcast bucket-offset
+    * table. The offsets table is corpus/W rows; at a scale where IT
+    * outgrows one task the same construction recurses (buckets of
+    * buckets). Single-pass variant kept for the equivalence spec. */
+  private def cumBefore(toks: DataFrame, twoPass: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (!twoPass) {
+      val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      toks.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    } else {
+      val W = 128L
+      val bucketed = toks.withColumn("bkt", expr(s"doc_id div $W"))
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bucketed
+        .withColumn("local_cum", coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+      val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("bkt"))
+        .agg(sum(col("n_tok")).as("bkt_tok"))
+        .withColumn("offset", coalesce(sum(col("bkt_tok")).over(wOff), lit(0L)))
+        .select(col("bkt").as("o_bkt"), col("offset"))
+      local.join(broadcast(offsets), col("bkt") === col("o_bkt"))
+        .withColumn("cum_before", col("local_cum") + col("offset"))
+    }
+  }
+
+  /** Context-window SEQUENCE packing (d70) — the training-data final mile
+    * after d59's shard packing: concatenate the corpus token stream in
+    * doc_id order and chop it into fixed-`L` training sequences, emitting
+    * the boundary bookkeeping a training loader replays: doc fragment
+    * [doc_off, doc_off+len) of `doc_id` fills [seq_off, seq_off+len) of
+    * sequence `seq_id`. Docs spanning a boundary SPLIT across consecutive
+    * sequences (the standard packed-sequence regime: zero padding except
+    * the final sequence). Everything after the global prefix sum is
+    * scan-local arithmetic — the fragment rows are pure closed-form
+    * functions of (cum_before, n_tok), so the operator costs one two-pass
+    * prefix sum + one generator explode regardless of L. */
+  private[graft] def seqPack(s: SparkSession, dir: String, L: Long,
+      twoPass: Boolean): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val g0 = greatest(col("cum_before"), col("seq_id") * L)
+    cumBefore(toks, twoPass)
+      .select(col("doc_id"), col("n_tok"), col("cum_before"),
+        explode(expr(s"sequence(cum_before div $L, (cum_before + n_tok - 1) div $L)"))
+          .as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (g0 - col("seq_id") * L).as("seq_off"),
+        (g0 - col("cum_before")).as("doc_off"),
+        (least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * L) - g0).as("len"))
+      .orderBy(col("seq_id"), col("seq_off"))
+  }
+
   private[graft] def shardPack(s: SparkSession, dir: String, twoPass: Boolean): DataFrame =
     shardAssign(s, dir, twoPass)
       .groupBy(col("lang"), col("shard"))
@@ -494,6 +550,14 @@ object DedupOps {
     // shards of ~2000 tokens. Production path is the two-pass distributed
     // prefix sum (no per-lang serialization); see shardPack below.
     "d59_shard_pack" -> ((s, dir) => shardPack(s, dir, twoPass = true)),
+
+    // Context-window sequence packing — the final mile after d59: chop the
+    // corpus token stream into fixed-512-token training sequences with
+    // per-fragment boundary bookkeeping (seq_id, doc_id, seq_off, doc_off,
+    // len). Pure prefix-sum arithmetic => exactly oracle-able; the two-pass
+    // distributed form is the shipped path (single-pass equivalence
+    // spec-proven alongside d59's).
+    "d70_seq_pack" -> ((s, dir) => seqPack(s, dir, L = 512L, twoPass = true)),
 
     // Benchmark decontamination — the train/eval overlap check every
     // training-data pipeline runs before shipping a corpus; see
@@ -980,6 +1044,27 @@ object DedupOps {
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+    // Same prefix-sum core as d59 but GLOBAL (no lang partition) and with
+    // the fragment explosion: one row per (doc, spanned sequence), fragment
+    // bounds as greatest/least closed forms over the cumulative offset.
+    "d70_seq_pack" ->
+      s"""WITH t AS (
+         | SELECT doc_id, CAST(${QueryUtil.oracleTokenCount} AS BIGINT) AS n_tok
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, n_tok,
+         |  coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+         | FROM t WHERE n_tok > 0),
+         |f AS (
+         | SELECT CAST(u.seq_id AS BIGINT) AS seq_id, doc_id, cb, n_tok
+         | FROM c, UNNEST(generate_series(cb // 512, (cb + n_tok - 1) // 512))
+         |   AS u(seq_id))
+         |SELECT seq_id, doc_id,
+         | greatest(cb, seq_id * 512) - seq_id * 512 AS seq_off,
+         | greatest(cb, seq_id * 512) - cb AS doc_off,
+         | least(cb + n_tok, (seq_id + 1) * 512) - greatest(cb, seq_id * 512) AS len
+         |FROM f ORDER BY seq_id, seq_off""".stripMargin,
     "d58_pipeline_e2e" ->
       s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
          |quality AS (

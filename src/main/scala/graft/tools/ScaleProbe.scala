@@ -214,7 +214,7 @@ object ScaleProbe {
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
-          "t57") &&
+          "t57", "d70") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -294,6 +294,10 @@ object ScaleProbe {
       // tokenization: plain replicas keep the vocab CONSTANT while token
       // volume grows xK — join stays vocab-sized, re-assembly agg ∝ data
       run("t57", k, p)
+      // sequence packing: one two-pass prefix sum (bucket windows +
+      // broadcast offsets) + scan-local fragment arithmetic — output and
+      // cost must track the token stream xK, shuffle ∝ corpus rows only
+      run("d70", k, p)
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"

@@ -463,6 +463,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(twoPass == single)
   }
 
+  test("d70 sequence packing: two-pass == single-window; fragments tile docs and fill sequences") {
+    val L = 512L
+    val rows = queries.DedupOps.seqPack(spark, dir, L, twoPass = true).collect()
+    val single = queries.DedupOps.seqPack(spark, dir, L, twoPass = false).collect()
+    assert(rows.toSeq == single.toSeq, "two-pass packing diverged from single-window")
+    case class Frag(seq: Long, doc: Long, seqOff: Long, docOff: Long, len: Long)
+    val frags = rows.map(r => Frag(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(frags.nonEmpty)
+    assert(frags.forall(f => f.len > 0 && f.seqOff >= 0 && f.seqOff + f.len <= L))
+    // every sequence except the last is filled to exactly L tokens with
+    // contiguous non-overlapping fragments
+    val lastSeq = frags.map(_.seq).max
+    frags.groupBy(_.seq).foreach { case (s, fs) =>
+      val sorted = fs.sortBy(_.seqOff)
+      assert(sorted.head.seqOff == 0, s"sequence $s does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.seqOff + a.len == b.seqOff, s"gap/overlap in sequence $s")
+        case _ =>
+      }
+      if (s != lastSeq)
+        assert(sorted.map(_.len).sum == L, s"sequence $s not filled to $L")
+    }
+    // fragments tile each doc: contiguous doc_offs from 0, lengths summing
+    // to the doc's token count, spanning CONSECUTIVE sequences
+    val nTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), queries.QueryUtil.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    frags.groupBy(_.doc).foreach { case (d, fs) =>
+      val sorted = fs.sortBy(_.docOff)
+      assert(sorted.head.docOff == 0, s"doc $d does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.docOff + a.len == b.docOff, s"doc $d fragments not contiguous")
+          assert(a.seq + 1 == b.seq, s"doc $d fragments not in consecutive sequences")
+        case _ =>
+      }
+      assert(sorted.map(_.len).sum == nTok(d), s"doc $d fragments do not sum to its tokens")
+    }
+  }
+
   test("t53 distinctive terms: top-3 by (tf desc, df asc, term) vs brute force") {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
