@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -231,8 +231,88 @@ object TextOps {
             .as("ids_head"),
           expr("aggregate(ps, 0L, (acc, x) -> acc + x.tid)").as("ids_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE MERGE TRAINING — the tokenizer-training step t57's pre-trained
+    // vocab assumes: k iterations of the classic byte-pair loop (count
+    // adjacent symbol pairs corpus-wide, adopt the most frequent as a new
+    // symbol, re-segment, repeat), emitting the learned merge table
+    // (rnk, l, r, cnt). Scale shape: the corpus reduces to the word-
+    // frequency table FIRST (one partial/final agg — BPE statistics are
+    // word-weighted, so training never rescans documents); each iteration
+    // is then a vocab-sized pair agg + a driver-collected 1-ROW global
+    // decision (the merge rule — the same "broadcast scalar" pattern as
+    // s65's stats row) + a scan-local fold re-segmentation. Deterministic
+    // (ties broken by (l, r)) => exactly oracle-able at fixed k.
+    "t58_bpe_merges" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      bpeMergesFrom(s, words, k = 5)
     })
   )
+
+  /** One BPE merge applied to a symbol array: the leftmost-greedy
+    * non-overlapping fold ("aaa" + (a,a) -> ["aa","a"]). A single
+    * scan-local `aggregate` over the array — no explode, no shuffle, no
+    * UDF; the merged symbol is never reconsidered within the pass (the
+    * standard single-rule semantics). The DuckDB oracle re-derives the
+    * same rule through an independent window formulation (even offset
+    * within a run of consecutive matches), so the two cross-check. */
+  private def mergeFold(sym: Column, l: Column, r: Column): Column = {
+    val empty = array().cast(ArrayType(StringType))
+    val nul = lit(null).cast(StringType)
+    aggregate(sym,
+      struct(empty.as("out"), nul.as("pend")),
+      (acc, sNext) => {
+        val out = acc.getField("out"); val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), sNext.as("pend")))
+          .when(pend === l && sNext === r,
+            struct(concat(out, array(concat(l, r))).as("out"), nul.as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), sNext.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
+  /** [[TextOps.queries]]' t58 core over an explicit (word, freq) frame —
+    * the spec feeds constructed corpora here and compares against a
+    * brute-force reference. Each iteration persists its re-segmented
+    * vocab and drops the previous one (k-deep lineage would otherwise
+    * re-fold from scratch every iteration; at real scale this is a
+    * checkpoint). The 1-row collect per iteration is the global merge
+    * decision itself, not a data plane collect. */
+  private[graft] def bpeMergesFrom(s: SparkSession, words0: DataFrame, k: Int): DataFrame = {
+    var words = words0
+      .select(col("freq").cast(LongType).as("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("sym"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    try {
+      for (it <- 1 to k) {
+        val top = words.filter(size(col("sym")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(sym) - 1), " +
+              "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((it, l, r, cnt))
+          val next = words
+            .withColumn("sym", mergeFold(col("sym"), lit(l), lit(r))).persist()
+          next.count(): Unit // materialize before releasing the parent
+          words.unpersist(): Unit
+          words = next
+        }
+      }
+    } finally words.unpersist(): Unit
+    import s.implicits._
+    merges.toSeq.toDF("rnk", "l", "r", "cnt").orderBy(col("rnk"))
+  }
 
   /** The t55 frequency-ranked vocabulary (token, n, rnk) — rank 1 = most
     * frequent, ties broken by token text; shared by the vocab-statistics
@@ -329,7 +409,60 @@ object TextOps {
        |FROM fp GROUP BY fp ORDER BY first_doc""".stripMargin
   }
 
+  /** Mechanically unrolled DuckDB mirror of k BPE iterations. The
+    * re-segmentation uses a window formulation of the leftmost-greedy rule
+    * (a position merges iff it matches the pair AND sits at an even offset
+    * within its run of consecutive matches — runs only exceed length 1 when
+    * l = r), which is an INDEPENDENT derivation of the Spark side's
+    * sequential fold: agreement checks the semantics, not a shared
+    * implementation. */
+  private def oracleBpe(k: Int): String = {
+    val base =
+      """WITH w AS (
+        | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+        |  (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        | WHERE length(word) > 0 GROUP BY word),
+        |s0 AS (
+        | SELECT word, freq,
+        |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS sym
+        | FROM w)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         | SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM s${i - 1}, UNNEST(list_transform(generate_series(1, len(sym) - 1),
+         |   i -> {'l': sym[i], 'r': sym[i + 1]})) AS t(u)
+         | GROUP BY u.l, u.r),
+         |m$i AS (SELECT CAST($i AS INTEGER) AS rnk, l, r, cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |x$i AS (
+         | SELECT word, freq, i AS pos, sym[i] AS s,
+         |  (i < len(sym) AND sym[i] = (SELECT l FROM m$i)
+         |     AND sym[i + 1] = (SELECT r FROM m$i)) AS mtch
+         | FROM s${i - 1}, UNNEST(generate_series(1, len(sym))) AS g(i)),
+         |r$i AS (
+         | SELECT *, CASE WHEN mtch THEN pos - row_number()
+         |   OVER (PARTITION BY word, mtch ORDER BY pos) END AS grp FROM x$i),
+         |mg$i AS (
+         | SELECT word, freq, pos, s,
+         |  mtch AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS merged
+         | FROM r$i),
+         |k$i AS (
+         | SELECT word, freq, pos, s, merged,
+         |  coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false) AS pm
+         | FROM mg$i),
+         |s$i AS (
+         | SELECT word, any_value(freq) AS freq,
+         |  list(CASE WHEN merged THEN (SELECT l || r FROM m$i) ELSE s END ORDER BY pos)
+         |    FILTER (WHERE NOT pm) AS sym
+         | FROM k$i GROUP BY word)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT rnk, l, r, cnt FROM ($union) ORDER BY rnk"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t58_bpe_merges" -> oracleBpe(5),
     // The vocab CTE mirrors t55's rank rule; list(... ORDER BY pos)
     // rebuilds document order; sum(INTEGER) widened by DuckDB to HUGEINT,
     // cast back to Spark's BIGINT fold result.

@@ -504,6 +504,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t58 BPE merges match a brute-force reference on constructed corpora") {
+    import spark.implicits._
+    // reference implementation: sequential leftmost-greedy merges
+    def refBpe(ws: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var segs = ws.keys.map(w => w -> w.map(_.toString).toList).toMap
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (it <- 1 to k) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for ((w, f) <- ws; Seq(a, b) <- segs(w).sliding(2) if segs(w).size >= 2)
+          pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+        if (pc.nonEmpty) {
+          val ((l, r), cnt) = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+          out += ((it, l, r, cnt))
+          segs = segs.map { case (w, s) =>
+            val o = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < s.size) {
+              if (i + 1 < s.size && s(i) == l && s(i + 1) == r) { o += l + r; i += 2 }
+              else { o += s(i); i += 1 }
+            }
+            w -> o.toList
+          }
+        }
+      }
+      out.toSeq
+    }
+    // run-of-identical-chars case (l = r merges are the classic off-by-one
+    // trap), tie-break case (equal counts resolved by (l, r)), plus words
+    // that shrink to single symbols
+    val corpora = Seq(
+      Map("aaaa" -> 3L, "aaa" -> 2L, "aa" -> 5L, "a" -> 7L),
+      Map("banana" -> 4L, "bandana" -> 2L, "ana" -> 1L),
+      Map("ab" -> 3L, "cd" -> 3L, "abcd" -> 1L),
+      Map("the" -> 10L, "them" -> 5L, "theme" -> 2L, "he" -> 8L))
+    for (ws <- corpora; k <- Seq(1, 3, 5)) {
+      val words = ws.toSeq.toDF("word", "freq")
+      val got = queries.TextOps.bpeMergesFrom(spark, words, k)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == refBpe(ws, k), s"BPE diverged on $ws at k=$k")
+    }
+  }
+
   test("t53 distinctive terms: top-3 by (tf desc, df asc, term) vs brute force") {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
