@@ -190,6 +190,50 @@ case class CosineQ8(first: Expression, second: Expression,
   override def prettyName: String = "graft_cosine_q8"
 }
 
+/** Encode PCM bytes as a canonical WAV file:
+  * (binary, int sampleRate, int channels, int bitsPerSample) -> binary.
+  * Fixture-side of the de-stubbed WAV modality (no media files ship in
+  * this container, so payloads are built from corpus bytes) — the bytes it
+  * emits are REAL RIFF/WAVE, parseable by any audio tool. */
+case class WavBuild(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "binary",
+      second.dataType -> "int", third.dataType -> "int", fourth.dataType -> "int")
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(pcm: Any, sr: Any, ch: Any, bits: Any): Any =
+    Kernels.wavBuild(pcm.asInstanceOf[Array[Byte]], sr.asInstanceOf[Int],
+      ch.asInstanceOf[Int], bits.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): WavBuild = copy(f, s, t, q)
+  override def prettyName: String = "graft_wav_build"
+}
+
+/** REAL WAV header decode (chunk-walking RIFF parser, pure JVM byte
+  * arithmetic — the de-stubbed modality): binary -> struct, null for
+  * invalid/truncated/non-PCM payloads. */
+case class WavMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val m = Kernels.wavParse(v.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      m.channels, m.sampleRate, m.bitsPerSample, m.nSamples, m.durationS))
+  }
+  override protected def withNewChildInternal(c: Expression): WavMetaExpr = copy(child = c)
+  override def prettyName: String = "graft_wav_meta"
+}
+
 /** Stopword-profile language identification: string -> string lang code. */
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -278,5 +322,9 @@ object GraftFunctions {
       es => Q8Encode(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_q8",
       es => CosineQ8(es.head, es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_build",
+      es => WavBuild(es.head, es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_meta",
+      es => WavMetaExpr(es.head), "scala_udf")
   }
 }

@@ -360,4 +360,85 @@ object Kernels {
     case 1 => "jpeg"
     case _ => "webp"
   }
+
+  // --- WAV (RIFF): the de-stubbed modality --------------------------------
+  // A PCM WAV file is fixed-offset little-endian byte arithmetic — no media
+  // library needed, so this modality gets a REAL encoder + parser instead of
+  // the length-arithmetic stubs above. Layout (canonical PCM):
+  // "RIFF" u32(36+data) "WAVE" then chunks; "fmt " carries
+  // (audioFormat=1, channels u16, sampleRate u32, byteRate u32,
+  // blockAlign u16, bitsPerSample u16); "data" carries the PCM bytes.
+
+  private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putLE16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Encode PCM bytes as a canonical 44-byte-header WAV file. */
+  def wavBuild(pcm: Array[Byte], sampleRate: Int, channels: Int,
+      bitsPerSample: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0,
+      s"wavBuild: bad params ($sampleRate, $channels, $bitsPerSample)")
+    val blockAlign = channels * bitsPerSample / 8
+    val out = new Array[Byte](44 + pcm.length)
+    "RIFF".getBytes.copyToArray(out, 0)
+    putLE32(out, 4, 36 + pcm.length)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12)
+    putLE32(out, 16, 16) // fmt chunk size (PCM)
+    putLE16(out, 20, 1) // audio format: PCM
+    putLE16(out, 22, channels)
+    putLE32(out, 24, sampleRate)
+    putLE32(out, 28, sampleRate * blockAlign) // byte rate
+    putLE16(out, 32, blockAlign)
+    putLE16(out, 34, bitsPerSample)
+    "data".getBytes.copyToArray(out, 36)
+    putLE32(out, 40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+
+  /** Parsed WAV header fields, or null for anything that isn't a valid PCM
+    * RIFF/WAVE payload. A real chunk walk, not offset-44 arithmetic: any
+    * number of foreign chunks (LIST, fact, …) may precede or separate
+    * "fmt " and "data" (chunks are even-aligned per RIFF; a missing fmt
+    * before data, truncation, or a non-PCM format code all reject). */
+  final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, durationS: Double)
+  def wavParse(b: Array[Byte]): WavMeta = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return null
+    var off = 12
+    var channels = -1; var sampleRate = -1; var bits = -1; var blockAlign = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return null // truncated/corrupt
+      if (id == "fmt ") {
+        if (sz < 16 || le16(b, off + 8) != 1) return null // non-PCM
+        channels = le16(b, off + 10)
+        sampleRate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+        bits = le16(b, off + 22)
+        if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0) return null
+      } else if (id == "data") {
+        if (channels < 0) return null // data before fmt
+        val nSamples = sz.toLong / blockAlign
+        return WavMeta(channels, sampleRate, bits, nSamples,
+          sz.toDouble / (sampleRate.toLong * blockAlign))
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    null
+  }
 }

@@ -95,6 +95,35 @@ object MultimodalOps {
         }
       }.toDF("doc_id", "frame_idx", "feat_mean")
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // DE-STUBBED modality: REAL RIFF/WAVE round-trip in pure JVM byte
+    // arithmetic (no media lib needed for PCM WAV — headers are fixed-offset
+    // little-endian fields). Each doc's bytes become the PCM payload of a
+    // genuine WAV file (graft_wav_build; rate/channels varied per doc), and
+    // the metadata comes from actually PARSING those bytes back with a
+    // chunk-walking RIFF reader (graft_wav_meta) — not from length
+    // arithmetic. The oracle computes the expected fields directly from the
+    // construction parameters, so the driver compare proves the
+    // encode→parse round-trip recovers them exactly. Golden-byte and
+    // foreign-chunk/corruption specs in KernelsSpec prove the parser
+    // against fixtures the builder didn't produce.
+    "m64_wav_meta" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          expr("graft_wav_build(cast(text as binary), " +
+            "cast(8000 * (1 + doc_id % 3) as int), cast(1 + doc_id % 2 as int), 8)")
+            .as("payload"))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          expr("graft_wav_meta(payload)").as("meta"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_samples").as("n_samples"),
+          col("meta.duration_s").as("duration_s"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -131,6 +160,19 @@ object MultimodalOps {
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | CAST(max(strlen(text)) AS INTEGER) AS max_bytes
         |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors the CONSTRUCTION parameters, not the parse: Spark's side
+    // builds real WAV bytes and walks the chunks back; equality proves the
+    // round-trip. ASCII corpus => strlen == byte count (t49's precondition).
+    // The single double division of exact integers is IEEE-identical.
+    "m64_wav_meta" ->
+      """SELECT doc_id, CAST(44 + strlen(text) AS INTEGER) AS n_bytes,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        | CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        | CAST(strlen(text) // (1 + doc_id % 2) AS BIGINT) AS n_samples,
+        | CAST(strlen(text) AS DOUBLE)
+        |   / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2)) AS duration_s
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // Metadata is pure arithmetic on byte length => SQL-expressible.
     "m60_image_meta" ->

@@ -132,6 +132,42 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("wav build emits a canonical header; parse recovers the fields") {
+    val pcm = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val b = Kernels.wavBuild(pcm, 44100, 2, 16)
+    assert(b.length == 52)
+    // golden header spot-checks (little-endian fields at canonical offsets)
+    assert(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE")
+    assert((b(4) & 0xff) == 44 && b(5) == 0) // chunk size 36+8
+    assert((b(22) & 0xff) == 2) // channels
+    assert((b(24) & 0xff) == 0x44 && (b(25) & 0xff) == 0xac) // 44100 LE
+    assert((b(32) & 0xff) == 4 && (b(34) & 0xff) == 16) // block align, bits
+    assert(new String(b, 36, 4) == "data" && (b(40) & 0xff) == 8)
+    val m = Kernels.wavParse(b)
+    assert(m == Kernels.WavMeta(2, 44100, 16, 2L, 8.0 / (44100 * 4)))
+  }
+
+  test("wav parse walks foreign chunks and rejects corrupt payloads") {
+    // a WAV the builder never produces: LIST chunk (odd size -> pad byte)
+    // between fmt and data — a real-world file shape (metadata chunks)
+    val pcm = Array[Byte](9, 9, 9)
+    val base = Kernels.wavBuild(pcm, 8000, 1, 8)
+    val listChunk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte]('I', 'N', 'F', 0) // size 3 + 1 pad byte
+    val withList = base.take(36) ++ listChunk ++ base.drop(36)
+    assert(Kernels.wavParse(withList) == Kernels.WavMeta(1, 8000, 8, 3L, 3.0 / 8000))
+    // rejects: bad magic, truncated data, non-PCM format, data before fmt
+    val badMagic = base.clone(); badMagic(0) = 'X'
+    assert(Kernels.wavParse(badMagic) == null)
+    // data chunk claims 3 bytes but only 2 remain after the 44-byte header
+    assert(Kernels.wavParse(base.take(46)) == null)
+    val nonPcm = base.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Kernels.wavParse(nonPcm) == null)
+    val dataFirst = base.take(12) ++ base.drop(36) // strip the fmt chunk
+    assert(Kernels.wavParse(dataFirst) == null)
+    assert(Kernels.wavParse(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("fake image meta is stable arithmetic") {
     assert(Kernels.fakeWidth(100) == 164)
     assert(Kernels.fakeHeight(100) == 64 + 700 % 512)
