@@ -97,7 +97,9 @@ object DedupOps {
         .withColumn("rk", row_number().over(wDoc))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
         .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-        .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+        // df rides along for the hot-shingle salt split in the candidate
+        // join (buckets = ceil(df / hotPrefixBucket))
+        .select(col("doc_id"), col("sh"), col("n"), col("rk"), col("df"))
     })
 
   private[graft] def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -129,8 +131,30 @@ object DedupOps {
     // the positional filter (56% pruned); verify stage 88s -> 58s; output
     // pairs identical (25,600). Lossless-vs-brute-force asserted by
     // PipelineOpsSpec "prefix+size+positional".
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+    // HOT-SHINGLE SALT SPLIT. Rarity ranking keeps hot shingles out of
+    // prefixes only when docs are genuinely distinct; a boilerplate group of
+    // G near-identical docs has prefixes made ENTIRELY of df≈G shingles, and
+    // the self-join below then builds G²/2 rows under a handful of keys —
+    // single-task cartesians that AQE's skew split never touches (its
+    // trigger is input partition BYTES; G=10⁴ is ~KBs of input, ~10⁸ rows of
+    // output). Split each shingle's key space into ceil(df/hotPrefixBucket)
+    // salt buckets: the a-side takes one deterministic bucket per doc, the
+    // b-side replicates across that shingle's buckets, so every (a,b) pair
+    // still meets exactly once (c, the shared-prefix count, is preserved —
+    // the positional filter depends on it) while a hot key's output spreads
+    // over df/bucket reducers. df ≤ bucket ⇒ 1 bucket ⇒ identical join.
+    // Replication cost is b-side prefix rows × (buckets − 1): zero for
+    // normal corpora, ~df/bucket× for the hot group only. Measured + A/B'd
+    // vs unsalted in SCALE.md §skew (ScaleProbe d52_skew probes).
+    val nbuck = greatest(lit(1L), ceil(col("df").cast(DoubleType) /
+      QueryUtil.hotPrefixBucket.toDouble))
+    val pa = prefix
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), nbuck).cast("int"))
+    val pb = prefix
+      .withColumn("salt", explode(sequence(lit(0), (nbuck - 1).cast("int"))))
+    val cand = pa.as("a").join(pb.as("b"),
+        col("a.sh") === col("b.sh") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast(DoubleType) >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-6))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))

@@ -137,6 +137,19 @@ private[graft] object QueryUtil {
   /** `session_window` duration-string form of [[sessionGapMicros]]. */
   val sessionGapStr: String = s"${sessionGapMicros / 60000000L} minutes"
 
+  /** Target rows per salt bucket for the SSJoin candidate self-join's
+    * hot-shingle split (DedupOps.jaccardPairs). A shingle whose document
+    * frequency exceeds this is an intra-key cartesian the optimizer cannot
+    * parallelize — AQE's skew split keys off INPUT partition bytes (256 MB
+    * default), and a 10⁴-doc boilerplate group's prefix entries are only
+    * ~KBs of input yet produce ~10⁸ joined rows inside one task. Salting by
+    * ceil(df / bucket) spreads that key's output across df/bucket reducers
+    * (work is inherently quadratic in group size; the salt buys parallelism,
+    * not less work). df ≤ bucket ⇒ one bucket ⇒ plan shape identical to the
+    * unsalted join, so the normal-corpus path pays only a constant-width
+    * salt column. `var` so ScaleProbe/specs can A/B the unsalted form. */
+  private[graft] var hotPrefixBucket: Int = 1024
+
   /** Word n-grams of a token array as space-joined strings; empty array when
     * fewer than n tokens. Single definition shared by the shingle pipeline
     * (n=3) and the bigram table function (n=2) so the mirrored DuckDB

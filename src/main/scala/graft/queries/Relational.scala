@@ -178,6 +178,26 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable quantile sketch (GK via approx_percentile) over the corpus
+    // length distributions — the 100 TB way to profile doc lengths: each
+    // task keeps an ε-approximate sketch (ε = 1/accuracy), partials merge
+    // associatively, no global sort. Engine-specific sketch ⇒ rows-only
+    // driver check; the rank-error guarantee (≤ n·ε) is spec-gated in
+    // PipelineOpsSpec and budgeted in SCALE.md's exactness table.
+    "q68_quantile_sketch" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("n_chars"),
+          QueryUtil.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("len_q"),
+          expr("percentile_approx(n_tok, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("tok_q"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
     // §2.4 GROUPING SETS via ExpandExec.
     "q14_grouping_sets" -> ((s, dir) => sql(s, dir,
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty

@@ -64,12 +64,18 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val shufWrite = new AtomicLong; val spilled = new AtomicLong
+    val maxTaskMs = new AtomicLong // longest single task — the skew signal
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spilled.addAndGet(m.memoryBytesSpilled)
+        }
+        if (te.taskInfo != null) {
+          val d = te.taskInfo.duration
+          var cur = maxTaskMs.get
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get
         }
       }
     })
@@ -176,17 +182,21 @@ object ScaleProbe {
           s"scale_ing_shingles_${tblSuffix(d)}",
           graft.queries.DedupOps.ingestIncoming(s, baseDir), 0.8)))
 
+    // max single-task seconds of the min-time warm pass, for skew probes
+    var minRunMaxTaskSec = 0.0
     def timeAction(body: => Unit): (Double, Double, Double) = {
-      def once(): (Double, Double, Double) = {
-        shufWrite.set(0); spilled.set(0)
+      def once(): (Double, Double, Double, Double) = {
+        shufWrite.set(0); spilled.set(0); maxTaskMs.set(0)
         val t0 = System.nanoTime()
         body
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 30000)
-        (t, shufWrite.get / 1e6, spilled.get / 1e6)
+        (t, shufWrite.get / 1e6, spilled.get / 1e6, maxTaskMs.get / 1e3)
       }
       once() // cold
-      (1 to 2).map(_ => once()).minBy(_._1)
+      val best = (1 to 2).map(_ => once()).minBy(_._1)
+      minRunMaxTaskSec = best._4
+      (best._1, best._2, best._3)
     }
     def timeQuery(name: String, dir: String): (Double, Double, Double) =
       timeAction {
@@ -342,6 +352,57 @@ object ScaleProbe {
       // path mining: one user_id window + agg to the constant-size
       // trigram table — linear, shuffle ∝ events
       run("q67", k, e)
+    }
+
+    // SKEW STRESS (hot boilerplate group): ONE short template replicated
+    // hot× with a distinct tail token each — near- but not exact-dups, so
+    // exact content dedup cannot collapse them upstream — mixed into the
+    // base corpus. Every prefix entry of the group carries df ≈ hot, so the
+    // candidate self-join concentrates ~3 keys × hot²/2 output rows into ≤3
+    // tasks when unsalted. AQE's skew split cannot rescue this shape: its
+    // trigger is INPUT partition bytes (spark.sql.adaptive.skewJoin.
+    // skewedPartitionThresholdInBytes = 256 MB default) and the hot keys'
+    // prefix entries are only ~hot·40 B ≈ 0.4 MB of input — the explosion
+    // is in the join OUTPUT, which AQE never sees. The evidence recorded
+    // here: unsalted wall ≈ max single-task time (single-task bound, no
+    // split happened); the df-driven salt in jaccardPairs restores
+    // parallelism at identical output (losslessness is spec-proven).
+    if (wanted("d52_skew", "d52_skew_salted")) {
+      val hot = sys.env.get("SCALE_SKEW_HOT").flatMap(_.toIntOption).getOrElse(10000)
+      // the host corpus must be big enough that the candidate join CANNOT
+      // broadcast its build side (broadcast hash join streams the probe side
+      // and is inherently skew-immune — measured: at 1× sf0.1 the ~215k-row
+      // prefix broadcasts and the hot group costs nothing). The ×10 suffixed
+      // corpus puts ~2M rows on both sides, forcing the shuffled join the
+      // 100 TB regime always runs.
+      val repDir = s"$workDir/text_x10"
+      if (!new java.io.File(s"$repDir/documents.parquet").exists())
+        synthDocs(10, suffixTokens = true, repDir)
+      val skewDir = s"$workDir/skew_${hot}_x10"
+      if (!new java.io.File(s"$skewDir/documents.parquet").exists()) {
+        val base = spark.read.parquet(s"$repDir/documents.parquet")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val hotDocs = spark.range(hot).select(
+          (lit(900000000L) + col("id")).as("doc_id"),
+          concat(lit("alpha beta gamma delta epsilon zeta rev"), col("id")).as("text"),
+          lit("en").as("lang"), lit("hot").as("source"), lit(50).as("n_chars"))
+        base.union(hotDocs).repartition(cpus)
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      }
+      val saved = graft.queries.QueryUtil.hotPrefixBucket
+      def skewRun(name: String, bucket: Int): Unit =
+        if (onlyQ.forall(_.contains(name))) {
+          graft.queries.QueryUtil.hotPrefixBucket = bucket
+          record(name, 1, timeAction {
+            graft.queries.DedupOps.jaccardPairs(spark, skewDir, 0.4)
+              .write.format("noop").mode("overwrite").save()
+          })
+          println(f"[scale] $name max single task: $minRunMaxTaskSec%.2f s")
+        }
+      try {
+        skewRun("d52_skew", Int.MaxValue) // unsalted: the failure mode
+        skewRun("d52_skew_salted", saved)
+      } finally graft.queries.QueryUtil.hotPrefixBucket = saved
     }
 
     println("[scale] === results ===")

@@ -285,6 +285,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 quantile sketch: every quantile is within the GK rank guarantee") {
+    // approx_percentile is a Greenwald-Khanna sketch: with accuracy B the
+    // returned value's RANK is within n/B of the target rank (the guarantee
+    // that makes partial sketches mergeable without a global sort). Gate:
+    // for each lang × column × p, the returned value's rank interval
+    // [#{x < v}+1, #{x <= v}] must intersect target p·n ± (n/B + 1).
+    val q68 = SparkEntry.queries("q68")(spark, dir)
+    // mergeable partial/final shape: executors keep per-task sketches and
+    // merge them — the property that removes the global sort at 100 TB
+    assert(q68.queryExecution.sparkPlan.toString.contains("partial_percentile_approx"))
+    val rows = q68.collect()
+    assert(rows.nonEmpty)
+    val data = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("len"),
+        graft.queries.QueryUtil.tokenCount(col("text")).cast("long").as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val ps = Seq(0.5, 0.9, 0.99)
+    for (r <- rows; (colIdx, pick) <- Seq(1 -> ((t: (String, Long, Long)) => t._2),
+        2 -> ((t: (String, Long, Long)) => t._3))) {
+      val lang = r.getString(0)
+      val sorted = data(lang).map(pick).sorted
+      val n = sorted.length
+      val err = n / 10000.0 + 1
+      val got = r.getSeq[Long](colIdx)
+      assert(got.length == 3)
+      for ((p, v) <- ps.zip(got)) {
+        val lo = sorted.count(_ < v) + 1
+        val hi = sorted.count(_ <= v)
+        val target = p * n
+        assert(lo - err <= target && target <= hi + err,
+          s"$lang col$colIdx p=$p: value $v rank [$lo,$hi] vs target $target ± $err")
+      }
+    }
+  }
+
   test("t49_fingerprint is deterministic and groups known near-dup docs") {
     val a = SparkEntry.queries("t49")(spark, dir)
       .collect().map(_.toString)
@@ -418,6 +454,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute,
       s"filters lost ${brute.diff(got).size} true pairs, added ${got.diff(brute).size}")
+  }
+
+  test("d52 hot-shingle salt split is lossless on a boilerplate group") {
+    // a hot group: 60 near-identical docs (one distinct tail token each)
+    // whose prefixes are made entirely of df=60 shingles — the shape that
+    // defeats rarity ranking — mixed into the real corpus. With the salt
+    // bucket forced tiny (8), the hot shingles split into ceil(60/8)=8
+    // buckets; the pair set must be IDENTICAL to the unsalted join's
+    // (every pair meets exactly once, and c — the shared-prefix count the
+    // positional filter reads — is preserved).
+    graft.functions.GraftFunctions.register(spark)
+    val hot = spark.range(60).select(
+      (lit(900000000L) + col("id")).as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta rev"), col("id")).as("text"),
+      lit("en").as("lang"), lit("hot").as("source"), lit(50).as("n_chars"))
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").union(hot)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew_spec").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pairs(): Set[(Long, Long)] =
+      graft.queries.DedupOps.jaccardPairs(spark, tmp, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val saved = graft.queries.QueryUtil.hotPrefixBucket
+    try {
+      // the persistKeyed prefix cache sits BELOW the salt columns (shared by
+      // both runs), so flipping the knob between calls A/Bs only the join
+      graft.queries.QueryUtil.hotPrefixBucket = Int.MaxValue
+      val unsalted = pairs()
+      graft.queries.QueryUtil.hotPrefixBucket = 8
+      val salted = pairs()
+      assert(salted == unsalted,
+        s"salt lost ${unsalted.diff(salted).size}, added ${salted.diff(unsalted).size}")
+      // the hot group's pairs are actually present (the test has teeth)
+      assert(salted.count { case (a, b) => a >= 900000000L && b >= 900000000L } == 60 * 59 / 2)
+    } finally graft.queries.QueryUtil.hotPrefixBucket = saved
   }
 
   test("d59 shard packing: consecutive shards, disjoint contiguous id ranges, conserved totals") {
