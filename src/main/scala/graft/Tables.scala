@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -16,10 +17,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns stored as parquet INT64 TIMESTAMP(NANOS), which Spark has no
-    * native type for: read as long (legacy conf) and floor-divide to micros —
-    * the same ns→µs truncation DuckDB applies, so oracle values agree. */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Timestamp columns whose physical parquet type has varied across corpus
+    * generations: INT64 TIMESTAMP(NANOS) (no native Spark type — read as long
+    * via the legacy conf and floor-divide to micros, the same ns→µs truncation
+    * DuckDB applies) or native timestamp[us] with isAdjustedToUTC=false (read
+    * as TIMESTAMP_NTZ — cast to TIMESTAMP, which under the pinned UTC session
+    * timezone yields the identical instant and matches DuckDB's naive
+    * timestamp semantics). The branch is on the LOADED type, so either corpus
+    * generation produces the same TIMESTAMP column downstream. */
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,8 +35,12 @@ object Tables {
 
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _                => d
+      }
     }
   }
 

@@ -181,9 +181,13 @@ object Relational {
     // Mergeable quantile sketch (GK via approx_percentile) over the corpus
     // length distributions — the 100 TB way to profile doc lengths: each
     // task keeps an ε-approximate sketch (ε = 1/accuracy), partials merge
-    // associatively, no global sort. Engine-specific sketch ⇒ rows-only
-    // driver check; the rank-error guarantee (≤ n·ε) is spec-gated in
-    // PipelineOpsSpec and budgeted in SCALE.md's exactness table.
+    // associatively, no global sort. One scalar column per quantile (not an
+    // ARRAY) so the driver's row compare can sort/hash the result.
+    // Engine-specific sketch values ⇒ rows-only driver check; the rank-error
+    // guarantee (≤ n·ε) is spec-gated in PipelineOpsSpec and budgeted in
+    // SCALE.md's exactness table. The single percentile_approx per measure
+    // still computes ONE shared sketch per group — the three quantile reads
+    // come from the same merged state, then fan out to scalar columns.
     "q68_quantile_sketch" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("lang"), col("n_chars").cast("long").as("n_chars"),
@@ -195,6 +199,11 @@ object Relational {
           expr("percentile_approx(n_tok, array(0.5D, 0.9D, 0.99D), 10000)")
             .as("tok_q"),
           count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          col("len_q")(0).as("p50_chars"), col("len_q")(1).as("p90_chars"),
+          col("len_q")(2).as("p99_chars"),
+          col("tok_q")(0).as("p50_tok"), col("tok_q")(1).as("p90_tok"),
+          col("tok_q")(2).as("p99_tok"), col("n_docs"))
         .orderBy(col("lang"))
     }),
 

@@ -31,10 +31,13 @@ case class OpenSessList(ss: Seq[OpenSess])
 
 object StreamingOps {
 
-  /** Schema of the events parquet with ts as long nanos (the file's physical
-    * type) — converted to timestamp after read, same as Tables.load. */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Stream-source schema for the events parquet. The file-stream source
+    * requires an explicit schema, and the corpus's physical `ts` type has
+    * varied across generations (INT64 TIMESTAMP(NANOS) vs timestamp[us]
+    * NTZ) — so probe the file's actual schema with a footer-only batch read
+    * and declare `ts` the same way, exactly mirroring Tables.raw. */
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -57,10 +60,14 @@ object StreamingOps {
       p.toFile.deleteOnExit()
       p
     })
-    spark.readStream
-      .schema(eventsRawSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(staging.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts per event type, 10-minute watermark. */

@@ -303,20 +303,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val ps = Seq(0.5, 0.9, 0.99)
-    for (r <- rows; (colIdx, pick) <- Seq(1 -> ((t: (String, Long, Long)) => t._2),
-        2 -> ((t: (String, Long, Long)) => t._3))) {
+    // scalar columns: (p50,p90,p99)_chars at 1..3, (p50,p90,p99)_tok at 4..6
+    for (r <- rows; (base, pick) <- Seq(1 -> ((t: (String, Long, Long)) => t._2),
+        4 -> ((t: (String, Long, Long)) => t._3))) {
       val lang = r.getString(0)
       val sorted = data(lang).map(pick).sorted
       val n = sorted.length
       val err = n / 10000.0 + 1
-      val got = r.getSeq[Long](colIdx)
-      assert(got.length == 3)
+      val got = (0 until 3).map(i => r.getLong(base + i))
       for ((p, v) <- ps.zip(got)) {
         val lo = sorted.count(_ < v) + 1
         val hi = sorted.count(_ <= v)
         val target = p * n
         assert(lo - err <= target && target <= hi + err,
-          s"$lang col$colIdx p=$p: value $v rank [$lo,$hi] vs target $target ± $err")
+          s"$lang col$base p=$p: value $v rank [$lo,$hi] vs target $target ± $err")
       }
     }
   }
