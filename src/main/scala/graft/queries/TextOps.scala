@@ -187,18 +187,14 @@ object TextOps {
     // frequencies with Zipf rank and cumulative coverage share. Scale
     // shape: ONE partial/final hash aggregate reduces the corpus (rows ∝
     // data) to the vocabulary (rows ∝ distinct tokens — bounded, the
-    // tokenizer-vocab regime); the rank/cumulative windows then run on
-    // that small table only, so the single-partition window is over
-    // vocab-sized input by construction, never over the corpus. `share`
-    // is one IEEE double division of two exact integers — bit-identical
-    // across engines and partitionings.
+    // tokenizer-vocab regime); rank and cum_n come from rankedVocab's
+    // two-pass bucketed prefix sums (no unpartitioned window over the
+    // vocab), and `total` is a 1-row scalar aggregate broadcast back in.
+    // `share` is one IEEE double division of two exact integers —
+    // bit-identical across engines and partitionings.
     "t55_vocab" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byRank = Window.orderBy(col("n").desc, col("token").asc)
-      rankedVocab(s, dir)
-        .withColumn("cum_n", sum(col("n")).over(
-          byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      val v = rankedVocab(s, dir)
+      v.crossJoin(broadcast(v.agg(sum(col("n")).as("total"))))
         .select(col("token"), col("n"), col("rnk"), col("cum_n"),
           (col("cum_n").cast(DoubleType) / col("total").cast(DoubleType)).as("share"))
         .orderBy(col("rnk"))
@@ -314,17 +310,46 @@ object TextOps {
     merges.toSeq.toDF("rnk", "l", "r", "cnt").orderBy(col("rnk"))
   }
 
-  /** The t55 frequency-ranked vocabulary (token, n, rnk) — rank 1 = most
-    * frequent, ties broken by token text; shared by the vocab-statistics
-    * query and t57 tokenization so the id assignment cannot drift. The
-    * rank window runs on the vocab-sized agg output only. */
+  /** The t55 frequency-ranked vocabulary (token, n, rnk, cum_n) — rank 1 =
+    * most frequent, ties broken by token text; shared by the vocab-statistics
+    * query and t57 tokenization so the id assignment cannot drift.
+    *
+    * Ranking is the d59 two-pass bucketed prefix scheme, keyed on the sort
+    * order itself: a bucket is `(n, 2-char token prefix)` — a contiguous
+    * RANGE of the `(n desc, token asc)` total order (string-prefix order is
+    * consistent with full-string order), so
+    * `global rank = exclusive count of earlier buckets + bucket-local
+    * row_number`, and the cumulative frequency `cum_n` falls out of the same
+    * construction with sum instead of count. No window touches the full
+    * vocab unpartitioned: per-bucket windows each sort one bucket (the
+    * frequency-1 tail spreads across prefix buckets), and the only global
+    * window runs over the bucket-summary table, |buckets| ≪ |vocab| rows —
+    * at a scale where THAT outgrows one task the same construction recurses
+    * (buckets of buckets), exactly as d59's offsets table. */
   private def rankedVocab(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs(s, dir)
+    val vocab = docs(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("n").desc, col("token").asc)))
+    val bucketed = vocab.withColumn("pfx", substring(col("token"), 1, 2))
+    val wLocal = Window.partitionBy(col("n"), col("pfx")).orderBy(col("token"))
+    val local = bucketed
+      .withColumn("local_rnk", row_number().over(wLocal))
+      .withColumn("local_cum", sum(col("n")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.orderBy(col("n").desc, col("pfx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("n"), col("pfx"))
+      .agg(count(lit(1)).as("bkt_rows"), sum(col("n")).as("bkt_n"))
+      .withColumn("rnk_off", coalesce(sum(col("bkt_rows")).over(wOff), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("bkt_n")).over(wOff), lit(0L)))
+      .select(col("n").as("o_n"), col("pfx").as("o_pfx"),
+        col("rnk_off"), col("cum_off"))
+    local.join(broadcast(offsets),
+        col("n") === col("o_n") && col("pfx") === col("o_pfx"))
+      .select(col("token"), col("n"),
+        (col("rnk_off") + col("local_rnk")).cast(IntegerType).as("rnk"),
+        (col("cum_off") + col("local_cum")).as("cum_n"))
   }
 
   /** The standard PII scrub set: email addresses, phone-shaped number

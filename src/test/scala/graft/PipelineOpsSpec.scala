@@ -38,6 +38,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got == brute, s"banding missed ${brute.diff(got).size}, extra ${got.diff(brute).size}")
     }
 
+  test("t55/t57 vocab rank: no unpartitioned window over per-token rows, and the " +
+      "two-pass bucketed rank equals the brute-force global ordering") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // plan gate: every unpartitioned WindowExec must run over the bucket
+    // SUMMARY (no `token` attribute in its input), never the vocab itself —
+    // the single-task-sort hazard the two-pass scheme exists to remove
+    for (name <- Seq("t55", "t57")) {
+      val wins = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected window nodes in the plan")
+      for (w <- wins if w.partitionSpec.isEmpty)
+        assert(!w.child.output.exists(_.name == "token"),
+          s"$name: unpartitioned window over per-token rows " +
+            s"(input: ${w.child.output.map(_.name).mkString(",")})")
+    }
+    // value gate: (rnk, cum_n) == the brute-force sort over the collected vocab
+    val got = SparkEntry.queries("t55")(spark, dir)
+      .select(col("token"), col("n"), col("rnk"), col("cum_n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val sorted = got.sortBy { case (t, n, _, _) => (-n, t) }
+    var cum = 0L
+    sorted.zipWithIndex.foreach { case ((t, n, rnk, cumN), i) =>
+      cum += n
+      assert(rnk == i + 1, s"$t: rnk $rnk != ${i + 1}")
+      assert(cumN == cum, s"$t: cum_n $cumN != $cum")
+    }
+  }
+
   test("t56 redaction: the PII pattern set scrubs constructed emails/phones/IPs completely") {
     import spark.implicits._
     val rows = Seq(
