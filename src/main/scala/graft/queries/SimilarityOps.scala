@@ -327,7 +327,7 @@ object SimilarityOps {
     * scalar-sized result of each round, exactly how MLlib's k-means loops).
     * Deterministic: seeds are the C corpus vectors with the smallest
     * murmur3(vec_id), iteration count fixed. */
-  private def trainCentroids(s: SparkSession, dir: String,
+  private[graft] def trainCentroids(s: SparkSession, dir: String,
       c: Int, iters: Int): DataFrame = QueryUtil.persistKeyed(s, s"ivf:$dir:$c:$iters", {
     val corpus = emb(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("embedding"))
@@ -432,8 +432,15 @@ object SimilarityOps {
     * definition shared by the float (annIvf) and int8 (annIvfQ8) rerank
     * paths — the coarse quantizer does not change when the fine codes do. */
   private def ivfQueryProbes(s: SparkSession, dir: String,
-      c: Int, nprobe: Int, iters: Int): DataFrame = {
-    val centroids = trainCentroids(s, dir, c, iters)
+      c: Int, nprobe: Int, iters: Int): DataFrame =
+    ivfQueryProbesOver(s, dir, trainCentroids(s, dir, c, iters), nprobe)
+
+  /** Query probe list under EXPLICIT centroids — the stored-layout form
+    * (centroids from the `${path}_centroids` sidecar, so a probe of a
+    * stored index needs no retraining and cannot drift from the quantizer
+    * the inverted lists were routed with). */
+  private def ivfQueryProbesOver(s: SparkSession, dir: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
     emb(s, dir).filter(col("vec_id") < 10)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
@@ -494,16 +501,87 @@ object SimilarityOps {
       .select(col("nid"), expr("graft_q8_encode(cv2, lo, hi)").as("code"), col("cell"))
 
   /** The quantized IVF storage layer: inverted lists hive-partitioned by
-    * cell exactly like writeIvfCorpus but carrying int8 codes, plus the
-    * (lo, hi) grid as a sidecar parquet at `${path}_stats` — the probe must
-    * dequantize on the grid the codes were written with, so the grid
-    * travels with the layout, not with the session. */
+    * cell exactly like writeIvfCorpus but carrying int8 codes, plus TWO
+    * sidecar parquets that make the layout self-contained for day 2:
+    * `${path}_stats` (the (lo, hi) grid — the probe must dequantize on the
+    * grid the codes were written with) and `${path}_centroids` (the trained
+    * coarse quantizer — an appended batch must route to cells under the SAME
+    * centroids or the inverted lists silently fragment). Grid and quantizer
+    * travel with the layout, not with the session. */
   def writeIvfCorpusQuantized(s: SparkSession, dir: String, path: String,
-      c: Int, iters: Int): Unit = {
+      c: Int, iters: Int): Unit =
+    writeIvfCorpusQuantizedFrom(s,
+      emb(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("v")),
+      path, trainCentroids(s, dir, c, iters), q8Stats(s, dir))
+
+  /** [[writeIvfCorpusQuantized]] over an explicit (nid, v) corpus frame and
+    * an explicit trained quantizer + grid — the production entry point: the
+    * quantizer/grid are trained once (typically on a sample) and the index
+    * is built, and later APPENDED to, under that fixed pair. */
+  def writeIvfCorpusQuantizedFrom(s: SparkSession, corpus: DataFrame, path: String,
+      centroids: DataFrame, stats: DataFrame): Unit = {
     GraftFunctions.register(s)
-    graft.sources.Sinks.writePartitioned(corpusCellsQ8(s, dir, c, iters), path, Seq("cell"))
-    q8Stats(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${path}_stats")
+    graft.sources.Sinks.writePartitioned(codedWithCells(corpus, centroids, stats),
+      path, Seq("cell"))
+    stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"${path}_stats")
+    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${path}_centroids")
+  }
+
+  /** (nid, code, cell) of an arbitrary (nid, v: array<float>) frame under
+    * EXPLICIT centroids + grid — the one cell-assignment + encode rule
+    * shared by the initial build and every later append (the two must agree
+    * or appended vectors land in the wrong inverted lists / decode against
+    * the wrong grid). Same argmax aggregate + tie rule as corpusWithCells. */
+  private def codedWithCells(vecs: DataFrame, centroids: DataFrame,
+      stats: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("nid"), col("v"), col("cell"),
+        expr("graft_cosine(v, cv)").as("sim"))
+      .groupBy(col("nid"))
+      .agg(first(col("v")).as("v"),
+        expr("cast(graft_topk_pairs(sim, cast(cell as bigint), 1)[0].id as int)")
+          .as("cell"))
+      .crossJoin(broadcast(stats))
+      .select(col("nid"), expr("graft_q8_encode(v, lo, hi)").as("code"), col("cell"))
+
+  /** The stored quantizer sidecar of a writeIvfCorpusQuantized layout. */
+  def readIvfCentroids(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${path}_centroids")
+
+  /** Day-2 of the vector-index loop: fold a batch of NEW vectors (nid,
+    * v: array<float>) into a stored quantized layout — encode against the
+    * layout's OWN grid sidecar, route to cells under its OWN centroid
+    * sidecar, and append only the batch's rows to the cell partitions
+    * (SaveMode.Append adds files per partition dir; the standing corpus is
+    * never re-encoded or rewritten). Append cost ∝ the batch.
+    *
+    * Grid-staleness rule: the grid is FROZEN at build time (codes already on
+    * disk decode against it, so it can never drift), which means an
+    * out-of-distribution batch gets clamp-saturated codes. The rule:
+    * measure the fraction of batch components falling outside [lo, hi]
+    * BEFORE writing and refuse the append past `maxClampFrac` — at that
+    * point the honest move is a rebuild with a retrained grid, not a
+    * silently lossy append. Returns the measured fraction. */
+  def appendIvfCorpusQuantized(s: SparkSession, path: String, batch: DataFrame,
+      maxClampFrac: Double = 0.05): Double = {
+    GraftFunctions.register(s)
+    val stats = readQ8Stats(s, path)
+    val clampFrac = batch.crossJoin(broadcast(stats))
+      .select(posexplode(col("v")).as(Seq("dim", "vf")), col("lo"), col("hi"))
+      .select(when(col("vf") < element_at(col("lo"), col("dim") + 1)
+        || col("vf") > element_at(col("hi"), col("dim") + 1), 1.0d)
+        .otherwise(0.0d).as("clamped"))
+      .agg(avg(col("clamped"))).collect()(0).getDouble(0)
+    require(clampFrac <= maxClampFrac,
+      f"appendIvfCorpusQuantized: $clampFrac%.4f of batch components fall outside " +
+        f"the stored grid (> $maxClampFrac%.4f) — the frozen quantization grid is " +
+        "stale for this batch; rebuild the layout with a retrained grid instead")
+    graft.sources.Sinks.writePartitioned(
+      codedWithCells(batch, readIvfCentroids(s, path), stats),
+      path, Seq("cell"), org.apache.spark.sql.SaveMode.Append)
+    clampFrac
   }
 
   /** Partition-pruned probe read over a writeIvfCorpusQuantized layout —
@@ -539,6 +617,25 @@ object SimilarityOps {
   def annIvfQ8(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
     GraftFunctions.register(s)
     annIvfQ8Over(s, dir, corpusCellsQ8(s, dir, c, iters), q8Stats(s, dir), c, nprobe, iters)
+  }
+
+  /** Fully self-contained probe of a STORED quantized layout: query probe
+    * list under the layout's centroid sidecar, asymmetric rerank over its
+    * codes + grid sidecar. No retraining, no session state — everything the
+    * probe needs travels with the layout, which is what lets a different
+    * cluster (or tomorrow's job) serve the index the build job wrote. */
+  def annIvfQ8Stored(s: SparkSession, dir: String, path: String,
+      nprobe: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val queryProbes = ivfQueryProbesOver(s, dir, readIvfCentroids(s, path), nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    queryProbes.join(graft.sources.Sinks.readPartitioned(s, path), "cell")
+      .crossJoin(broadcast(readQ8Stats(s, path)))
+      .select(col("qid"), col("nid"),
+        expr("graft_cosine_q8(qv, code, lo, hi)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
   }
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -149,6 +149,51 @@ class OperatorsSpec extends AnyFunSuite {
         f"(${bf.toDouble / bq}%.2fx)")
   }
 
+  test("quantized IVF append: probe-after-append == one-shot build; stale grid refused") {
+    import graft.queries.SimilarityOps
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    // quantizer + grid trained once on the full corpus (the production
+    // shape: train on a sample, build/append under the frozen pair)
+    val centroids = SimilarityOps.trainCentroids(spark, dir, c, iters = 3)
+    val stats = SimilarityOps.q8Stats(spark, dir)
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("v"))
+    val day1 = corpus.filter(col("nid") % 7 =!= 3)
+    val batch = corpus.filter(col("nid") % 7 === 3)
+    val outOne = java.nio.file.Files.createTempDirectory("graft-ivfq-one-").toString
+    val outApp = java.nio.file.Files.createTempDirectory("graft-ivfq-app-").toString
+    SimilarityOps.writeIvfCorpusQuantizedFrom(spark, corpus, outOne, centroids, stats)
+    SimilarityOps.writeIvfCorpusQuantizedFrom(spark, day1, outApp, centroids, stats)
+    // 1) the batch is in-distribution for the stored grid: append accepted,
+    // clamp fraction 0 (grid was trained over the full corpus)
+    val frac = SimilarityOps.appendIvfCorpusQuantized(spark, outApp, batch)
+    assert(frac == 0.0, s"expected in-grid batch, clamp fraction $frac")
+    // 2) the appended layout IS the one-shot layout: same (nid, cell, code)
+    // rows — append re-routed and re-encoded nothing, only added the batch
+    def rows(p: String) = Sinks.readPartitioned(spark, p)
+      .select(col("nid"), col("cell"), hex(col("code")).as("cx"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(outApp) == rows(outOne), "appended layout diverged from one-shot build")
+    // 3) and the self-contained stored probe (centroid+grid sidecars, no
+    // retraining) over the appended layout == the one-shot answer
+    val a = SimilarityOps.annIvfQ8Stored(spark, dir, outApp, nprobe)
+      .collect().map(_.toString).toSeq
+    val b = SimilarityOps.annIvfQ8Stored(spark, dir, outOne, nprobe)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "probe after append diverged from the one-shot index")
+    // 4) the staleness rule: a batch outside the frozen grid is refused
+    // (clamp-saturated codes are silent corruption — the rule forces the
+    // rebuild decision to the surface)
+    import spark.implicits._
+    val outlier = Seq((999999L, Array.fill(64)(1e9f))).toDF("nid", "v")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.appendIvfCorpusQuantized(spark, outApp, outlier)
+    }
+    assert(e.getMessage.contains("stale"), s"wrong refusal message: ${e.getMessage}")
+  }
+
   test("LSH buckets partitioned by (tbl, bucket): a query's probe reads only its bucket dirs") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.SimilarityOps
