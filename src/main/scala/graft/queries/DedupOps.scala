@@ -943,6 +943,21 @@ object DedupOps {
     ingestReport(verifyJaccard(cand, incoming, s.table(shinglesTable), t))
   }
 
+  /** In-memory probe of an explicit corpus (doc_id, hs) frame by an
+    * incoming (doc_id, hs) frame — [[probeIngestIndex]] with both sides as
+    * frames instead of stored tables (same band-candidate + verifyJaccard +
+    * report pipeline, so the two cannot drift). This is the greedy-replay
+    * oracle the streaming accept-loop spec checks the stored-index path
+    * against. */
+  private[graft] def probeIngestFrames(s: SparkSession, corpus: DataFrame,
+      incoming: DataFrame, t: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val cand = bandBuckets(incoming)
+      .join(bandBuckets(corpus).select(col("doc_id").as("cid"), col("bucket")), "bucket")
+      .select(col("doc_id").as("ida"), col("cid").as("idb")).distinct()
+    ingestReport(verifyJaccard(cand, incoming, corpus, t))
+  }
+
   /** SimHash candidate generation + exact hamming filter via Manku-style
     * combination banding: split the 64-bit signature into 8 byte-blocks and
     * key one table on every combination of `choose` blocks (C(8,choose)

@@ -284,6 +284,62 @@ object StreamingOps {
       }
       .start()
 
+  /** The CONTINUOUS ingest loop closed — probe → accept → APPEND: like
+    * [[ingestDedupStream]], every micro-batch is probed against the
+    * standing stored index, but the batch's survivors (docs NOT flagged as
+    * near-dups) are then folded into the index via
+    * DedupOps.appendIngestIndex before the next batch arrives — so the
+    * index GROWS with the accepted stream, and a later batch dedups against
+    * both the original corpus AND every previously accepted document. This
+    * is the missing half of the day-2 story: ingestDedupStream probes but
+    * never grows the index; this is the loop a production pipeline actually
+    * runs continuously.
+    *
+    * Ordering: the probe result is pinned with an EAGER localCheckpoint
+    * before the append writes. Lazy planning alone is not the only hazard:
+    * even a persist()ed probe is re-executed after the append, because the
+    * bucketed append's saveAsTable refreshes the table and Spark lazily
+    * invalidates every cached plan that references it — the probe would
+    * silently re-run against the grown index and flag the batch against
+    * itself. A localCheckpoint is a LogicalRDD with no table reference, so
+    * the refresh cannot touch it. Semantics: acceptance is sequential-greedy
+    * (a doc is
+    * judged against the index state its batch arrived at) — the honest
+    * streaming semantics, proven in StreamingSpec against a batch-mode
+    * greedy replay. Intra-batch near-dups are NOT collapsed here (both
+    * get accepted if neither matches the index); chain
+    * [[dedupContentNear]] upstream when that collapse is wanted.
+    *
+    * Scale: per batch, one probe-sized join against the never-reshuffled
+    * index (SCALE.md d65_probe row) plus one batch-sized bucketed append
+    * (d65_append row) — nothing corpus-sized moves, ever. `sink` receives
+    * (flagged, accepted doc_ids, batchId) per micro-batch. */
+  def ingestAcceptStream(spark: SparkSession, bucketsTable: String,
+      shinglesTable: String, incoming: DataFrame, t: Double)
+      (sink: (DataFrame, DataFrame, Long) => Unit): StreamingQuery =
+    incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val hashed = graft.queries.DedupOps.hashedFrame(batch.toDF()).persist()
+        try {
+          // eager pin BEFORE the index mutates (see ordering note above)
+          val flagged = graft.queries.DedupOps.probeIngestIndex(spark,
+            bucketsTable, shinglesTable, hashed, t).localCheckpoint(true)
+          val accepted = hashed.join(flagged.select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          graft.queries.DedupOps.appendIngestIndex(spark,
+            bucketsTable, shinglesTable, accepted)
+          // the insert runs through the micro-batch's CLONED session (the
+          // batch frame owns the write), which refreshes only the clone's
+          // relation cache — without an explicit refresh here, `spark`
+          // keeps serving its stale cached file listing and every later
+          // batch probes yesterday's index (measured, not hypothetical)
+          spark.catalog.refreshTable(bucketsTable)
+          spark.catalog.refreshTable(shinglesTable)
+          sink(flagged, accepted.select(col("doc_id")), batchId)
+        } finally hashed.unpersist(): Unit
+      }
+      .start()
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -299,6 +299,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming accept+append loop: the index grows with accepted docs and " +
+      "matches a greedy batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.DedupOps
+    DedupOps.writeIngestIndex(spark, dir,
+      "acc_ing_buckets", "acc_ing_shingles", numBuckets = 4)
+    try {
+      val incoming = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % DedupOps.IngestMod === DedupOps.IngestResidue)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(incoming.length >= 3)
+      // 3 batches; batch 3 additionally re-sends two batch-1 texts under
+      // fresh ids — they can only be flagged if the loop actually grew the
+      // index with batch 1's accepted docs (the cross-batch proof)
+      val g = incoming.grouped(math.max(1, incoming.length / 3 + 1)).toSeq
+      val resent = g.head.take(2).map { case (id, tx) => (id + 1000000L, tx) }
+      val batches = g.init :+ (g.last ++ resent)
+      val mem = MemoryStream[(Long, String)]
+      val gotFlagged = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      val gotAccepted = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      val q = StreamingOps.ingestAcceptStream(spark, "acc_ing_buckets",
+        "acc_ing_shingles", mem.toDS().toDF("doc_id", "text"), 0.8) {
+        (flagged, accepted, _) =>
+          gotFlagged.synchronized {
+            gotFlagged += flagged.collect().map(_.toString).sorted.toSeq
+            gotAccepted += accepted.collect().map(_.getLong(0)).sorted.toSeq
+          }
+      }
+      try {
+        batches.foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // the resent batch-1 texts were flagged => the index really grew
+      assert(gotFlagged.last.exists(_.contains("1000")),
+        s"resent batch-1 docs not flagged — index did not grow: ${gotFlagged.last}")
+      // greedy batch replay over PURE FRAMES (probeIngestFrames — no stored
+      // tables, no appends): same per-batch flagged rows and accepted ids
+      var cur = DedupOps.hashedDocs(spark, dir)
+        .filter(col("doc_id") % DedupOps.IngestMod =!= DedupOps.IngestResidue)
+        .select(col("doc_id"), col("hs")).persist()
+      for ((b, i) <- batches.zipWithIndex) {
+        val hashed = DedupOps.hashedFrame(b.toSeq.toDF("doc_id", "text")).persist()
+        val flagged = DedupOps.probeIngestFrames(spark, cur, hashed, 0.8)
+        val flaggedRows = flagged.collect().map(_.toString).sorted.toSeq
+        val accepted = hashed.join(flagged.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        assert(gotFlagged(i) == flaggedRows,
+          s"batch $i flagged diverged:\nstream=${gotFlagged(i)}\nreplay=$flaggedRows")
+        assert(gotAccepted(i) ==
+          accepted.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq,
+          s"batch $i accepted diverged")
+        cur = cur.unionByName(accepted.select(col("doc_id"), col("hs"))).persist()
+        hashed.unpersist(): Unit
+      }
+      // and the grown stored index answers a fresh probe exactly like the
+      // replayed corpus state: probe-after-N-batches == batch rebuild
+      val probeSet = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % DedupOps.IngestMod === (DedupOps.IngestResidue + 1))
+        .select(col("doc_id"), col("text"))
+      val viaIndex = DedupOps.probeIngestIndex(spark, "acc_ing_buckets",
+        "acc_ing_shingles", DedupOps.hashedFrame(probeSet), 0.8)
+        .collect().map(_.toString).sorted.toSeq
+      val viaReplay = DedupOps.probeIngestFrames(spark, cur,
+        DedupOps.hashedFrame(probeSet), 0.8)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaIndex == viaReplay,
+        s"grown index probe != rebuilt-state probe (${viaIndex.size}/${viaReplay.size})")
+      cur.unpersist(): Unit
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS acc_ing_buckets")
+      spark.sql("DROP TABLE IF EXISTS acc_ing_shingles")
+    }
+  }
+
   test("streaming ingestion dedup over a stored corpus index converges to the one-shot batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
