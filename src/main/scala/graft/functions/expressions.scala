@@ -167,6 +167,47 @@ case class Q8Encode(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "graft_q8_encode"
 }
 
+/** PQ-encode a float vector against a flat product-quantization codebook:
+  * (array<float>, array<double> codebook, int m) -> binary (m bytes, one
+  * centroid index per subspace). Index-build hot path — codegen'd static
+  * kernel call, same policy as Q8Encode. */
+case class PqEncode(first: Expression, second: Expression, m: Int)
+    extends BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "array<float>",
+      second.dataType -> "array<double>")
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) => s"graft.functions.Kernels.pqEncode($v, $cb, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(first = l, second = r)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** Asymmetric PQ cosine: (array<float> query, binary PQ code, array<double>
+  * codebook) -> double, reconstructing centroids inside the dot-product
+  * loop. Rerank hot path (O(|Q|·candidates) evals) — codegen'd, same
+  * policy as CosineQ8. */
+case class PqCosine(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "array<float>",
+      second.dataType -> "binary", third.dataType -> "array<double>")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(q: Any, code: Any, cb: Any): Any =
+    Kernels.pqCosine(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c, cb) => s"graft.functions.Kernels.pqCosine($q, $c, $cb)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqCosine = copy(f, s, t)
+  override def prettyName: String = "graft_pq_cosine"
+}
+
 /** Asymmetric quantized cosine: (array<float> query, binary int8 codes,
   * array<double> lo, array<double> hi) -> double, dequantizing inside the
   * dot-product loop. This sits in the quantized-ANN rerank hot path
@@ -322,6 +363,10 @@ object GraftFunctions {
       es => Q8Encode(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_q8",
       es => CosineQ8(es.head, es(1), es(2), es(3)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      es => PqEncode(es.head, es(1), lit(es(2), "m").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_cosine",
+      es => PqCosine(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_build",
       es => WavBuild(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_meta",

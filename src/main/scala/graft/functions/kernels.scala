@@ -347,6 +347,75 @@ object Kernels {
     dot / (math.sqrt(nq) * math.sqrt(nc))
   }
 
+  // --- product quantization (PQ) ------------------------------------------
+  // Codebook layout (flat array<double>): [sub][centroid][dim-in-subspace],
+  // i.e. entry ((sub * k) + c) * ds + j. m = code length (bytes); ds =
+  // dim / m; k inferred = |cb| / (m * ds). One flat array so the codebook
+  // rides a single broadcastable column, same policy as the q8 (lo, hi) row.
+
+  /** PQ-encode: per subspace, the index of the L2-nearest codebook centroid
+    * (one byte each — k ≤ 256). Runs once per corpus vector at index-build
+    * time; codegen'd static call like q8Encode. */
+  def pqEncode(v: ArrayData, cb: ArrayData, m: Int): Array[Byte] = {
+    val dim = v.numElements()
+    require(m > 0 && dim % m == 0,
+      s"graft_pq_encode: dim $dim not divisible by m=$m")
+    val ds = dim / m
+    require(cb.numElements() % (m * ds) == 0,
+      s"graft_pq_encode: codebook size ${cb.numElements()} not a multiple of m*ds=${m * ds}")
+    val k = cb.numElements() / (m * ds)
+    require(k >= 1 && k <= 256, s"graft_pq_encode: k=$k out of byte range")
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (sub * k + c) * ds
+        var d2 = 0.0
+        var j = 0
+        while (j < ds) {
+          val diff = v.getFloat(sub * ds + j).toDouble - cb.getDouble(base + j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(sub) = best.toByte
+      sub += 1
+    }
+    out
+  }
+
+  /** Asymmetric PQ cosine: FLOAT query vs m-byte PQ code, reconstructing
+    * each subvector as its codebook centroid inside the dot-product loop —
+    * no float array materializes on the corpus side (same fusion policy as
+    * cosineQ8, at m bytes/vector instead of dim). */
+  def pqCosine(q: ArrayData, code: Array[Byte], cb: ArrayData): Double = {
+    val m = code.length
+    val dim = q.numElements()
+    if (m == 0 || dim % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_cosine: dim $dim not divisible by code length $m")
+    val ds = dim / m
+    val k = cb.numElements() / (m * ds)
+    var dot = 0.0; var nq = 0.0; var nc = 0.0
+    var sub = 0
+    while (sub < m) {
+      val base = (sub * k + (code(sub) & 0xff)) * ds
+      var j = 0
+      while (j < ds) {
+        val x = q.getFloat(sub * ds + j).toDouble
+        val v = cb.getDouble(base + j)
+        dot += x * v; nq += x * x; nc += v * v
+        j += 1
+      }
+      sub += 1
+    }
+    dot / (math.sqrt(nq) * math.sqrt(nc))
+  }
+
   // --- multimodal stub ----------------------------------------------------
 
   /** Deterministic fake image-decode metadata from an opaque binary payload.

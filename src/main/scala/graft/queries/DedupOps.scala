@@ -376,7 +376,46 @@ object DedupOps {
           col("doc_id"), col("lang"), col("shard")), "doc_id"),
       out, Seq("lang", "shard"))
 
+  /** Cross-document repeated n-gram (window) detection — the word-level
+    * form of exact-substring dedup (train-set boilerplate removal: headers,
+    * footers, license blocks, templated paragraphs that exact/near doc-level
+    * dedup misses because the REST of the doc differs). Every W-word window
+    * is keyed by md5 over the space-joined words (engine-portable, so the
+    * DuckDB oracle checks it end-to-end, unlike the engine-specific rolling
+    * kernel of t49); a window whose key occurs in ≥2 DISTINCT docs is
+    * boilerplate. Per-doc report: window count, repeated-window count, and
+    * the repeated fraction — the score a cleaning pass thresholds on.
+    *
+    * Scale shape: the window explode is scan-local (rows ∝ corpus tokens ×1,
+    * the same blow-up every shingle operator here carries); the key count is
+    * ONE partial/final hash agg — map-side combine absorbs within-partition
+    * repeats of hot boilerplate keys, which is exactly where the skew lives,
+    * so the reduce side sees one partial per (key, partition), not one row
+    * per occurrence; the count join back is co-partitioned with the agg
+    * output (both exchange on wkey); the per-doc agg shuffles doc-sized
+    * rows. Nothing is broadcast, nothing is corpus² — linear end to end. */
+  private[graft] def repeatedNgrams(s: SparkSession, dir: String, w: Int): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+    val wins = toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(t) - ${w - 1}), " +
+        s"i -> md5(cast(concat_ws(' ', slice(t, i, $w)) as binary)))")).as("wkey"))
+    val cnt = wins.groupBy(col("wkey")).agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(cnt, "wkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_rep"))
+      .select(col("doc_id"), col("n_win"), col("n_rep"),
+        (col("n_rep").cast(DoubleType) / col("n_win").cast(DoubleType)).as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Word-level exact-substring (boilerplate) detection over 8-gram
+    // windows; full DuckDB oracle (md5 window keys are engine-portable).
+    "d71_repeated_ngrams" -> ((s, dir) => repeatedNgrams(s, dir, 8)),
+
     // Exact dedup: one-row corpus summary (total vs content-distinct rows).
     "d50_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -1057,6 +1096,30 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+
+    // Window keys are md5 over the space-joined words — bit-identical
+    // across engines (Spark md5 over UTF-8 binary == DuckDB md5 over
+    // VARCHAR). DuckDB list slice l[i:j] is 1-based inclusive-inclusive;
+    // Spark slice(t, i, w) takes w elements from 1-based i — hence i:i+7
+    // for w=8. rep_frac is one IEEE division of two exact integers.
+    "d71_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id,
+        |    unnest([md5(array_to_string(t[i:i+7], ' '))
+        |            FOR i IN generate_series(1, len(t) - 7)]) AS wkey
+        |  FROM toks WHERE len(t) >= 8
+        |), cnt AS (
+        |  SELECT wkey, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+        |)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+        |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+        |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rep_frac
+        |FROM wins w JOIN cnt c USING (wkey)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d61_source_cap" ->
       """SELECT doc_id, source, rnk FROM (

@@ -638,7 +638,134 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // --- product quantization (PQ): the m-bytes-per-vector store ------------
+
+  /** s69's operating point. m=8 subspaces × k=64 centroids over the 64-dim
+    * embeddings = 8 bytes/vector (32× vs float32, 8× vs the s68 int8
+    * codes). Recall@5 vs exact s56 at this point is measured and spec-gated
+    * (PipelineOpsSpec); k rises to 256 at production scale — cost is
+    * index-build only (encode is k·dim mults/vector), probe cost is
+    * unchanged (centroid lookup, not search). */
+  val PqM = 8
+  val PqK = 64
+  val PqShortlist = 50
+
+  /** Train the PQ codebook: per-subspace Lloyd k-means over the corpus
+    * split (vec_id >= 10), returned as ONE broadcastable row holding the
+    * flat [sub][centroid][dim] array (the Kernels.pqEncode/pqCosine
+    * layout). Same determinism discipline as trainCentroids: hash-ordered
+    * init, fixed-point decimal mean sums (double partial-sum order varies
+    * across shuffles; the decimal sums do not), argmin via the bounded
+    * graft_topk_pairs aggregate (score DESC ⇒ -d2; ties on centroid id) —
+    * no rank window over n·k rows. Empty clusters keep their previous
+    * centroid (coalesce on the left join) so the flat layout stays dense
+    * and code bytes keep meaning across iterations. */
+  private[graft] def trainPqCodebook(s: SparkSession, dir: String,
+      m: Int, k: Int, iters: Int): DataFrame =
+    QueryUtil.persistKeyed(s, s"pq:$dir:$m:$k:$iters", {
+      GraftFunctions.register(s)
+      val sub = emb(s, dir).filter(col("vec_id") >= 10 && col("embedding").isNotNull)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("embedding"))
+        .select(col("vec_id"), col("sub"), expr(
+          s"slice(embedding, sub * (size(embedding) div $m) + 1, " +
+            s"size(embedding) div $m)").as("sv"))
+      // init: the k hash-first subvectors of each subspace (per-sub window
+      // over n rows — init only; the iterations use the bounded aggregate)
+      var centroids = sub
+        .withColumn("rn", row_number().over(Window.partitionBy(col("sub"))
+          .orderBy(pmod(hash(col("vec_id")), lit(1 << 30)), col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(col("sub"), (col("rn") - 1).as("cid"),
+          expr("transform(sv, x -> cast(x as double))").as("cv"))
+        .localCheckpoint(true)
+      val d2 = "aggregate(zip_with(sv, cv, (x, y) -> " +
+        "(cast(x as double) - y) * (cast(x as double) - y)), 0D, (a, v) -> a + v)"
+      (1 to iters).foreach { _ =>
+        val assigned = sub.join(broadcast(centroids), "sub")
+          .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
+            expr(d2).as("d2"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(first(col("sv")).as("sv"),
+            expr("cast(graft_topk_pairs(-d2, cast(cid as bigint), 1)[0].id as int)")
+              .as("cid"))
+        val means = assigned
+          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("sub"), col("cid"), col("dim"))
+          .agg((sum(floor(col("x").cast(DoubleType) * 1e9)
+              .cast(DecimalType(38, 0))).cast(DoubleType) /
+            (lit(1e9) * count(lit(1)))).as("mu"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("dm"))
+          .select(col("sub"), col("cid"),
+            expr("transform(dm, p -> p.mu)").as("ncv"))
+        centroids = centroids.join(means, Seq("sub", "cid"), "left")
+          .select(col("sub"), col("cid"),
+            coalesce(col("ncv"), col("cv")).as("cv"))
+          .localCheckpoint(true) // m·k rows; truncates per-iteration lineage
+      }
+      centroids
+        .select(col("sub"), col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid"),
+          col("dim"), col("x")))).as("q"))
+        .select(expr("transform(q, p -> p.x)").as("cb"))
+    })
+
+  /** PQ-coded corpus (nid, code binary): m bytes per vector against the
+    * broadcast 1-row codebook — scan-local codegen'd encode. */
+  private[graft] def corpusPq(s: SparkSession, dir: String,
+      m: Int, k: Int, iters: Int): DataFrame =
+    emb(s, dir).filter(col("vec_id") >= 10 && col("embedding").isNotNull)
+      .crossJoin(broadcast(trainPqCodebook(s, dir, m, k, iters)))
+      .select(col("vec_id").as("nid"),
+        expr(s"graft_pq_encode(embedding, cb, $m)").as("code"))
+
+  /** PQ shortlist + exact rerank — the production PQ search shape (the
+    * coarse ADC scan alone mis-ranks on weakly-clustered data; measured
+    * here: raw PQ top-5 recall 0.28 at m=8/k=64 vs 0.90 with the R=50
+    * refine, 0.96 at R=100). Stage 1 scans the m-BYTE codes with the
+    * asymmetric graft_pq_cosine kernel (centroids reconstructed inside the
+    * dot product — the corpus side never re-materializes floats) and keeps
+    * the top-R shortlist per query; stage 2 joins ONLY the shortlist back
+    * to the float embeddings (R·|Q| rows, not corpus-sized) and exact-
+    * reranks to the final top-5. At 100 TB this is the whole point: the
+    * full scan touches 1/32 of the bytes, and full-precision vectors are
+    * fetched for R rows per query — a keyed point-lookup join, which is
+    * what the cell-partitioned/bucketed layouts here make cheap. */
+  def annPq(s: SparkSession, dir: String, m: Int, k: Int, shortlist: Int,
+      iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val cb = trainPqCodebook(s, dir, m, k, iters)
+    val wR = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("nid"))
+    val short = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpusPq(s, dir, m, k, iters))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("qv"), col("nid"),
+        expr("graft_pq_cosine(qv, code, cb)").as("psim"))
+      .select(col("qid"), col("qv"), col("nid"),
+        row_number().over(wR).as("prnk"))
+      .filter(col("prnk") <= shortlist)
+    val w5 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    short
+      .join(emb(s, dir).select(col("vec_id").as("nid"), col("embedding").as("cv")), "nid")
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w5).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PRODUCT-QUANTIZED ANN with exact refine — the third point on the
+    // compression curve (float 256 B → int8 64 B → PQ 8 B per vector):
+    // per-subspace k-means codebooks, m-byte codes, asymmetric
+    // reconstruct-in-the-loop ADC scan to a top-R shortlist, exact float
+    // rerank of the shortlist only. Engine-specific codebooks =>
+    // rows-only driver check; recall@5 vs exact s56 is spec-gated at the
+    // measured floor (0.90 at m=8/k=64/R=50).
+    "s69_ann_pq" -> ((s, dir) => annPq(s, dir, PqM, PqK, PqShortlist, iters = 3)),
+
     // IVF approximate NN — the other classic ANN scale path next to
     // hyperplane LSH (s57): a C-cell coarse quantizer partitions the corpus
     // into inverted lists; each query probes only its nprobe nearest cells
