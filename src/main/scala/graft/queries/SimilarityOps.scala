@@ -440,16 +440,50 @@ object SimilarityOps {
     * stored index needs no retraining and cannot drift from the quantizer
     * the inverted lists were routed with). */
   private def ivfQueryProbesOver(s: SparkSession, dir: String,
-      centroids: DataFrame, nprobe: Int): DataFrame = {
-    emb(s, dir).filter(col("vec_id") < 10)
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    probesOfFrame(emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      centroids, nprobe)
+
+  /** Probe list of an ARBITRARY (qid, qv) frame under explicit centroids —
+    * each query exploded to its nprobe argmax-cosine cells via the bounded
+    * top-k aggregate. One definition for the contract query's fixed query
+    * split and the streaming ingest path's per-batch probes. */
+  private def probesOfFrame(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    queries
       .crossJoin(broadcast(centroids))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"),
-        expr("graft_cosine(embedding, cv)").as("sim"))
+      .select(col("qid"), col("qv"), col("cell"),
+        expr("graft_cosine(qv, cv)").as("sim"))
       .groupBy(col("qid"))
       .agg(first(col("qv")).as("qv"),
         expr(s"graft_topk_pairs(sim, cast(cell as bigint), $nprobe)").as("top"))
       .select(col("qid"), col("qv"),
         explode(expr("transform(top, x -> cast(x.id as int))")).as("cell"))
+
+  /** Near-duplicate probe of a (nid, v) batch against a STORED quantized
+    * layout: each batch vector probes its nprobe cells, reranks via the
+    * asymmetric q8 kernel, and is flagged when any stored vector scores
+    * ≥ tau. Output per flagged vector: earliest matching corpus id, match
+    * count, max similarity — the vector-side ingestReport. Cost ∝ batch ×
+    * (nprobe/C of the index), partition-pruned like every stored probe. */
+  def probeVectorDups(s: SparkSession, path: String, batch: DataFrame,
+      nprobe: Int, tau: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val probes = probesOfFrame(
+      batch.select(col("nid").as("qid"), col("v").as("qv")),
+      readIvfCentroids(s, path), nprobe)
+    probes.join(graft.sources.Sinks.readPartitioned(s, path)
+        .select(col("nid").as("cid"), col("code"), col("cell")), "cell")
+      .crossJoin(broadcast(readQ8Stats(s, path)))
+      .select(col("qid"), col("cid"),
+        expr("graft_cosine_q8(qv, code, lo, hi)").as("sim"))
+      .filter(col("sim") >= tau)
+      .groupBy(col("qid"))
+      .agg(min(col("cid")).as("dup_of"), count(lit(1)).as("n_matches"),
+        max(col("sim")).as("max_sim"))
+      .select(col("qid").as("nid"), col("dup_of"), col("n_matches"), col("max_sim"))
+      .orderBy(col("nid"))
   }
 
   def annIvf(s: SparkSession, dir: String, c: Int, nprobe: Int, iters: Int): DataFrame = {
@@ -573,7 +607,9 @@ object SimilarityOps {
       .select(when(col("vf") < element_at(col("lo"), col("dim") + 1)
         || col("vf") > element_at(col("hi"), col("dim") + 1), 1.0d)
         .otherwise(0.0d).as("clamped"))
-      .agg(avg(col("clamped"))).collect()(0).getDouble(0)
+      // coalesce: an EMPTY batch (e.g. a fully-deduped streaming micro-
+      // batch) has no components to clamp — fraction 0, append is a no-op
+      .agg(coalesce(avg(col("clamped")), lit(0.0d))).collect()(0).getDouble(0)
     require(clampFrac <= maxClampFrac,
       f"appendIvfCorpusQuantized: $clampFrac%.4f of batch components fall outside " +
         f"the stored grid (> $maxClampFrac%.4f) — the frozen quantization grid is " +

@@ -340,6 +340,41 @@ object StreamingOps {
       }
       .start()
 
+  /** The VECTOR-side continuous ingest loop — the embedding parallel of
+    * [[ingestAcceptStream]]: each micro-batch of (nid, v: array<float>)
+    * vectors probes the stored int8-IVF layout for near-duplicates
+    * (asymmetric q8 rerank in the batch's nprobe cells, flagged at cosine
+    * ≥ tau), and the survivors are folded into the layout via
+    * appendIvfCorpusQuantized — encoded on the layout's frozen grid, routed
+    * under its stored centroids, refused wholesale if the batch is
+    * out-of-grid past maxClampFrac (the staleness rule surfaces a needed
+    * rebuild instead of writing clamp-saturated codes).
+    *
+    * Ordering: the probe is pinned with an eager localCheckpoint before the
+    * append, same reasoning as the text loop. Visibility differs though:
+    * the layout is PATH-based parquet (not a catalog table), and each
+    * batch's probe builds a fresh file index over the path, so appended
+    * cell files are seen without any refresh call. Per-batch cost is
+    * batch-sized: nprobe/C of the index scanned for the probe, only the
+    * batch's own rows encoded and appended. `sink` gets (flagged, accepted
+    * nids, batchId) per micro-batch. */
+  def vectorIngestStream(spark: SparkSession, path: String, incoming: DataFrame,
+      nprobe: Int, tau: Double, maxClampFrac: Double = 0.05)
+      (sink: (DataFrame, DataFrame, Long) => Unit): StreamingQuery =
+    incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val flagged = graft.queries.SimilarityOps
+            .probeVectorDups(spark, path, b, nprobe, tau).localCheckpoint(true)
+          val accepted = b.join(flagged.select(col("nid")), Seq("nid"), "left_anti")
+          graft.queries.SimilarityOps
+            .appendIvfCorpusQuantized(spark, path, accepted, maxClampFrac): Unit
+          sink(flagged, accepted.select(col("nid")), batchId)
+        } finally b.unpersist(): Unit
+      }
+      .start()
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -375,6 +375,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming vector ingest: near-dup probe + quantized append per batch == " +
+      "rebuilt-layout greedy replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.SimilarityOps
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    val tau = 0.99
+    graft.functions.GraftFunctions.register(spark)
+    // quantizer + grid frozen over the full corpus (production shape)
+    val centroids = SimilarityOps.trainCentroids(spark, dir, c, 3)
+    val stats = SimilarityOps.q8Stats(spark, dir)
+    val all = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 10 && col("embedding").isNotNull)
+      .select(col("vec_id").as("nid"), col("embedding").as("v"))
+    val corpus = all.filter(col("nid") % 5 =!= 3)
+    val held = all.filter(col("nid") % 5 === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(held.length >= 6)
+    val path = java.nio.file.Files.createTempDirectory("graft-vecstream-").toString
+    SimilarityOps.writeIvfCorpusQuantizedFrom(spark, corpus, path, centroids, stats)
+    // 3 batches; batch 3 re-sends a batch-1 vector under a fresh id — it can
+    // only be flagged if the loop actually grew the layout with batch 1
+    val g = held.grouped(math.max(1, held.length / 3 + 1)).toSeq
+    val resent = g.head.take(1).map { case (id, v) => (id + 1000000L, v) }
+    val batches = g.init :+ (g.last ++ resent)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val gotFlagged = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+    val gotAccepted = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = StreamingOps.vectorIngestStream(spark, path,
+      mem.toDS().toDF("nid", "v"), nprobe, tau) { (flagged, accepted, _) =>
+      gotFlagged.synchronized {
+        gotFlagged += flagged.select(col("nid"), col("dup_of"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        gotAccepted += accepted.collect().map(_.getLong(0)).sorted.toSeq
+      }
+    }
+    try {
+      batches.foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // growth proof: the resent vector is a dup of its batch-1 original
+    assert(gotFlagged.last.contains((resent.head._1, g.head.head._1)),
+      s"resent vector not flagged against the grown layout: ${gotFlagged.last}")
+    // greedy replay, REBUILDING the layout one-shot from (corpus + accepted
+    // so far) before each batch — probe-per-batch over the appended layout
+    // must equal the probe over a from-scratch build of the same state
+    var acceptedSoFar = corpus.limit(0)
+    for ((b, i) <- batches.zipWithIndex) {
+      val p2 = java.nio.file.Files.createTempDirectory(s"graft-vecreplay-$i-").toString
+      SimilarityOps.writeIvfCorpusQuantizedFrom(spark,
+        corpus.unionByName(acceptedSoFar), p2, centroids, stats)
+      val bdf = b.toSeq.toDF("nid", "v")
+      val flagged = SimilarityOps.probeVectorDups(spark, p2, bdf, nprobe, tau)
+      val fl = flagged.select(col("nid"), col("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(gotFlagged(i) == fl,
+        s"batch $i flagged diverged:\nstream=${gotFlagged(i)}\nreplay=$fl")
+      val accepted = bdf.join(flagged.select(col("nid")), Seq("nid"), "left_anti")
+      assert(gotAccepted(i) == accepted.collect().map(_.getLong(0)).sorted.toSeq,
+        s"batch $i accepted diverged")
+      acceptedSoFar = acceptedSoFar.unionByName(accepted).localCheckpoint(true)
+    }
+  }
+
   test("streaming ingestion dedup over a stored corpus index converges to the one-shot batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
