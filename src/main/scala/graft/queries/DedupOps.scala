@@ -629,6 +629,11 @@ object DedupOps {
     // production-width 13-gram variant is brute-force-spec'd.
     "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
+    // Bloom-prefiltered decontamination: same result set as d60 (the filter
+    // only prunes; the eval join verifies), scan-local probe instead of a
+    // corpus-wide shuffle join — see decontaminateBloom for the cost model.
+    "d72_bloom_decontam" -> ((s, dir) => decontaminateBloom(s, dir, width = 3)),
+
     // Incremental decontamination — the delta form production pipelines
     // actually run: d60 recomputes the full train×eval join per eval set,
     // d64 probes the standing train inverted index with ONLY the new
@@ -824,6 +829,70 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
       .orderBy(col("doc_id"))
+
+  /** Fold a shingle-hash column into an m-bit / k-probe Bloom filter,
+    * returned as the packed word array. The fold is distributed (explode the
+    * k probe positions, partial/final `bit_or` per word — map-side combine
+    * absorbs repeated hot shingles, the reduce side sees <= m/64 rows per
+    * partition); the collect materializes the FILTER, whose size is chosen
+    * from the EVAL set (m/8 bytes — 32 KiB here; ~16 MiB for a 10M-shingle
+    * production eval set at 1% FPR), never the corpus. `mBits` must be a
+    * multiple of 64. */
+  private[graft] def bloomBuild(shingles: DataFrame, mBits: Long, k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val words = shingles
+      .select(explode(expr(
+        s"transform(sequence(0, ${k - 1}), i -> pmod(xxhash64(i, sh), ${mBits}L))")).as("p"))
+      .select((col("p") / 64).cast(IntegerType).as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast(IntegerType)).as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
+      .collect()
+    val arr = new Array[Long]((mBits / 64).toInt)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Scan-local Bloom membership test of a shingle-hash column `sh` against
+    * a built filter: k codegen'd xxhash64 probes into a plan-constant word
+    * array — no join, no shuffle, no broadcast exchange. Never false on a
+    * member (no false negatives), true on a non-member with
+    * P ≈ (1 - e^(-kn/m))^k. */
+  private[graft] def bloomProbe(words: Array[Long], mBits: Long, k: Int): Column = {
+    val bloom = typedlit(words.toSeq)
+    forall(sequence(lit(0), lit(k - 1)), i => {
+      val p = pmod(xxhash64(i, col("sh")), lit(mBits))
+      (element_at(bloom, (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64)).cast(IntegerType)))) =!= 0
+    })
+  }
+
+  /** d72: Bloom-prefiltered decontamination — bit-identical output to d60
+    * (the filter only PRUNES: survivors are verified by the real eval join,
+    * and a Bloom filter admits every true member), with the cost model a
+    * 100 TB pipeline actually wants. d60 shuffles every train shingle into
+    * the eval equi-join; here the eval set is folded once into an m-bit
+    * Bloom filter ([[bloomBuild]] — eval-sized, 32 KiB at this m) that
+    * ships to executors as a plan constant and is probed scan-locally
+    * ([[bloomProbe]]). Only true matches plus the (1-e^(-kn/m))^k
+    * false-positive trickle ever reach the join and its shuffle, so the
+    * corpus is scanned once and reshuffled (almost) never — the shuffled
+    * volume drops from |corpus shingles| to ~|true hits| + FPR·|corpus|.
+    * Exactness and the FPR budget are spec-gated (PipelineOpsSpec: result
+    * ≡ d60; zero false negatives by direct check; measured FPR within 2×
+    * the analytic bound); the DuckDB oracle is d60's — same result set. */
+  private[graft] def decontaminateBloom(s: SparkSession, dir: String, width: Int = 3,
+      mBits: Long = 1L << 18, k: Int = 5): DataFrame = {
+    val sh = hashedDocs(s, dir, width).select(col("doc_id"), explode(col("hs")).as("sh"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh"), col("doc_id").as("eid"))
+    val words = bloomBuild(ev.select(col("sh")), mBits, k)
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .filter(bloomProbe(words, mBits, k))
+      .join(ev, "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The d67 shuffle rule on an ARBITRARY frame with a `doc_id` key (the
     * contract query applies it to the documents table; the invariance spec
@@ -1325,6 +1394,21 @@ object DedupOps {
         |ORDER BY ida, idb""".stripMargin,
 
     "d60_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), ev AS (SELECT doc_id AS eid, shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
+        |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
+        |FROM tr t JOIN ev e ON t.shingle = e.shingle
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // d72 is d60 with a Bloom prefilter that cannot change the result
+    // (no false negatives; false positives die in the verify join) — the
+    // oracle is therefore d60's, and the hash-match proves the exactness
+    // claim end-to-end.
+    "d72_bloom_decontam" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(
         |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle

@@ -241,6 +241,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
 
+  test("d72 bloom decontamination: result ≡ d60, zero false negatives, FPR within 2× analytic bound") {
+    val mBits = 1L << 18
+    val k = 5
+    // exactness: the bloom path must be row-identical to the join path
+    val viaJoin = queries.DedupOps.decontaminate(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBloom = queries.DedupOps.decontaminateBloom(spark, dir, 3, mBits, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBloom == viaJoin,
+      s"bloom path diverged: missed ${viaJoin.diff(viaBloom).size}, extra ${viaBloom.diff(viaJoin).size}")
+
+    // prefilter-level guarantees, measured on the actual shingle stream
+    val sh = queries.DedupOps.hashedDocs(spark, dir, 3)
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("sh"))
+    val evSet = ev.collect().map(_.getLong(0)).toSet
+    val words = queries.DedupOps.bloomBuild(ev, mBits, k)
+    val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("pass", queries.DedupOps.bloomProbe(words, mBits, k))
+      .select(col("sh"), col("pass")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val falseNeg = tr.filter { case (h, pass) => evSet.contains(h) && !pass }
+    assert(falseNeg.isEmpty, s"bloom dropped ${falseNeg.length} true member shingles")
+    val nonMembers = tr.filter { case (h, _) => !evSet.contains(h) }
+    val fpr = nonMembers.count(_._2).toDouble / math.max(nonMembers.length, 1)
+    val theory = math.pow(1 - math.exp(-k.toDouble * evSet.size / mBits), k)
+    assert(fpr <= math.max(2 * theory, 1e-3),
+      f"measured FPR $fpr%.6f exceeds 2× the (m=$mBits, k=$k, n=${evSet.size}) bound $theory%.6f")
+  }
+
   // Recall floors are production bars set from measurement, not smoke
   // floors: graft.tools.RecallProbe sweeps (tables x bits) and (C x nprobe)
   // against exact s56 on this corpus (table in SCALE.md); the shipped
