@@ -340,9 +340,17 @@ object DedupOps {
       twoPass: Boolean): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
-      .filter(col("n_tok") > 0)
+    seqPackFrame(toks, L, twoPass).orderBy(col("seq_id"), col("seq_off"))
+  }
+
+  /** The d70 packing rule over an ARBITRARY (doc_id, n_tok) cost frame —
+    * one definition for the text-token path (d70) and the multimodal
+    * token+patch path (m65), so the two packers cannot drift. Unordered;
+    * callers order. */
+  private[graft] def seqPackFrame(toks: DataFrame, L: Long,
+      twoPass: Boolean): DataFrame = {
     val g0 = greatest(col("cum_before"), col("seq_id") * L)
-    cumBefore(toks, twoPass)
+    cumBefore(toks.filter(col("n_tok") > 0), twoPass)
       .select(col("doc_id"), col("n_tok"), col("cum_before"),
         explode(expr(s"sequence(cum_before div $L, (cum_before + n_tok - 1) div $L)"))
           .as("seq_id"))
@@ -350,7 +358,6 @@ object DedupOps {
         (g0 - col("seq_id") * L).as("seq_off"),
         (g0 - col("cum_before")).as("doc_off"),
         (least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * L) - g0).as("len"))
-      .orderBy(col("seq_id"), col("seq_off"))
   }
 
   private[graft] def shardPack(s: SparkSession, dir: String, twoPass: Boolean): DataFrame =
@@ -633,6 +640,30 @@ object DedupOps {
     // only prunes; the eval join verifies), scan-local probe instead of a
     // corpus-wide shuffle join — see decontaminateBloom for the cost model.
     "d72_bloom_decontam" -> ((s, dir) => decontaminateBloom(s, dir, width = 3)),
+
+    // Quality-aware near-dup representative selection — d51's keep-list with
+    // the decision a production pipeline actually wants: among near-dups
+    // (J >= 0.8, the same exact pair machinery) keep the HIGHEST-QUALITY
+    // member (token count here; ties break to the lower doc_id), not the
+    // arbitrary min-id — a truncated scrape loses to its fuller copy instead
+    // of winning on crawl order. Same single-pass non-transitive contract as
+    // d51 (a doc beaten by ANY partner drops; no iteration): the loser of
+    // each pair is computed per pair-row and anti-joined away. Cost = the
+    // d52 pair join (shared persisted shingles) + two id-keyed joins to the
+    // per-doc quality table + one anti-join — all key-partitioned, nothing
+    // quadratic beyond the true pair set.
+    "d73_quality_keep" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      val losers = jaccardPairs(s, dir, 0.8)
+        .join(q.select(col("doc_id").as("ida"), col("n_tok").as("qa")), "ida")
+        .join(q.select(col("doc_id").as("idb"), col("n_tok").as("qb")), "idb")
+        .select(when(col("qa") < col("qb"), col("ida"))
+          .when(col("qb") < col("qa"), col("idb"))
+          .otherwise(greatest(col("ida"), col("idb"))).as("doc_id"))
+      q.join(losers, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
 
     // Incremental decontamination — the delta form production pipelines
     // actually run: d60 recomputes the full train×eval join per eval set,
@@ -1403,6 +1434,22 @@ object DedupOps {
         |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
         |FROM tr t JOIN ev e ON t.shingle = e.shingle
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d73_quality_keep" ->
+      s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
+         |q AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok
+         | FROM documents),
+         |losers AS (
+         | SELECT CASE WHEN qa.n_tok < qb.n_tok THEN ida
+         |             WHEN qb.n_tok < qa.n_tok THEN idb
+         |             ELSE greatest(ida, idb) END AS doc_id
+         | FROM pairs
+         |  JOIN q qa ON qa.doc_id = ida
+         |  JOIN q qb ON qb.doc_id = idb)
+         |SELECT doc_id, n_tok FROM q
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     // d72 is d60 with a Bloom prefilter that cannot change the result
     // (no false negatives; false positives die in the verify join) — the

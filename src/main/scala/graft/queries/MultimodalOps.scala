@@ -64,6 +64,31 @@ object MultimodalOps {
         .orderBy(col("format"))
     }),
 
+    // Interleaved multimodal context-window packing — the vision-language
+    // final mile: each doc contributes its text tokens PLUS its image's
+    // patch tokens (ViT-style (w/16)·(h/16) patches from the m60 stub
+    // metadata; the count is what a real decoder would also produce), and
+    // the combined token stream packs into fixed-1024 windows under d70's
+    // EXACT prefix-sum rule (shared seqPackFrame — the two packers cannot
+    // drift). Output keeps the per-doc modality split (n_txt, n_patch) next
+    // to each fragment so a loader can budget attention masks. Cost = the
+    // d70 two-pass prefix sum + one co-partitioned doc_id join; patch
+    // arithmetic is scan-local.
+    "m65_interleaved_pack" -> ((s, dir) => {
+      val cost = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          QueryUtil.tokenCount(col("text")).cast("long").as("n_txt"),
+          expr("cast(((64 + length(text) % 512) div 16) * " +
+            "((64 + (length(text) * 7) % 512) div 16) as bigint)").as("n_patch"))
+      DedupOps.seqPackFrame(
+          cost.select(col("doc_id"), (col("n_txt") + col("n_patch")).as("n_tok")),
+          L = 1024L, twoPass = true)
+        .join(cost, "doc_id")
+        .select(col("seq_id"), col("doc_id"), col("seq_off"), col("doc_off"),
+          col("len"), col("n_txt"), col("n_patch"))
+        .orderBy(col("seq_id"), col("seq_off"))
+    }),
+
     // Batched frame extraction over binary payloads via mapPartitions —
     // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
     // use. The fake frame features are pure byte arithmetic over the ASCII
@@ -128,6 +153,29 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // d70's prefix-sum packing oracle with the multimodal cost (text tokens
+    // + stub ViT patches) and the per-doc modality split carried through.
+    "m65_interleaved_pack" ->
+      s"""WITH t AS (
+         | SELECT doc_id, CAST(${QueryUtil.oracleTokenCount} AS BIGINT) AS n_txt,
+         |  CAST(((64 + strlen(text) % 512) // 16)
+         |    * ((64 + (strlen(text) * 7) % 512) // 16) AS BIGINT) AS n_patch
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, n_txt, n_patch, n_txt + n_patch AS n_tok,
+         |  coalesce(CAST(sum(n_txt + n_patch) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+         | FROM t WHERE n_txt + n_patch > 0),
+         |f AS (
+         | SELECT CAST(u.seq_id AS BIGINT) AS seq_id, doc_id, cb, n_tok, n_txt, n_patch
+         | FROM c, UNNEST(generate_series(cb // 1024, (cb + n_tok - 1) // 1024))
+         |   AS u(seq_id))
+         |SELECT seq_id, doc_id,
+         | greatest(cb, seq_id * 1024) - seq_id * 1024 AS seq_off,
+         | greatest(cb, seq_id * 1024) - cb AS doc_off,
+         | least(cb + n_tok, (seq_id + 1) * 1024) - greatest(cb, seq_id * 1024) AS len,
+         | n_txt, n_patch
+         |FROM f ORDER BY seq_id, seq_off""".stripMargin,
     // Mirror of the mapPartitions fake decoder: one frame per started
     // 200-byte block (capped at 4), feature = mean byte value of the block.
     // ASCII corpus (spec-asserted precondition, shared with the t49 oracle)

@@ -620,6 +620,62 @@ object SimilarityOps {
     clampFrac
   }
 
+  /** Per-cell data-file count of a cell-partitioned layout — pure
+    * FileSystem metadata (listStatus per `cell=` dir), no data read. */
+  private def cellFileCounts(s: SparkSession, path: String): Map[Int, Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val n = fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        st.getPath.getName.stripPrefix("cell=").toInt -> n
+      }.toMap
+  }
+
+  /** Day-3 of the vector-index loop: COMPACT a stored quantized layout that
+    * has fragmented under repeated appends. Every [[appendIvfCorpusQuantized]]
+    * adds at least one file to each touched cell; after k appends a probe
+    * pays k× the file-open/footer overhead per cell and row-group pruning
+    * degrades — the classic small-files tax, and on a 1000-executor cluster
+    * the task-launch overhead dominates long before the bytes do. This
+    * rewrites ONLY the cells with more than `maxFiles` data files (found by
+    * FileSystem listing — metadata, no scan), each into one file: the
+    * fragmented cells are read partition-pruned, staged compacted to a side
+    * dir, then swapped in with per-cell directory renames (metadata moves —
+    * the data is written exactly once, and a crash mid-swap loses no rows:
+    * each cell dir is either the old files or the complete compacted file).
+    * Codes, grid, and centroid sidecars are untouched — compaction moves
+    * bytes, never re-encodes, so probe-after ≡ probe-before (spec-gated,
+    * along with untouched cells keeping their files). Returns the per-cell
+    * (cell, files_before, files_after) report. */
+  def compactIvfCells(s: SparkSession, path: String, maxFiles: Int = 1): DataFrame = {
+    import s.implicits._
+    val before = cellFileCounts(s, path)
+    val frag = before.filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (frag.nonEmpty) {
+      val tmp = s"${path}_compacting"
+      graft.sources.Sinks.writePartitioned(
+        graft.sources.Sinks.readPartitioned(s, path)
+          .filter(col("cell").isin(frag.map(Int.box): _*)),
+        tmp, Seq("cell"))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      frag.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/cell=$c")
+        fs.delete(dst, true)
+        require(fs.rename(src, dst), s"compaction swap failed for cell=$c")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val after = cellFileCounts(s, path)
+    before.toSeq.sortBy(_._1)
+      .map { case (c, nb) => (c, nb, after.getOrElse(c, 0)) }
+      .toDF("cell", "files_before", "files_after")
+  }
+
   /** Partition-pruned probe read over a writeIvfCorpusQuantized layout —
     * same pruning as probeIvfCells (cell is the partition key either way). */
   def probeIvfCellsQuantized(s: SparkSession, path: String, cells: Seq[Int]): DataFrame =

@@ -120,6 +120,65 @@ object TextOps {
     // df's partitioning, and a rank window whose `rnk <= 3` filter Spark
     // rewrites to WindowGroupLimit — map-side top-k per doc, no full sort of
     // the tf table.
+    // Domain-mixture weighting — the sampling-weight table a training run
+    // reads: per-source token mass, temperature-flattened weight
+    // w = n_tok^alpha at alpha = 0.5 (sqrt is the one power IEEE defines
+    // correctly-rounded, so the oracle stays bit-exact where pow/exp would
+    // drift), normalized share, and epochs-per-source at a 1M-token budget
+    // (share·budget / n_tok — >1 on small domains = upsampling, the d66
+    // input). The share normalizer sums the per-source weights as
+    // DECIMAL(38,12) (double-sum order varies across partitions; decimal
+    // addition is associative) and the tiny totals row joins back via a
+    // broadcast cross join — no unpartitioned window. Everything upstream
+    // is one per-source partial/final agg over the scan.
+    "t60_mixture_weights" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tok"))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          sqrt(col("n_tok").cast(DoubleType)).as("w"))
+      val tot = per.agg(sum(col("w").cast(DecimalType(38, 12))).as("wsumd"))
+        .select(col("wsumd").cast(DoubleType).as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tok"), col("w"),
+          (col("w") / col("wsum")).as("share"),
+          (lit(1000000.0d) * (col("w") / col("wsum")) /
+            col("n_tok").cast(DoubleType)).as("epochs_at_1m"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-rarity scoring — the unigram-LM quality proxy: score each doc by
+    // how common its tokens are in the corpus itself (mean corpus frequency,
+    // rarest token, fraction of near-hapax tokens). Low mean_cf / high
+    // rare_frac ⇒ OCR junk, mojibake, random strings; very high mean_cf +
+    // zero rare ⇒ stopword soup / boilerplate — the two tails a cleaning
+    // pass drops. Deliberately log-free (rational stats only, so the DuckDB
+    // oracle hash-matches bit-exactly; ln/exp are the libm-divergence
+    // hazard) — thresholding works the same on cf as on log cf. Scale
+    // shape: per-doc (term, tf) FIRST (shrinks the join input from token
+    // occurrences to distinct terms per doc and bounds hot-key volume by
+    // document frequency, not token frequency), then one vocab-keyed join
+    // tf⋈cf — broadcast-sized here, a shuffle join with AQE skew handling
+    // at web scale — and one per-doc agg. Nothing corpus².
+    "t59_token_rarity" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      tf.join(cf, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"),
+          sum(col("tf") * col("cf")).as("sum_cf"),
+          min(col("cf")).as("min_cf"),
+          sum(when(col("cf") <= 2, col("tf")).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("sum_cf").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("mean_cf"),
+          col("min_cf"),
+          (col("n_rare").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("rare_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t53_distinctive_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir).select(col("doc_id"),
@@ -561,6 +620,38 @@ object TextOps {
 
     // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
     // row_number() needs the INTEGER narrowing to match Spark's.
+    // sqrt is correctly-rounded IEEE (unlike pow/exp); the weight sum goes
+    // through DECIMAL(38,12) in both engines; the share/epochs divides are
+    // single IEEE ops in identical association order.
+    "t60_mixture_weights" ->
+      """WITH per AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tok,
+        |  sqrt(CAST(n_tok AS DOUBLE)) AS w FROM per),
+        |tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS wsum FROM w)
+        |SELECT source, n_docs, n_tok, w, w / wsum AS share,
+        | 1000000.0 * (w / wsum) / CAST(n_tok AS DOUBLE) AS epochs_at_1m
+        |FROM w, tot ORDER BY source""".stripMargin,
+
+    // DuckDB sum(BIGINT) widens to DECIMAL — cast back to Spark's BIGINT;
+    // the two ratio columns are single IEEE divides of exact integers
+    // (deterministic, engine-identical).
+    "t59_token_rarity" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        | CAST(sum(tf * cf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_cf,
+        | min(cf) AS min_cf,
+        | CAST(sum(CASE WHEN cf <= 2 THEN tf ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(tf) AS DOUBLE) AS rare_frac
+        |FROM tf JOIN cf USING (term)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "t53_distinctive_terms" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -194,6 +194,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"), s"wrong refusal message: ${e.getMessage}")
   }
 
+  test("quantized IVF compaction: fragmented cells drop to one file, probe unchanged, others untouched") {
+    import graft.queries.SimilarityOps
+    graft.functions.GraftFunctions.register(spark)
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    val centroids = SimilarityOps.trainCentroids(spark, dir, c, iters = 3)
+    val stats = SimilarityOps.q8Stats(spark, dir)
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("v"))
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfq-cmp-").toString
+    // day-1 build + two appends → touched cells carry >= 3 files
+    SimilarityOps.writeIvfCorpusQuantizedFrom(spark,
+      corpus.filter(col("nid") % 3 === 0), out, centroids, stats)
+    SimilarityOps.appendIvfCorpusQuantized(spark, out,
+      corpus.filter(col("nid") % 3 === 1))
+    SimilarityOps.appendIvfCorpusQuantized(spark, out,
+      corpus.filter(col("nid") % 3 === 2))
+    def files(p: String): Map[String, Set[String]] = {
+      val root = new java.io.File(p)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    }
+    val beforeFiles = files(out)
+    assert(beforeFiles.values.exists(_.size > 1), "scenario degenerate: nothing fragmented")
+    val probeBefore = SimilarityOps.annIvfQ8Stored(spark, dir, out, nprobe)
+      .collect().map(_.toString).toSeq
+    val rowsBefore = Sinks.readPartitioned(spark, out)
+      .select(col("nid"), col("cell"), hex(col("code")).as("cx"))
+      .collect().map(_.toString).sorted.toSeq
+
+    val report = SimilarityOps.compactIvfCells(spark, out).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val afterFiles = files(out)
+    // every fragmented cell is now one file; report matches the filesystem
+    report.foreach { case (cell, nb, na) =>
+      assert(nb == beforeFiles(s"cell=$cell").size, s"report files_before wrong for $cell")
+      assert(na == afterFiles(s"cell=$cell").size, s"report files_after wrong for $cell")
+      if (nb > 1) assert(na == 1, s"cell=$cell still fragmented: $na files")
+      // an untouched cell keeps its exact files (no gratuitous rewrite)
+      else assert(afterFiles(s"cell=$cell") == beforeFiles(s"cell=$cell"),
+        s"unfragmented cell=$cell was rewritten")
+    }
+    // compaction moved bytes only: same rows, same probe answer
+    val rowsAfter = Sinks.readPartitioned(spark, out)
+      .select(col("nid"), col("cell"), hex(col("code")).as("cx"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed the stored rows")
+    val probeAfter = SimilarityOps.annIvfQ8Stored(spark, dir, out, nprobe)
+      .collect().map(_.toString).toSeq
+    assert(probeAfter == probeBefore, "probe diverged after compaction")
+    // the staging dir is gone
+    assert(!new java.io.File(s"${out}_compacting").exists, "staging dir left behind")
+  }
+
   test("LSH buckets partitioned by (tbl, bucket): a query's probe reads only its bucket dirs") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.SimilarityOps
