@@ -383,6 +383,37 @@ object DedupOps {
           col("doc_id"), col("lang"), col("shard")), "doc_id"),
       out, Seq("lang", "shard"))
 
+  /** 32-bit interleave of two dimensions' low 16 bits — the z-value d68
+    * audits and [[writeZOrdered]] sorts by. ONE definition so the audit and
+    * the layout cannot drift. Scan-local codegen bit arithmetic. */
+  private[graft] def zValue(a0: Column, b0: Column): Column = {
+    val a = a0.bitwiseAND(lit(65535L))
+    val b = b0.bitwiseAND(lit(65535L))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Materialize the z-ordered layout d68 AUDITS — the production write:
+    * range-partition the frame on the interleaved z-value of
+    * (`n_chars`, `doc_id`) into `nFiles` contiguous z-ranges, sort within
+    * each, and write one file per range. Because a contiguous z-range
+    * bounds BOTH underlying dimensions, every file's parquet footer
+    * min/max is a tight box on both columns — a range predicate on EITHER
+    * column then skips most files/row-groups on stats alone (measured in
+    * OperatorsSpec against a doc_id-sorted layout of the same file count:
+    * the id-sorted layout skips nothing on n_chars). Cost = one range
+    * exchange (the same shuffle any total sort pays) + the write; the
+    * z-value itself is scan-local codegen arithmetic. */
+  def writeZOrdered(s: SparkSession, dir: String, out: String, nFiles: Int): Unit =
+    Tables.load(s, dir, "documents")
+      .withColumn("z", zValue(col("n_chars").cast(LongType), col("doc_id")))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+
   /** Cross-document repeated n-gram (window) detection — the word-level
     * form of exact-substring dedup (train-set boilerplate removal: headers,
     * footers, license blocks, templated paragraphs that exact/near doc-level
@@ -574,14 +605,9 @@ object DedupOps {
     // sort by z, the same exchange d67 pays. Identical unrolled bit
     // formula in both engines.
     "d68_zorder_layout" -> ((s, dir) => {
-      val a = col("n_chars").cast(LongType).bitwiseAND(lit(65535L))
-      val b = col("doc_id").bitwiseAND(lit(65535L))
-      val z = (0 until 16).map { i =>
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      }.reduce(_ + _)
       val docs0 = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars")).withColumn("z", z)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("z", zValue(col("n_chars").cast(LongType), col("doc_id")))
       val zstats = docs0.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
       docs0.crossJoin(broadcast(zstats))
         .withColumn("tile",

@@ -375,6 +375,44 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming benchmark-DECONTAMINATION gate — d72's Bloom cost model in
+    * the ingest path: before documents enter the corpus (or the accept
+    * loop), drop any that share a shingle with the eval benchmark set. The
+    * eval shingles are folded ONCE at stream start into an m-bit Bloom
+    * filter (eval-sized, a plan constant thereafter); every micro-batch
+    * then pays only scan-local probes, and the few bloom survivors are
+    * verified against the real eval shingle set (persisted — benchmark-
+    * sized, read per batch) so the gate is EXACT: no clean doc is dropped
+    * (no false negatives), no contaminated doc passes (verify join).
+    * Because the eval set is static, each doc's verdict is independent of
+    * micro-batching — union over batches ≡ the one-shot batch gate
+    * (StreamingSpec proves it across a 3-batch split). Per-batch cost:
+    * batch-sized scan + (bloom-pass fraction)·batch rows into a
+    * benchmark-sized join — the d72 measurement (SCALE.md: 8.9% pass,
+    * zero FPs at sf0.1) is exactly what each micro-batch pays. `sink`
+    * receives (contaminated doc_ids, clean rows, batchId). */
+  def decontamGateStream(spark: SparkSession, evalShingles: DataFrame,
+      incoming: DataFrame, mBits: Long = 1L << 18, k: Int = 5)
+      (sink: (DataFrame, DataFrame, Long) => Unit): StreamingQuery = {
+    val words = graft.queries.DedupOps.bloomBuild(
+      evalShingles.select(col("sh")), mBits, k)
+    val ev = evalShingles.select(col("sh")).distinct().persist()
+    incoming.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val contaminated = graft.queries.DedupOps.hashedFrame(b)
+            .select(col("doc_id"), explode(col("hs")).as("sh"))
+            .filter(graft.queries.DedupOps.bloomProbe(words, mBits, k))
+            .join(ev, "sh")
+            .select(col("doc_id")).distinct()
+          val clean = b.join(contaminated, Seq("doc_id"), "left_anti")
+          sink(contaminated, clean, batchId)
+        } finally b.unpersist(): Unit
+      }
+      .start()
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

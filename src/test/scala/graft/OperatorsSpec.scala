@@ -194,6 +194,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"), s"wrong refusal message: ${e.getMessage}")
   }
 
+  test("z-ordered write: per-file footer boxes skip range predicates on BOTH dims; id-sort only on one") {
+    import graft.queries.DedupOps
+    val nFiles = 8
+    val outZ = java.nio.file.Files.createTempDirectory("graft-z-").toString
+    val outId = java.nio.file.Files.createTempDirectory("graft-id-").toString
+    DedupOps.writeZOrdered(spark, dir, outZ, nFiles)
+    // control: same file count, classic single-dim sort
+    Tables.load(spark, dir, "documents")
+      .repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outId)
+    // layouts hold the same rows
+    val a = spark.read.parquet(outZ).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(outId).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "z-ordered layout lost/changed rows")
+    // per-file min/max — what a parquet reader's footer-stats pruning sees
+    def boxes(p: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name())
+        .agg(min(col("n_chars")).as("cl"), max(col("n_chars")).as("ch"),
+          min(col("doc_id")).as("il"), max(col("doc_id")).as("ih"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // probe with ALL eight aligned eighth-windows per dim and average the
+    // skipped-file fraction — a single window can straddle the z curve's
+    // top bit boundary and measure nothing (an artifact of the probe, not
+    // the layout)
+    val stats = Tables.load(spark, dir, "documents")
+      .agg(min(col("n_chars")), max(col("n_chars")), min(col("doc_id")), max(col("doc_id")))
+      .collect()(0)
+    def avgSkip(bs: Seq[(Long, Long, Long, Long)], onChars: Boolean): Double = {
+      val (lo, hi) = if (onChars) (stats.getLong(0), stats.getLong(1))
+        else (stats.getLong(2), stats.getLong(3))
+      val step = (hi - lo + 1) / 8
+      val fracs = (0 until 8).map { w =>
+        val (wl, wh) = (lo + w * step, lo + (w + 1) * step - 1)
+        bs.count { case (cl, ch, il, ih) =>
+          if (onChars) ch < wl || cl > wh else ih < wl || il > wh
+        }.toDouble / bs.size
+      }
+      fracs.sum / fracs.size
+    }
+    val zb = boxes(outZ); val ib = boxes(outId)
+    assert(zb.size == nFiles && ib.size == nFiles, s"file counts: ${zb.size}/${ib.size}")
+    // the z layout prunes on BOTH dimensions (each file's footer box is
+    // locally bounded in chars AND id); the id sort prunes on id only —
+    // every one of its files spans the full char range
+    val (zc, zi, ic, ii) = (avgSkip(zb, true), avgSkip(zb, false),
+      avgSkip(ib, true), avgSkip(ib, false))
+    info(f"avg skipped-file fraction: z(chars)=$zc%.2f z(id)=$zi%.2f id(chars)=$ic%.2f id(id)=$ii%.2f")
+    assert(zc >= 0.25, f"z layout skips only $zc%.2f on n_chars")
+    assert(zi >= 0.25, f"z layout skips only $zi%.2f on doc_id")
+    assert(ic == 0.0,
+      "id-sorted control unexpectedly skips on n_chars — corpus correlation breaks the test premise")
+    assert(ii >= 0.5)
+  }
+
   test("quantized IVF compaction: fragmented cells drop to one file, probe unchanged, others untouched") {
     import graft.queries.SimilarityOps
     graft.functions.GraftFunctions.register(spark)

@@ -440,6 +440,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination gate converges to the one-shot batch gate (exact, batching-invariant)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.DedupOps
+    // eval benchmark = the %97 residue class (d60's convention); incoming
+    // stream = the train side
+    val evalShingles = DedupOps.evalShingles(spark, dir, 97, 0)
+    val incoming = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val gotBad = scala.collection.mutable.ArrayBuffer[Long]()
+    val gotClean = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingOps.decontamGateStream(spark, evalShingles,
+      mem.toDS().toDF("doc_id", "text")) { (bad, clean, _) =>
+      gotBad.synchronized { gotBad ++= bad.collect().map(_.getLong(0)) }
+      gotClean.synchronized { gotClean ++= clean.collect().map(_.getLong(0)) }
+    }
+    try {
+      incoming.grouped(math.max(1, incoming.length / 3 + 1)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch truth: d60's flagged doc set (same eval class, width 3)
+    val expectedBad = DedupOps.decontaminate(spark, dir, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotBad.nonEmpty && gotClean.nonEmpty, "gate scenario degenerate")
+    assert(gotBad.toSet == expectedBad,
+      s"gate flags != batch d60: missed ${expectedBad.diff(gotBad.toSet).size}, " +
+        s"extra ${gotBad.toSet.diff(expectedBad).size}")
+    // exactness both ways: clean ∪ flagged = incoming, disjoint
+    assert(gotBad.toSet.intersect(gotClean.toSet).isEmpty)
+    assert(gotBad.toSet.union(gotClean.toSet) == incoming.map(_._1).toSet)
+  }
+
   test("streaming ingestion dedup over a stored corpus index converges to the one-shot batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
