@@ -120,6 +120,48 @@ object TextOps {
     // df's partitioning, and a rank window whose `rnk <= 3` filter Spark
     // rewrites to WindowGroupLimit — map-side top-k per doc, no full sort of
     // the tf table.
+    // Overlapping token-window chunking — the retrieval/embedding-pipeline
+    // splitter (RAG chunks, long-doc embedding inputs): windows of 128
+    // tokens at stride 96 (32-token overlap so no boundary context is lost
+    // to either neighbor), with per-chunk provenance (start_tok, len) a
+    // retriever maps hits back through. Pure scan-local generator explode —
+    // rows ∝ corpus tokens × (W/S overlap factor), zero shuffle before the
+    // caller's own sink; the chunk text itself is an array slice, no
+    // re-tokenization.
+    "t62_chunk" -> ((s, dir) => {
+      val W = 128; val S = 96
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"), col("t"))
+        .select(col("doc_id"), col("n"), col("t"),
+          explode(expr(s"sequence(1, n, $S)")).as("start_tok"))
+        .select(col("doc_id"),
+          expr(s"cast((start_tok - 1) div $S as int)").as("chunk_idx"),
+          col("start_tok"),
+          least(lit(W), col("n") - col("start_tok") + 1).as("len"),
+          expr(s"concat_ws(' ', slice(t, start_tok, $W))").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Feature hashing (the hashing trick) — fixed-width sparse count
+    // vectors for downstream quality/topic classifiers: token → one of 64
+    // buckets via the first two md5 hex chars (engine-portable, the d67
+    // idiom), per-doc bucket counts. The point of the trick at 100 TB: NO
+    // vocabulary table and no join — the feature id is pure scan-local
+    // arithmetic, so featurization is a single partial/final agg over the
+    // scan regardless of vocabulary size (contrast t57, which joins the
+    // trained vocab when exact ids matter).
+    "t61_feature_hash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .withColumn("bucket",
+          (conv(substring(md5(col("term").cast(BinaryType)), 1, 2), 16, 10)
+            .cast(IntegerType) % 64))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // Domain-mixture weighting — the sampling-weight table a training run
     // reads: per-source token mass, temperature-flattened weight
     // w = n_tok^alpha at alpha = 0.5 (sqrt is the one power IEEE defines
@@ -620,6 +662,35 @@ object TextOps {
 
     // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
     // row_number() needs the INTEGER narrowing to match Spark's.
+    // DuckDB list slice t[a:b] is 1-based inclusive and end-clamped, same
+    // as Spark's slice(t, a, W); generate_series carries the stride.
+    "t62_chunk" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |c AS (SELECT doc_id, t, n,
+        |  unnest(generate_series(1, n, 96)) AS start_tok FROM s)
+        |SELECT doc_id,
+        | CAST((start_tok - 1) // 96 AS INTEGER) AS chunk_idx,
+        | CAST(start_tok AS INTEGER) AS start_tok,
+        | CAST(least(128, n - start_tok + 1) AS INTEGER) AS len,
+        | array_to_string(t[start_tok:start_tok + 127], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // bucket = first two md5 hex chars as an integer, mod 64 — the d67
+    // hex-digit idiom widened to two nibbles.
+    "t61_feature_hash" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST(((instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1)) % 64
+        |    AS INTEGER) AS bucket
+        | FROM toks)
+        |SELECT doc_id, bucket, count(*) AS cnt FROM b
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
     // sqrt is correctly-rounded IEEE (unlike pow/exp); the weight sum goes
     // through DECIMAL(38,12) in both engines; the share/epochs divides are
     // single IEEE ops in identical association order.
