@@ -672,6 +672,36 @@ object Relational {
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // TPC-H Q21 shape ("suppliers who kept orders waiting"), adapted to
+    // this corpus's columns: late := shipped > 60 days after the order
+    // date (no commit/receipt dates here). A supplier is blamed for an
+    // order when it shipped late, ANOTHER supplier is on the order
+    // (EXISTS → left-semi with a non-equi guard), and NO other supplier
+    // shipped late on it (NOT EXISTS → left-anti) — the classic
+    // multi-self-join + double-correlated-subquery workout. All three
+    // lineitem passes key on l_orderkey, so after the first exchange the
+    // semi/anti joins reuse the same partitioning; the unique tiebreak on
+    // s_name keeps the LIMIT deterministic.
+    "q69_blame_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val sup = t(s, dir, "supplier")
+      val l1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val withOther = l1.join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      val lateOthers = l1.select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+      withOther.join(lateOthers,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(sup, col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // TPC-H Q8 shape: conditional market-share ratio of exact sums.
     "q56_market_share" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1118,6 +1148,24 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q69_blame_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        | JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        | AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |     AND o3.o_orderstatus = 'F'
+        |     AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
 
     "q56_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -711,6 +711,40 @@ object SimilarityOps {
     annIvfQ8Over(s, dir, corpusCellsQ8(s, dir, c, iters), q8Stats(s, dir), c, nprobe, iters)
   }
 
+  /** s70: TWO-STAGE retrieval over the int8 index — the serving pattern a
+    * compressed vector store actually runs: stage 1 scans only the 1-byte
+    * codes in the probed cells (4× less IO than floats — at 100 TB the
+    * scan IS the cost) and keeps a per-query top-`shortlist` via the
+    * bounded graft_topk_pairs aggregate; stage 2 fetches JUST those
+    * shortlist ids' float vectors through an id-keyed equi-join (R·|Q|
+    * point lookups, never a corpus scan) and reranks exactly. Recall can
+    * only improve on the all-quantized s68 ranking — same candidate cells,
+    * exact scores decide the final top-5 — and the spec asserts exactly
+    * that (two-stage ≥ s68 at the same (C, nprobe), both ≥ the 0.8
+    * floor). */
+  private[graft] def annTwoStage(s: SparkSession, dir: String, c: Int, nprobe: Int,
+      shortlist: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val probes = ivfQueryProbes(s, dir, c, nprobe, iters)
+    val short = probes.join(corpusCellsQ8(s, dir, c, iters), "cell")
+      .crossJoin(broadcast(q8Stats(s, dir)))
+      .select(col("qid"), col("qv"), col("nid"),
+        expr("graft_cosine_q8(qv, code, lo, hi)").as("sim"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        expr(s"graft_topk_pairs(sim, nid, $shortlist)").as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, x -> x.id)")).as("nid"))
+    val corpusF = emb(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("cv2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    short.join(corpusF, "nid")
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv2)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Fully self-contained probe of a STORED quantized layout: query probe
     * list under the layout's centroid sidecar, asymmetric rerank over its
     * codes + grid sidecar. No retraining, no session state — everything the
@@ -878,6 +912,13 @@ object SimilarityOps {
     // Engine-specific cells + codes => rows-only driver check; recall@5 vs
     // exact s56 is spec-gated at the measured floor (PipelineOpsSpec).
     "s68_ann_ivf_q8" -> ((s, dir) => annIvfQ8(s, dir, IvfCells, IvfNprobe, iters = 3)),
+
+    // TWO-STAGE serving over the int8 index: code-only shortlist scan +
+    // exact float rerank of the R survivors (see annTwoStage for the IO
+    // argument). Engine-specific cells/codes => rows-only driver check;
+    // recall@5 ≥ s68's at the same operating point is spec-gated.
+    "s70_ann_two_stage" -> ((s, dir) =>
+      annTwoStage(s, dir, IvfCells, IvfNprobe, shortlist = 25, iters = 3)),
 
     // Exact k-NN graph (k=3) over ALL vectors — the neighborhood structure
     // that downstream clustering / graph-dedup / diversity sampling reads.

@@ -168,11 +168,15 @@ object TextOps {
     // correctly-rounded, so the oracle stays bit-exact where pow/exp would
     // drift), normalized share, and epochs-per-source at a 1M-token budget
     // (share·budget / n_tok — >1 on small domains = upsampling, the d66
-    // input). The share normalizer sums the per-source weights as
-    // DECIMAL(38,12) (double-sum order varies across partitions; decimal
-    // addition is associative) and the tiny totals row joins back via a
-    // broadcast cross join — no unpartitioned window. Everything upstream
-    // is one per-source partial/final agg over the scan.
+    // input). Normalization discipline: the weights are quantized to
+    // integers (floor(w·10⁶) — the *1e6 multiply and floor are single
+    // deterministic IEEE ops) so the normalizer is an EXACT BIGINT sum:
+    // order-free across partitions AND engine-exact (a decimal sum is
+    // order-free too, but the decimal→double cast rounds twice in DuckDB —
+    // measured 1-ulp share drift at sf0.1). The 1e-6 relative weight
+    // quantization is far below any sampling-weight significance; the tiny
+    // totals row joins back via a broadcast cross join — no unpartitioned
+    // window. Everything upstream is one per-source partial/final agg.
     "t60_mixture_weights" -> ((s, dir) => {
       val per = docs(s, dir)
         .groupBy(col("source"))
@@ -180,13 +184,13 @@ object TextOps {
           sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("n_tok"))
         .select(col("source"), col("n_docs"), col("n_tok"),
           sqrt(col("n_tok").cast(DoubleType)).as("w"))
-      val tot = per.agg(sum(col("w").cast(DecimalType(38, 12))).as("wsumd"))
-        .select(col("wsumd").cast(DoubleType).as("wsum"))
+        .withColumn("wq", floor(col("w") * 1000000.0d).cast(LongType))
+      val tot = per.agg(sum(col("wq")).as("wsum"))
+      val share = col("wq").cast(DoubleType) / col("wsum").cast(DoubleType)
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tok"), col("w"),
-          (col("w") / col("wsum")).as("share"),
-          (lit(1000000.0d) * (col("w") / col("wsum")) /
-            col("n_tok").cast(DoubleType)).as("epochs_at_1m"))
+          share.as("share"),
+          (lit(1000000.0d) * share / col("n_tok").cast(DoubleType)).as("epochs_at_1m"))
         .orderBy(col("source"))
     }),
 
@@ -691,19 +695,22 @@ object TextOps {
         |SELECT doc_id, bucket, count(*) AS cnt FROM b
         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
-    // sqrt is correctly-rounded IEEE (unlike pow/exp); the weight sum goes
-    // through DECIMAL(38,12) in both engines; the share/epochs divides are
-    // single IEEE ops in identical association order.
+    // sqrt is correctly-rounded IEEE (unlike pow/exp); weights quantized
+    // to exact BIGINTs (floor(w·1e6)) so the normalizer sum is exact and
+    // every divide is a single IEEE op on exactly-representable values.
     "t60_mixture_weights" ->
       """WITH per AS (
         | SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
         | FROM documents GROUP BY 1),
-        |w AS (SELECT source, n_docs, n_tok,
-        |  sqrt(CAST(n_tok AS DOUBLE)) AS w FROM per),
-        |tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS wsum FROM w)
-        |SELECT source, n_docs, n_tok, w, w / wsum AS share,
-        | 1000000.0 * (w / wsum) / CAST(n_tok AS DOUBLE) AS epochs_at_1m
+        |w AS (SELECT source, n_docs, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS w,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        | FROM per),
+        |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_docs, n_tok, w,
+        | CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) AS share,
+        | 1000000.0 * (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE))
+        |   / CAST(n_tok AS DOUBLE) AS epochs_at_1m
         |FROM w, tot ORDER BY source""".stripMargin,
 
     // DuckDB sum(BIGINT) widens to DECIMAL — cast back to Spark's BIGINT;

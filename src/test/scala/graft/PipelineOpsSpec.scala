@@ -319,6 +319,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx == again)
   }
 
+  test("s70_ann_two_stage: recall@5 >= s68's at the same operating point, both >= 0.8") {
+    // same candidate cells as s68; exact float scores decide the final
+    // top-5, so the two-stage form can only match or beat the
+    // all-quantized ranking — asserted directly, not assumed
+    val exact = SparkEntry.queries("s56")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = SparkEntry.queries("s68")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = SparkEntry.queries("s70")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rQ8 = exact.intersect(q8).size.toDouble / exact.size
+    val rTwo = exact.intersect(two).size.toDouble / exact.size
+    info(f"recall@5: s68=$rQ8%.2f two-stage=$rTwo%.2f")
+    assert(rTwo >= rQ8, f"exact rerank lost recall: $rTwo%.2f < $rQ8%.2f")
+    assert(rTwo >= 0.8, s"two-stage recall@5 $rTwo below the floor")
+    assert(two.forall { case (q, n) => q < 10 && n >= 10 })
+    val again = SparkEntry.queries("s70")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(two == again)
+  }
+
   test("s69_ann_pq (PQ shortlist + exact refine) achieves recall@5 >= 0.8 vs exact s56") {
     // Measured grid (r8, this corpus): raw PQ top-5 (no refine) is 0.28 at
     // m=8/k=64 — weakly-clustered embeddings reconstruct poorly — but the
