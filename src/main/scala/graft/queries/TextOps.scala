@@ -120,6 +120,40 @@ object TextOps {
     // df's partitioning, and a rank window whose `rnk <= 3` filter Spark
     // rewrites to WindowGroupLimit — map-side top-k per doc, no full sort of
     // the tf table.
+    // Winnowing fingerprint selection (the MOSS algorithm): per position a
+    // k=4-token-gram hash, then the MIN hash of each w=5 window of
+    // consecutive gram hashes, deduplicated — the guarantee (winnowing
+    // theorem) is that any shared token run of length >= w+k-1 = 8 yields
+    // a shared selected fingerprint, at expected density 2/(w+1) of
+    // positions — robust LOCAL overlap detection (quotes, plagiarized
+    // passages) where t49's one-per-doc min-hash only catches whole-doc
+    // similarity. Hashes are md5 hex STRINGS min-compared lexicographically
+    // (engine-portable, so the full pipeline oracle-checks). Per-doc
+    // report: selected count, cross-doc-shared count, shared fraction —
+    // the d71 report shape with winnowed keys. Scale: each gram hash is
+    // computed ONCE (hk column) and windows slice it — scan-local lambda
+    // arithmetic; then one key agg + one co-partitioned join, linear like
+    // d71 with ~1/3 the key volume.
+    "t63_winnow" -> ((s, dir) => {
+      val sel = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 8)
+        .withColumn("hk", expr("transform(sequence(1, size(t) - 3), i -> " +
+          "md5(cast(concat_ws(' ', slice(t, i, 4)) as binary)))"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(hk) - 4), j -> array_min(slice(hk, j, 5)))")))
+          .as("fp"))
+      val cnt = sel.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
+      sel.join(cnt, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_sel"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) / col("n_sel").cast(DoubleType))
+            .as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Overlapping token-window chunking — the retrieval/embedding-pipeline
     // splitter (RAG chunks, long-doc embedding inputs): windows of 128
     // tokens at stride 96 (32-token overlap so no boundary context is lost
@@ -666,6 +700,26 @@ object TextOps {
 
     // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
     // row_number() needs the INTEGER narrowing to match Spark's.
+    // md5 hex strings min-compare lexicographically the same way in both
+    // engines; list slices are 1-based inclusive both sides.
+    "t63_winnow" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  [md5(array_to_string(t[i:i+3], ' ')) FOR i IN range(1, len(t) - 2)] AS hk
+        | FROM d WHERE len(t) >= 8),
+        |s AS (SELECT doc_id,
+        |  list_distinct([list_min(hk[j:j+4]) FOR j IN range(1, len(hk) - 3)]) AS sel
+        | FROM h),
+        |selr AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+        |cnt AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM selr GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_sel,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |   AS shared_frac
+        |FROM selr JOIN cnt USING (fp)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // DuckDB list slice t[a:b] is 1-based inclusive and end-clamped, same
     // as Spark's slice(t, a, W); generate_series carries the stride.
     "t62_chunk" ->

@@ -220,7 +220,7 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
-          "d62", "d64_probe", "d65_probe", "d65_append", "d69") &&
+          "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -242,6 +242,16 @@ object ScaleProbe {
       // within a replica, so flagged docs and join matches replicate per
       // shard — the linear regime the inverted-index join claims
       run("d60", k, d)
+      // bloom-prefiltered decontamination next to d60: same output, the
+      // shuffle column shows the join-input cut directly (only bloom
+      // survivors reach the exchange). The eval set also grows ×K while
+      // m stays fixed, so this measures the filter at RISING load — at
+      // 100× the honest production response is m ∝ eval (still eval-sized)
+      run("d72", k, d)
+      // repeated-ngram boilerplate: suffixed replicas share zero windows,
+      // so window keys/counts replicate per shard — one key agg + one
+      // co-partitioned join, the claimed linear regime
+      run("d71", k, d)
       // containment join: suffixed replicas keep containment structure
       // per shard (same rationale as d52) — prefix x full-entries join
       run("d62", k, d)
