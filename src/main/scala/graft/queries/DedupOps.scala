@@ -667,6 +667,28 @@ object DedupOps {
     // corpus-wide shuffle join — see decontaminateBloom for the cost model.
     "d72_bloom_decontam" -> ((s, dir) => decontaminateBloom(s, dir, width = 3)),
 
+    // Reproducible per-stratum hash sampling — downsample each language to
+    // at most ~200 docs UNIFORMLY (not d61's first-K, which biases to
+    // crawl order): u = md5('s42:'||doc_id) first 8 hex chars / 2^32 is a
+    // deterministic uniform in [0,1), and a doc survives iff
+    // u < min(1, 200/n_lang). RNG-free, partitioning-invariant, identical
+    // on every rerun and engine (the d67 hash-randomness discipline), and
+    // the expected kept count per stratum is the target cap with binomial
+    // concentration. Scale shape: one per-lang count agg (broadcast-sized)
+    // + a scan-local keep decision — the corpus never shuffles; at 100 TB
+    // `lang` becomes any stratification key with a small-side count table.
+    "d74_hash_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val u = conv(substring(md5(concat(lit("s42:"),
+          col("doc_id").cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / 4294967296.0d
+      docs.join(broadcast(n), "lang")
+        .filter(u < least(lit(1.0d), lit(200.0d) / col("n_docs").cast(DoubleType)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-aware near-dup representative selection — d51's keep-list with
     // the decision a production pipeline actually wants: among near-dups
     // (J >= 0.8, the same exact pair machinery) keep the HIGHEST-QUALITY
@@ -1460,6 +1482,22 @@ object DedupOps {
         |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
         |FROM tr t JOIN ev e ON t.shingle = e.shingle
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same 8-hex-nibble integer idiom as t61, widened to 8 digits; u and
+    // the threshold are single IEEE divides of exact integers
+    "d74_hash_sample" -> {
+      val hex8 = (0 until 8).map(i =>
+        s"(instr('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}")
+        .mkString(" + ")
+      s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |u AS (SELECT doc_id, lang,
+         |  CAST($hex8 AS DOUBLE) / 4294967296.0 AS u
+         | FROM (SELECT doc_id, lang,
+         |   md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents))
+         |SELECT u.doc_id, u.lang FROM u JOIN n USING (lang)
+         |WHERE u.u < least(1.0, 200.0 / CAST(n.n_docs AS DOUBLE))
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "d73_quality_keep" ->
       s"""WITH pairs AS (${oracleJaccardCore(0.8)}),

@@ -256,6 +256,22 @@ object Relational {
     }),
 
     // §2.5 offset frames: lead/lag.
+    // IGNORE NULLS window fills — the gap-fill idiom (carry the last seen
+    // purchase value forward per user; peek the next one backward): the
+    // one §2.5 modifier q19/q50 don't exercise. last/first with
+    // ignoreNulls skip the null rows a plain frame would return.
+    "q70_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val v = when(col("event_type") === "purchase", col("value"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), v.as("pv"),
+          last(v, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("last_purchase"),
+          first(v, ignoreNulls = true)
+            .over(w.rowsBetween(0, Window.unboundedFollowing)).as("next_purchase"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q19_window_leadlag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
@@ -958,6 +974,18 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q70_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        | CASE WHEN event_type = 'purchase' THEN value END AS pv,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+        | first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q19_window_leadlag" ->
       """SELECT user_id, event_id,

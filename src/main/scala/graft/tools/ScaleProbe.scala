@@ -180,7 +180,13 @@ object ScaleProbe {
         graft.queries.DedupOps.probeIngestIndex(s,
           s"scale_ing_buckets_${tblSuffix(d)}",
           s"scale_ing_shingles_${tblSuffix(d)}",
-          graft.queries.DedupOps.ingestIncoming(s, baseDir), 0.8)))
+          graft.queries.DedupOps.ingestIncoming(s, baseDir), 0.8)),
+      // d72 with the filter sized FOR the scaled eval set (m ∝ n, the
+      // production rule): the contract query's fixed m=2^18 saturates at
+      // 100× eval (kn/m ≈ 4.6 → FPR ≈ 0.95, cut vanishes — measured);
+      // 2^25 bits (4 MiB) restores kn/m ≈ 0.037
+      "d72_sized" -> ((s, d) =>
+        graft.queries.DedupOps.decontaminateBloom(s, d, 3, 1L << 25, 5)))
 
     // max single-task seconds of the min-time warm pass, for skew probes
     var minRunMaxTaskSec = 0.0
@@ -248,6 +254,7 @@ object ScaleProbe {
       // m stays fixed, so this measures the filter at RISING load — at
       // 100× the honest production response is m ∝ eval (still eval-sized)
       run("d72", k, d)
+      run("d72_sized", k, d)
       // repeated-ngram boilerplate: suffixed replicas share zero windows,
       // so window keys/counts replicate per shard — one key agg + one
       // co-partitioned join, the claimed linear regime
