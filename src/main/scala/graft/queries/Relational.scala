@@ -256,6 +256,20 @@ object Relational {
     }),
 
     // §2.5 offset frames: lead/lag.
+    // UNPIVOT via the stack() generator — wide→long reshaping (the inverse
+    // of q41's pivot): three lineitem measures melt into (metric, val)
+    // rows, then one agg per metric. stack is a codegen'd generator (no
+    // join, no shuffle before the agg); decimal-exact sums keep the
+    // oracle bit-exact.
+    "q71_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(expr("stack(3, 'discount', l_discount, 'extendedprice', " +
+          "l_extendedprice, 'quantity', l_quantity) as (metric, val)"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("val"), 4).as("sum_val"))
+        .orderBy(col("metric"))
+    }),
+
     // IGNORE NULLS window fills — the gap-fill idiom (carry the last seen
     // purchase value forward per user; peek the next one backward): the
     // one §2.5 modifier q19/q50 don't exercise. last/first with
@@ -974,6 +988,15 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q71_unpivot" ->
+      """WITH long AS (
+        | SELECT 'discount' AS metric, l_discount AS val FROM lineitem
+        | UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'quantity', l_quantity FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        | CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
 
     "q70_ignore_nulls" ->
       """SELECT user_id, event_id,
