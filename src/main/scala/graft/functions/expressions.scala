@@ -57,6 +57,34 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def prettyName: String = "graft_minhash"
 }
 
+/** Broadcast-backed Bloom membership probe: bigint -> boolean. The filter
+  * words travel in a Spark Broadcast (torrent: shipped once per EXECUTOR),
+  * resolved once per generated-class instance into a plain long[] field —
+  * the plan carries only the broadcast handle, so an eval-benchmark filter
+  * can be 100s of MB without bloating the plan, the codegen source, or the
+  * per-task closure. (The plan-literal form, DedupOps.bloomProbe, stays the
+  * right call below ~1 MiB: no broadcast lifecycle to manage.) The probe
+  * itself stays inside whole-stage codegen via the Kernels call. */
+case class BloomContains(child: Expression,
+    bits: org.apache.spark.broadcast.Broadcast[Array[Long]], mBits: Long, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "bigint")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.bloomContains(v.asInstanceOf[Long], bits.value, mBits, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcName = ctx.addReferenceObj("bloomBc", bits,
+      "org.apache.spark.broadcast.Broadcast")
+    val words = ctx.addMutableState("long[]", "bloomWords",
+      v => s"$v = (long[]) $bcName.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.bloomContains($c, $words, ${mBits}L, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContains = copy(child = c)
+  override def prettyName: String = "graft_bloom_contains"
+}
+
 /** 64-bit SimHash over token array: array<string> -> long. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {

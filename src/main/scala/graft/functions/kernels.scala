@@ -416,6 +416,24 @@ object Kernels {
     dot / (math.sqrt(nq) * math.sqrt(nc))
   }
 
+  /** k-probe Bloom membership of a 64-bit shingle hash against the packed
+    * word array — bit-identical probe positions to the SQL path
+    * (`pmod(xxhash64(i, sh), m)`): Spark's XxHash64 hashes its children
+    * sequentially with the running hash as seed, starting at 42, so the
+    * kernel replays hashInt(i) then hashLong(sh) with the same chaining. */
+  def bloomContains(sh: Long, words: Array[Long], mBits: Long, k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      var h = 42L
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, h)
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sh, h)
+      val p = ((h % mBits) + mBits) % mBits
+      if ((words((p / 64).toInt) & (1L << (p % 64).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   // --- multimodal stub ----------------------------------------------------
 
   /** Deterministic fake image-decode metadata from an opaque binary payload.

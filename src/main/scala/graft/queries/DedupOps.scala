@@ -957,6 +957,20 @@ object DedupOps {
     })
   }
 
+  /** [[bloomProbe]] with the words in a Spark Broadcast instead of a plan
+    * literal — same positions, same bits (spec-proven row-identical): the
+    * torrent broadcast ships the filter once per EXECUTOR and the custom
+    * codegen'd expression resolves it once per generated-class instance,
+    * so a production-sized filter (10M eval shingles → ~16 MiB; a full
+    * benchmark suite → 100s of MB) costs neither plan size nor per-task
+    * serialization. Literal form stays preferable below ~1 MiB. */
+  private[graft] def bloomProbeBc(s: SparkSession, words: Array[Long],
+      mBits: Long, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BloomContains(
+      ColumnBridge.expression(col("sh")), s.sparkContext.broadcast(words), mBits, k))
+  }
+
   /** d72: Bloom-prefiltered decontamination — bit-identical output to d60
     * (the filter only PRUNES: survivors are verified by the real eval join,
     * and a Bloom filter admits every true member), with the cost model a
@@ -978,7 +992,9 @@ object DedupOps {
       .select(col("sh"), col("doc_id").as("eid"))
     val words = bloomBuild(ev.select(col("sh")), mBits, k)
     sh.filter(col("doc_id") % 97 =!= 0)
-      .filter(bloomProbe(words, mBits, k))
+      // broadcast form: at the contract's m=2^18 the literal would also
+      // do, but the one call site should exercise the path that scales
+      .filter(bloomProbeBc(s, words, mBits, k))
       .join(ev, "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eid")).as("n_evals"), min(col("eid")).as("first_eval"))

@@ -260,7 +260,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val words = queries.DedupOps.bloomBuild(ev, mBits, k)
     val tr = sh.filter(col("doc_id") % 97 =!= 0)
       .withColumn("pass", queries.DedupOps.bloomProbe(words, mBits, k))
-      .select(col("sh"), col("pass")).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      .withColumn("passBc", queries.DedupOps.bloomProbeBc(spark, words, mBits, k))
+      .select(col("sh"), col("pass"), col("passBc"))
+      .collect().map { r =>
+        // the broadcast-expression probe must agree with the plan-literal
+        // SQL probe on every row (same positions, same bits)
+        assert(r.getBoolean(1) == r.getBoolean(2),
+          s"literal vs broadcast probe disagree on sh=${r.getLong(0)}")
+        (r.getLong(0), r.getBoolean(1))
+      }
     val falseNeg = tr.filter { case (h, pass) => evSet.contains(h) && !pass }
     assert(falseNeg.isEmpty, s"bloom dropped ${falseNeg.length} true member shingles")
     val nonMembers = tr.filter { case (h, _) => !evSet.contains(h) }
