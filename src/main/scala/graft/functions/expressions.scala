@@ -303,6 +303,24 @@ case class WavMetaExpr(child: Expression)
   override def prettyName: String = "graft_wav_meta"
 }
 
+/** 8-bit PCM sample stats over a WAV payload: binary -> array<bigint>
+  * [n, sum, sumSq, peakDev] — the decode-side aggregate a real audio
+  * pipeline computes per file (silence/clipping gates, loudness buckets),
+  * over the same chunk walk as graft_wav_meta. */
+case class WavStats8Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val a = Kernels.wavStats8(v.asInstanceOf[Array[Byte]])
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def withNewChildInternal(c: Expression): WavStats8Expr = copy(child = c)
+  override def prettyName: String = "graft_wav_stats8"
+}
+
 /** Stopword-profile language identification: string -> string lang code. */
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -399,5 +417,7 @@ object GraftFunctions {
       es => WavBuild(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_meta",
       es => WavMetaExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_stats8",
+      es => WavStats8Expr(es.head), "scala_udf")
   }
 }

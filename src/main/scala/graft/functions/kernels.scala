@@ -528,4 +528,39 @@ object Kernels {
     }
     null
   }
+
+  /** 8-bit PCM sample statistics over a WAV payload's data chunk (the same
+    * chunk walk as wavParse — foreign chunks skipped, truncation rejected):
+    * [n, sum, sumSq, peakDev] with samples read as unsigned bytes and
+    * deviation measured from the 128 midpoint. Integer-exact, so the SQL
+    * oracle mirrors it byte for byte. Null for invalid or non-8-bit PCM. */
+  def wavStats8(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return null
+    var off = 12
+    var sawFmt = false; var bits = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return null
+      if (id == "fmt ") {
+        if (sz < 16 || le16(b, off + 8) != 1) return null
+        bits = le16(b, off + 22); sawFmt = true
+      } else if (id == "data") {
+        if (!sawFmt || bits != 8) return null
+        var i = off + 8; val end = off + 8 + sz
+        var n = 0L; var sum = 0L; var sq = 0L; var peak = 0L
+        while (i < end) {
+          val v = b(i) & 0xff
+          sum += v; sq += v.toLong * v
+          val d = math.abs(v - 128).toLong
+          if (d > peak) peak = d
+          n += 1; i += 1
+        }
+        return Array(n, sum, sq, peak)
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    null
+  }
 }

@@ -133,6 +133,30 @@ object MultimodalOps {
     // encode→parse round-trip recovers them exactly. Golden-byte and
     // foreign-chunk/corruption specs in KernelsSpec prove the parser
     // against fixtures the builder didn't produce.
+    // PCM sample statistics through the REAL codec path: build the WAV
+    // (m64's encoder), walk its RIFF chunks, and aggregate the 8-bit data
+    // chunk — n/mean/RMS/peak-deviation, the per-file numbers an audio
+    // pipeline gates on (silence ⇒ near-zero peak dev; clipping ⇒ peak at
+    // the rail; loudness buckets from RMS). Integer-exact sums inside the
+    // kernel; the only floats are one division and one IEEE-exact sqrt, so
+    // the byte-level DuckDB mirror hash-matches. Scan-local decode —
+    // embarrassingly parallel, the m60-m64 cost model.
+    "m66_wav_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("graft_wav_stats8(graft_wav_build(cast(text as binary), " +
+            "cast(8000 * (1 + doc_id % 3) as int), cast(1 + doc_id % 2 as int), 8))")
+            .as("st"))
+        .select(col("doc_id"),
+          col("st")(0).as("n_samples"),
+          (col("st")(1).cast("double") / col("st")(0).cast("double")).as("mean_level"),
+          sqrt(col("st")(2).cast("double") / col("st")(0).cast("double")).as("rms"),
+          col("st")(3).as("peak_dev"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m64_wav_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
@@ -208,6 +232,25 @@ object MultimodalOps {
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | CAST(max(strlen(text)) AS INTEGER) AS max_bytes
         |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Byte-level mirror of the data-chunk aggregate (ASCII corpus ⇒ ord ==
+    // payload byte, the t49/m61 precondition); exact integer sums, one
+    // IEEE divide, one correctly-rounded sqrt.
+    "m66_wav_stats" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  [ord(text[i]) FOR i IN range(1, strlen(text) + 1)] AS bs
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |s AS (SELECT doc_id, CAST(len(bs) AS BIGINT) AS n,
+        |  CAST(list_sum(bs) AS BIGINT) AS sm,
+        |  CAST(list_sum([x * x FOR x IN bs]) AS BIGINT) AS sq,
+        |  CAST(list_max([abs(x - 128) FOR x IN bs]) AS BIGINT) AS peak_dev
+        | FROM b)
+        |SELECT doc_id, n AS n_samples,
+        | CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_level,
+        | sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+        | peak_dev
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Mirrors the CONSTRUCTION parameters, not the parse: Spark's side
     // builds real WAV bytes and walks the chunks back; equality proves the

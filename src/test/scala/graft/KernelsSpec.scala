@@ -168,6 +168,24 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.wavParse(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("wav 8-bit sample stats: exact integer aggregates; skips foreign chunks; rejects non-8-bit") {
+    val pcm = Array[Byte](100, (200 & 0xff).toByte, 128.toByte)
+    val base = Kernels.wavBuild(pcm, 8000, 1, 8)
+    val st = Kernels.wavStats8(base)
+    assert(st.toSeq == Seq(3L, 100L + 200L + 128L,
+      100L * 100 + 200L * 200 + 128L * 128, 72L)) // peak dev = |200-128|
+    // foreign chunk between fmt and data is walked over, stats unchanged
+    val listChunk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte]('I', 'N', 'F', 0)
+    assert(Kernels.wavStats8(base.take(36) ++ listChunk ++ base.drop(36)).toSeq
+      == st.toSeq)
+    // a 16-bit payload is meta-parseable but NOT byte-per-sample: stats
+    // must refuse rather than aggregate half-samples
+    val b16 = Kernels.wavBuild(Array[Byte](1, 2, 3, 4), 8000, 1, 16)
+    assert(Kernels.wavParse(b16) != null && Kernels.wavStats8(b16) == null)
+    assert(Kernels.wavStats8(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("fake image meta is stable arithmetic") {
     assert(Kernels.fakeWidth(100) == 164)
     assert(Kernels.fakeHeight(100) == 64 + 700 % 512)
