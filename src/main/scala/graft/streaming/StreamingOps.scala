@@ -78,6 +78,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Trending terms over a document stream: per tumbling 10-minute window,
+    * per-term occurrence counts — generator-EXPLODE feeding the watermarked
+    * stateful aggregation (the one streaming shape the dedup/sessionize
+    * family doesn't exercise: a flatMap blow-up BEFORE state). State is
+    * bounded by watermark × vocabulary (windows close and evict); the
+    * explode itself is stateless scan work. Top-k per closed window is a
+    * downstream batch rank over the appended sink — deliberately NOT a
+    * streaming rank (complete-mode ranking holds all windows' state
+    * forever; appended-closed-windows + batch rank is the production
+    * pattern). Spec proves convergence to the batch explode+window agg and
+    * the derived top-3. */
+  def trendingTerms(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .select(col("ts"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(window(col("ts"), "10 minutes"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("term"), col("n"))
+
   /** Stateful sessionization via mapGroupsWithState: per-user session count
     * with a 30-minute gap, equivalent to the batch session_window query
     * (q45_sessionize). Events inside one micro-batch are sorted per group;

@@ -193,6 +193,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trending terms (explode before stateful agg) converge to batch; top-3 matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // spread docs over ~3 ten-minute windows by id
+    def ts(id: Long) = new java.sql.Timestamp(500000000L + id * 150000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.trendingTerms(mem.toDS().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("trend_terms").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { b =>
+        mem.addData(b.map { case (id, t) => (id, t, ts(id)) }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // push the watermark far past the last window so every window closes
+      mem.addData((999999L, "flush", new java.sql.Timestamp(900000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trend_terms")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .filter(_._2 != "flush").toSet
+    val batch = docs.toSeq.toDF("doc_id", "text")
+      .select(lit(new java.sql.Timestamp(0)).as("z"), col("doc_id"), col("text"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"), col("doc_id"))
+      .withColumn("ts", expr("timestamp_millis(500000000 + doc_id * 150000)"))
+      .groupBy(window(col("ts"), "10 minutes"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("term"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch,
+      s"stream windows diverge from batch: ${got.diff(batch).take(3)} / ${batch.diff(got).take(3)}")
+    // derived trending report: top-3 per window, count desc then term
+    val top = got.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._2, t._3))).toMap
+    val topBatch = batch.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._2, t._3))).toMap
+    assert(top == topBatch && top.nonEmpty)
+  }
+
   test("streaming exact-content dedup (md5 key) converges to batch distinct-by-content") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
