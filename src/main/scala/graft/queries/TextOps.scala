@@ -120,6 +120,28 @@ object TextOps {
     // df's partitioning, and a rank window whose `rnk <= 3` filter Spark
     // rewrites to WindowGroupLimit — map-side top-k per doc, no full sort of
     // the tf table.
+    // Classifier evaluation: the langid (t48) confusion matrix against the
+    // corpus's labeled `lang` column plus per-label precision/recall — the
+    // eval every heuristic classifier in the pipeline owes before its
+    // output gates anything. One scan + two tiny aggs (matrix is
+    // |labels|², label-sized joins); exact counts, single IEEE divides.
+    "t64_langid_eval" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val m = docs(s, dir)
+        .select(col("lang"), expr("graft_lang_id(text)").as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val byLabel = m.groupBy(col("lang")).agg(sum(col("n")).as("n_label"))
+      val byPred = m.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+      m.join(byLabel, "lang").join(byPred, "pred")
+        .select(col("lang"), col("pred"), col("n"),
+          when(col("lang") === col("pred"),
+            col("n").cast(DoubleType) / col("n_pred").cast(DoubleType)).as("precision"),
+          when(col("lang") === col("pred"),
+            col("n").cast(DoubleType) / col("n_label").cast(DoubleType)).as("recall"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     // Winnowing fingerprint selection (the MOSS algorithm): per position a
     // k=4-token-gram hash, then the MIN hash of each w=5 window of
     // consecutive gram hashes, deduplicated — the guarantee (winnowing
@@ -625,6 +647,27 @@ object TextOps {
       s"\nSELECT rnk, l, r, cnt FROM ($union) ORDER BY rnk"
   }
 
+  /** t48's langid heuristic as DuckDB SQL producing (doc_id, lang_pred) —
+    * shared by the t48 oracle and the t64 confusion-matrix oracle. */
+  private val oracleLangIdCore: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS t
+      | FROM documents),
+      |sc AS (SELECT doc_id,
+      | count(*) FILTER (WHERE t IN ('the','and','of','to','is','in','that','it','was','for')) AS s_en,
+      | count(*) FILTER (WHERE t IN ('der','und','die','das','ist','nicht','ein','mit','auf','zu')) AS s_de,
+      | count(*) FILTER (WHERE t IN ('le','la','et','les','des','est','un','une','dans','que')) AS s_fr,
+      | count(*) FILTER (WHERE t IN ('el','la','de','que','y','en','los','del','las','una')) AS s_es
+      | FROM toks GROUP BY doc_id)
+      |SELECT d.doc_id, CASE
+      | WHEN coalesce(s_en,0) > 0 AND s_en >= coalesce(s_de,0) AND s_en >= coalesce(s_fr,0) AND s_en >= coalesce(s_es,0) THEN 'en'
+      | WHEN coalesce(s_de,0) > 0 AND s_de > coalesce(s_en,0) AND s_de >= coalesce(s_fr,0) AND s_de >= coalesce(s_es,0) THEN 'de'
+      | WHEN coalesce(s_fr,0) > 0 AND s_fr > coalesce(s_en,0) AND s_fr > coalesce(s_de,0) AND s_fr >= coalesce(s_es,0) THEN 'fr'
+      | WHEN coalesce(s_es,0) > 0 AND s_es > coalesce(s_en,0) AND s_es > coalesce(s_de,0) AND s_es > coalesce(s_fr,0) THEN 'es'
+      | ELSE 'und' END AS lang_pred
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t58_bpe_merges" -> oracleBpe(5),
     // The vocab CTE mirrors t55's rank rule; list(... ORDER BY pos)
@@ -840,24 +883,26 @@ object TextOps {
     // (a later profile needs a STRICTLY greater score to win), 'und' when
     // no profile word appears. CJK counting is identically zero on ASCII.
     "t48_lang_id" ->
-      """WITH toks AS (
-        | SELECT doc_id, unnest(list_filter(
-        |   string_split_regex(lower(text), '[^a-z]+'), t -> t != '')) AS t
-        | FROM documents),
-        |sc AS (SELECT doc_id,
-        | count(*) FILTER (WHERE t IN ('the','and','of','to','is','in','that','it','was','for')) AS s_en,
-        | count(*) FILTER (WHERE t IN ('der','und','die','das','ist','nicht','ein','mit','auf','zu')) AS s_de,
-        | count(*) FILTER (WHERE t IN ('le','la','et','les','des','est','un','une','dans','que')) AS s_fr,
-        | count(*) FILTER (WHERE t IN ('el','la','de','que','y','en','los','del','las','una')) AS s_es
-        | FROM toks GROUP BY doc_id)
-        |SELECT d.doc_id, CASE
-        | WHEN coalesce(s_en,0) > 0 AND s_en >= coalesce(s_de,0) AND s_en >= coalesce(s_fr,0) AND s_en >= coalesce(s_es,0) THEN 'en'
-        | WHEN coalesce(s_de,0) > 0 AND s_de > coalesce(s_en,0) AND s_de >= coalesce(s_fr,0) AND s_de >= coalesce(s_es,0) THEN 'de'
-        | WHEN coalesce(s_fr,0) > 0 AND s_fr > coalesce(s_en,0) AND s_fr > coalesce(s_de,0) AND s_fr >= coalesce(s_es,0) THEN 'fr'
-        | WHEN coalesce(s_es,0) > 0 AND s_es > coalesce(s_en,0) AND s_es > coalesce(s_de,0) AND s_es > coalesce(s_fr,0) THEN 'es'
-        | ELSE 'und' END AS lang_pred
-        |FROM documents d LEFT JOIN sc USING (doc_id)
+      s"""$oracleLangIdCore
         |ORDER BY doc_id""".stripMargin,
+
+    // the t64 confusion matrix reuses t48's langid mirror verbatim (one
+    // definition — the eval and the classifier cannot drift)
+    "t64_langid_eval" ->
+      s"""WITH pred AS ($oracleLangIdCore),
+        |m AS (
+        | SELECT d.lang, p.lang_pred AS pred, count(*) AS n
+        | FROM documents d JOIN pred p USING (doc_id)
+        | GROUP BY 1, 2),
+        |bl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_label FROM m GROUP BY 1),
+        |bp AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM m GROUP BY 1)
+        |SELECT m.lang, m.pred, m.n,
+        | CASE WHEN m.lang = m.pred
+        |   THEN CAST(m.n AS DOUBLE) / CAST(bp.n_pred AS DOUBLE) END AS precision,
+        | CASE WHEN m.lang = m.pred
+        |   THEN CAST(m.n AS DOUBLE) / CAST(bl.n_label AS DOUBLE) END AS recall
+        |FROM m JOIN bl USING (lang) JOIN bp USING (pred)
+        |ORDER BY lang, pred""".stripMargin,
 
     "t47_token_count" ->
       s"""SELECT doc_id,
