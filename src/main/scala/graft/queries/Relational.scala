@@ -256,6 +256,22 @@ object Relational {
     }),
 
     // §2.5 offset frames: lead/lag.
+    // Windowed DISTINCT aggregation — running distinct-event-type count per
+    // user. Spark's window functions reject DISTINCT outright; the
+    // idiomatic workaround is size(collect_set() OVER ...) (an object-hash
+    // window agg whose state is the distinct set itself — bounded by the
+    // type-vocabulary size, not the frame length). DuckDB runs the native
+    // count(DISTINCT) window, so the oracle proves the workaround's
+    // semantics exactly.
+    "q72_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).as("n_types"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // UNPIVOT via the stack() generator — wide→long reshaping (the inverse
     // of q41's pivot): three lineitem measures melt into (metric, val)
     // rows, then one agg per metric. stack is a codegen'd generator (no
@@ -988,6 +1004,13 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q72_window_distinct" ->
+      """SELECT user_id, event_id,
+        | CAST(count(DISTINCT event_type) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS n_types
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q71_unpivot" ->
       """WITH long AS (
