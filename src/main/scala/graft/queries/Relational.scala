@@ -255,6 +255,85 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated scalar
+    // AVG subquery, decorrelated by hand into ONE per-partkey aggregate that
+    // is joined back (Catalyst would produce the same shape for the SQL; the
+    // DataFrame form makes it explicit). The brand filter lands on `part`
+    // (tiny → broadcast both into the fact scan), so the per-key agg runs
+    // over the brand's lineitems only — partkey determines brand, so this
+    // matches the classic all-lineitem inner query. avg = exact-int sum /
+    // count: one IEEE divide, bit-equal in both engines.
+    "q73_small_qty_revenue" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey")))
+      val l = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val thr = l.groupBy(col("l_partkey").as("tk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+      l.join(thr, col("l_partkey") === col("tk"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q20 shape: suppliers holding excess stock — nested IN
+    // subqueries (part-filter IN inside a grouped-HAVING IN), planned as a
+    // broadcast semi-join into a partial-agg'd HAVING filter feeding a
+    // second semi-join against supplier. No correlated execution anywhere:
+    // both INs become one-pass hash semi-joins.
+    "q74_excess_stock" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey")))
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType))
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 60)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22 shape: positive-balance customers above the global average
+    // with no large order — an uncorrelated scalar AVG subquery (computed
+    // once, broadcast as a 1-row literal join) + NOT EXISTS anti-join +
+    // final agg. The average is DECIMAL-sum / count (one IEEE divide) so
+    // the threshold is bit-identical cross-engine.
+    "q75_acct_outliers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("ab"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    // view compared for EQUALITY against its own MAX (scalar subquery).
+    // Revenue stays DECIMAL end-to-end so the max-equality cannot be
+    // perturbed by double rounding; the 1-row max side is broadcast.
+    "q76_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev_d"))
+      val mx = rev.agg(max(col("rev_d")).as("mx"))
+      rev.join(broadcast(mx), col("rev_d") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_d").cast(DoubleType).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -1004,6 +1083,52 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q73_small_qty_revenue" ->
+      """WITH l AS (
+        | SELECT l_partkey, l_quantity, l_extendedprice
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#1'),
+        |thr AS (SELECT l_partkey AS tk, 0.2 * avg(l_quantity) AS thr
+        |        FROM l GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM l JOIN thr ON l_partkey = tk
+        |WHERE l_quantity < thr""".stripMargin,
+
+    "q74_excess_stock" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 60)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q75_acct_outliers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q76_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_d
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

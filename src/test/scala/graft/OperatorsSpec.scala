@@ -95,6 +95,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q11:\n$plan")
   }
 
+  test("q73/q74/q76 subquery shapes decorrelate into broadcast joins (plan gate)") {
+    // the three classic TPC-H subquery workouts must never execute as
+    // correlated per-row subplans: Q17's per-partkey AVG is one joined-back
+    // aggregate, Q20's nested INs are hash semi-joins with the part filter
+    // broadcast, Q15's MAX-equality is a broadcast of a 1-row aggregate
+    for (q <- Seq("q73", "q74", "q76")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+        s"no broadcast join in $q:\n$plan")
+    }
+    val p74 = SparkEntry.queries("q74")(spark, dir).queryExecution.executedPlan.toString
+    assert(p74.contains("LeftSemi"), s"q74 IN-subqueries should plan as semi joins:\n$p74")
+  }
+
   test("q02 filter reaches the parquet scan as a pushed filter (plan regression gate)") {
     val df = SparkEntry.queries("q02")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
