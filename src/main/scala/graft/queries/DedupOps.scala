@@ -674,6 +674,32 @@ object DedupOps {
     // production-width 13-gram variant is brute-force-spec'd.
     "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
+    // Contamination SCORING — d60 answers "which train docs touch an eval
+    // doc"; production gates instead threshold on HOW contaminated each doc
+    // is (the n-gram-overlap fraction rule, e.g. GPT-3 appendix C / PaLM's
+    // 70%-of-8-grams): fraction of a train doc's distinct shingles that
+    // appear anywhere in the eval set. One distinct-project of the eval
+    // shingles + one semi-join keyed on the shingle + one per-doc count agg,
+    // left-joined back so uncontaminated docs report 0.0 — every step
+    // key-partitioned, cost ∝ shingle volume, never corpus². The fraction is
+    // one IEEE divide of exact ints, so the whole scoring oracle-checks.
+    "d76_contam_score" -> ((s, dir) => {
+      val docs = hashedDocs(s, dir, 3)
+      val tr = docs.filter(col("doc_id") % 97 =!= 0)
+      val ev = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("sh")).distinct()
+      val hits = tr.select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(ev, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      tr.select(col("doc_id"), size(col("hs")).as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_sh"))
+            .as("contam_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-prefiltered decontamination: same result set as d60 (the filter
     // only prunes; the eval join verifies), scan-local probe instead of a
     // corpus-wide shuffle join — see decontaminateBloom for the cost model.
@@ -1499,6 +1525,24 @@ object DedupOps {
         |FROM common JOIN sizes sa ON sa.doc_id = ida
         |WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
         |ORDER BY ida, idb""".stripMargin,
+
+    // shingle identity is the xxhash64 space on the Spark side and the raw
+    // string here — identical sets absent 64-bit collisions (the same
+    // contract every shingle oracle in this file rests on)
+    "d76_contam_score" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sh FROM tr GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM tr
+        |         WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1)
+        |SELECT s.doc_id, s.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+        | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh AS contam_frac
+        |FROM sizes s LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d60_decontaminate" ->
       """WITH sh AS (

@@ -142,6 +142,35 @@ object TextOps {
         .orderBy(col("lang"), col("pred"))
     }),
 
+    // Gopher-style document quality rules — the published rule battery
+    // (Rae et al. 2021 §A1.1) re-expressed on this corpus: token count in
+    // bounds, mean word length in bounds, and a minimum stopword count
+    // (this synthetic vocabulary has few true function words, so the
+    // "stopword" set mixes the real ones present with the corpus's
+    // highest-frequency fillers — the rule mechanics are what's exercised).
+    // Each rule is a named boolean column plus the conjunction, so a
+    // pipeline can report WHICH rule rejected a doc, not just that one
+    // did. Pure scalar pipeline — codegen, scan-bound, no shuffle; the
+    // mean-word-length divide is one IEEE op of exact ints, bit-equal in
+    // DuckDB.
+    "t65_gopher_rules" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks)
+      val nChar = length(regexp_replace(col("text"), "\\s+", ""))
+      val mwl = nChar.cast(DoubleType) / nTok
+      val nStop = size(filter(toks, t =>
+        t.isin("the", "a", "is", "on", "fast", "slow")))
+      docs(s, dir)
+        .select(col("doc_id"), nTok.as("n_tok"), mwl.as("mean_wlen"),
+          nStop.as("n_stop"),
+          (nTok >= 20 && nTok <= 80).as("r_wordcount"),
+          (mwl >= 4.0 && mwl <= 5.0).as("r_wordlen"),
+          (nStop >= 3).as("r_stopwords"))
+        .withColumn("keep",
+          col("r_wordcount") && col("r_wordlen") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint selection (the MOSS algorithm): per position a
     // k=4-token-gram hash, then the MIN hash of each w=5 window of
     // consecutive gram hashes, deduplicated — the guarantee (winnowing
@@ -740,6 +769,27 @@ object TextOps {
         | CAST(len(cc) AS INTEGER) AS n_clean,
         | array_to_string(cc[1:5], ' ') AS head
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // len()/list_filter lengths are INTEGER-narrowed to Spark's size();
+    // the mean-word-length divide is the same IEEE op both sides.
+    "t65_gopher_rules" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS nc
+        | FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tok,
+        |  CAST(nc AS DOUBLE) / len(toks) AS mean_wlen,
+        |  CAST(len(list_filter(toks, x ->
+        |    x IN ('the','a','is','on','fast','slow'))) AS INTEGER) AS n_stop
+        | FROM s)
+        |SELECT doc_id, n_tok, mean_wlen, n_stop,
+        | (n_tok >= 20 AND n_tok <= 80) AS r_wordcount,
+        | (mean_wlen >= 4.0 AND mean_wlen <= 5.0) AS r_wordlen,
+        | (n_stop >= 3) AS r_stopwords,
+        | ((n_tok >= 20 AND n_tok <= 80) AND (mean_wlen >= 4.0 AND mean_wlen <= 5.0)
+        |   AND n_stop >= 3) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // count(*) is already BIGINT in DuckDB (= Spark's LongType counts);
     // row_number() needs the INTEGER narrowing to match Spark's.
