@@ -507,16 +507,33 @@ object DedupOps {
     // depth-unbounded (a >6-hop duplicate chain still collapses to ONE
     // representative — proven in PipelineOpsSpec on a 20-node chain).
     "d56_dedup_components" -> ((s, dir) => {
-      // memoized like the other corpus-static intermediates: the label
-      // fixed point is iterative (several eager jobs), so repeated
-      // invocations (bench warm passes) reuse the converged result
-      val labels = persistKeyed(s, s"cc:$dir", {
-        val edges = jaccardPairs(s, dir, 0.8)
-          .select(col("ida").as("src"), col("idb").as("dst"))
-        val nodes = Tables.load(s, dir, "documents").select(col("doc_id").as("id"))
-        graft.operators.ConnectedComponents.labels(nodes, edges)
-      })
-      labels.select(col("id").as("doc_id"), col("comp").as("rep"))
+      ccLabels(s, dir).select(col("id").as("doc_id"), col("comp").as("rep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster-canonical mapping — the dedup LINEAGE artifact a production
+    // pipeline ships next to its keep-list: every doc mapped to the
+    // canonical member of its near-dup cluster, canonical = highest quality
+    // (token count; ties to the lower doc_id). d56 labels the clusters,
+    // d73 picks pairwise winners; this is the transitive version — ONE
+    // representative per whole cluster, chosen globally, so downstream
+    // training configs and attribution reports reference a stable id.
+    // Cost on top of the shared component labels: one id-keyed join to the
+    // per-doc quality table + one per-component argmax aggregate (struct
+    // max — partial/final, no window) + one map-back join, all
+    // component-key-partitioned.
+    "d77_canonical_map" -> ((s, dir) => {
+      val labels = ccLabels(s, dir) // (id, comp), memoized with d56
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      val best = labels.join(q, col("id") === col("doc_id"))
+        .groupBy(col("comp"))
+        .agg(max(struct(col("n_tok"), (-col("doc_id")).as("negid"))).as("b"))
+        .select(col("comp"), (-col("b.negid")).as("canonical"),
+          col("b.n_tok").as("canon_ntok"))
+      labels.join(best, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("rep"),
+          col("canonical"), col("canon_ntok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -868,6 +885,17 @@ object DedupOps {
     * overlap doesn't flag) and kills hot-shingle join skew — the
     * near-uniform key distribution is itself the 100 TB win. width=3
     * shares d52/d53's persisted shingle table. */
+  /** Connected-component labels over the J >= 0.8 near-dup graph (id, comp)
+    * — memoized: the label fixed point is iterative (several eager jobs),
+    * so d56/d77 and repeated bench passes share the converged result. */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    persistKeyed(s, s"cc:$dir", {
+      val edges = jaccardPairs(s, dir, 0.8)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val nodes = Tables.load(s, dir, "documents").select(col("doc_id").as("id"))
+      graft.operators.ConnectedComponents.labels(nodes, edges)
+    })
+
   private[graft] def decontaminate(s: SparkSession, dir: String, width: Int): DataFrame = {
     val sh = hashedDocs(s, dir, width).select(col("doc_id"), explode(col("hs")).as("sh"))
     val ev = sh.filter(col("doc_id") % 97 === 0)
@@ -1500,6 +1528,32 @@ object DedupOps {
          |ORDER BY d.doc_id""".stripMargin,
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8),
+
+    // d56's component CTE + per-component quality argmax (window form);
+    // ties on n_tok break to the lower doc_id, same as the struct-max rule
+    "d77_canonical_map" ->
+      s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
+         |edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION ALL SELECT idb, ida FROM pairs),
+         |reach(src, dst, depth) AS (
+         |  SELECT a, b, 1 FROM edges
+         |  UNION ALL
+         |  SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
+         |  WHERE r.depth < 6),
+         |repr AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN repr r ON d.doc_id = r.src),
+         |q AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok
+         | FROM documents),
+         |best AS (
+         | SELECT rep, doc_id AS canonical, n_tok AS canon_ntok,
+         |  row_number() OVER (PARTITION BY rep ORDER BY n_tok DESC, doc_id) AS rn
+         | FROM lab JOIN q USING (doc_id))
+         |SELECT l.doc_id, l.rep, b.canonical, b.canon_ntok
+         |FROM lab l JOIN best b ON b.rep = l.rep AND b.rn = 1
+         |ORDER BY l.doc_id""".stripMargin,
 
     "d63_corpus_report" ->
       s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,

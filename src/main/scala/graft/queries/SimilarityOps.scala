@@ -1014,6 +1014,44 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     }),
 
+    // K-MEANS CLUSTERING REPORT — the unsupervised corpus-structure audit:
+    // cluster the corpus with the SAME deterministic spherical-k-means
+    // trainer the IVF index uses (k = the label cardinality, fixed seeds/
+    // iters, decimal-exact means), assign every vector by argmax cosine,
+    // and report per-cluster size + majority ground-truth label + purity —
+    // the standard external-validation readout. Scale shape: training is
+    // the s60 loop (k driver-sized centroid rows per round), assignment is
+    // one broadcast-centroids scan + bounded argmax aggregate, the report
+    // is two label-sized aggregates. Float training => engine-specific
+    // cells: rows-only driver check. On THIS synthetic corpus the labels
+    // carry no embedding structure (measured purity 0.165 ≈ the 1/k
+    // random floor — itself the audit's finding); the spec therefore
+    // gates the clustering MECHANICS, not purity: every vector sits in
+    // its argmax-cosine cell, and the clustered objective beats the
+    // single-centroid baseline (PipelineOpsSpec).
+    "s72_cluster_report" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val cents = trainCentroids(s, dir, c = 10, iters = 5)
+      val assigned = emb(s, dir).filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("cell"),
+          expr("graft_cosine(embedding, cv)").as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("label")).as("label"),
+          expr("cast(graft_topk_pairs(sim, cast(cell as bigint), 1)[0].id as int)")
+            .as("cell"))
+      val byCellLabel = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      byCellLabel.groupBy(col("cell"))
+        .agg(sum(col("n")).as("n_vecs"),
+          // majority label via struct-max (ties to the smaller label id)
+          max(struct(col("n"), (-col("label")).as("neglbl"))).as("b"))
+        .select(col("cell"), col("n_vecs"),
+          (-col("b.neglbl")).as("top_label"), col("b.n").as("n_top"),
+          (col("b.n").cast(DoubleType) / col("n_vecs")).as("purity"))
+        .orderBy(col("cell"))
+    }),
+
     // Per-label embedding centroids: posexplode to (label, dim, value) and
     // aggregate — the shape that scales (no vector UDAF state, plain
     // shuffle-on-(label,dim) partial aggregation). Elements are FLOOR-scaled

@@ -294,6 +294,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q < 10 && n >= 10 })
   }
 
+  test("s72 cluster report: full partition of the corpus, objective beats one-centroid baseline") {
+    import graft.queries.SimilarityOps
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Tables.load(spark, dir, "embeddings").filter(col("vec_id") >= 10)
+    val n = corpus.count()
+    val report = SparkEntry.queries("s72")(spark, dir).collect()
+    // a partition: every corpus vector in exactly one cluster, purity sane
+    assert(report.map(_.getLong(1)).sum == n, "cluster sizes must sum to corpus size")
+    assert(report.length <= 10)
+    assert(report.forall { r => val p = r.getDouble(4); p > 0.0 && p <= 1.0 })
+    // clustering mechanics: mean best-cell cosine must beat the mean cosine
+    // to the single global centroid (k-means captures structure a 1-cluster
+    // trivial solution cannot) — the external labels are unstructured on
+    // this corpus, so THIS is the value gate
+    val cents = SimilarityOps.trainCentroids(spark, dir, c = 10, iters = 5)
+    val meanBest = corpus.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .select(col("vec_id"), expr("graft_cosine(embedding, cv)").as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("best"))
+      .agg(avg(col("best"))).head().getDouble(0)
+    val global = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(avg(col("v")).as("m"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(expr("transform(dm, x -> cast(x.m as float))").as("gv"))
+    val meanGlobal = corpus.crossJoin(global)
+      .select(expr("graft_cosine(embedding, gv)").as("sim"))
+      .agg(avg(col("sim"))).head().getDouble(0)
+    assert(meanBest > meanGlobal,
+      s"k-means objective $meanBest not better than single-centroid $meanGlobal")
+  }
+
   test("s60_ann_ivf achieves recall@5 >= 0.8 vs exact s56 top-5") {
     val exact = SparkEntry.queries("s56")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
