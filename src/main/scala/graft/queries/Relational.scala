@@ -255,6 +255,22 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT — the "top 2 orders
+    // per customer" join shape (the relational form of a per-key top-k
+    // lookup). Catalyst decorrelates the per-row subquery into ONE
+    // WindowGroupLimit pass over orders (map-side group-limit before the
+    // rank window, no per-customer execution, no full sort) joined back to
+    // the filtered customer side — plan-asserted in OperatorsSpec. DuckDB
+    // runs its native LATERAL for the oracle.
+    "q77_lateral_topk" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // TPC-H Q17 shape: small-quantity-order revenue — the correlated scalar
     // AVG subquery, decorrelated by hand into ONE per-partkey aggregate that
     // is joined back (Catalyst would produce the same shape for the SQL; the
@@ -1083,6 +1099,15 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q77_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q73_small_qty_revenue" ->
       """WITH l AS (

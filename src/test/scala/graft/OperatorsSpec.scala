@@ -111,6 +111,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p74.contains("LeftSemi"), s"q74 IN-subqueries should plan as semi joins:\n$p74")
   }
 
+  test("q77 LATERAL LIMIT decorrelates to a WindowGroupLimit join, not per-row subqueries") {
+    val p = SparkEntry.queries("q77")(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in q77:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"q77 fell back to a cartesian product:\n$p")
+  }
+
   test("q02 filter reaches the parquet scan as a pushed filter (plan regression gate)") {
     val df = SparkEntry.queries("q02")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
