@@ -691,6 +691,25 @@ object DedupOps {
     // production-width 13-gram variant is brute-force-spec'd.
     "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
+    // Cross-source duplication matrix — the provenance report over the
+    // near-dup graph: how many J >= 0.8 pairs join each unordered pair of
+    // sources (diagonal = within-source dups). This is the number a corpus
+    // owner reads to find mirror sites / cross-crawl duplication before
+    // deciding source weights. Cost on top of the shared d52 pair table:
+    // two id-keyed joins to the (doc_id, source) projection + one
+    // |sources|²-sized aggregate.
+    "d78_source_overlap" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir, 0.8)
+        .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
+        .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Contamination SCORING — d60 answers "which train docs touch an eval
     // doc"; production gates instead threshold on HOW contaminated each doc
     // is (the n-gram-overlap fraction rule, e.g. GPT-3 appendix C / PaLM's
@@ -1579,6 +1598,17 @@ object DedupOps {
         |FROM common JOIN sizes sa ON sa.doc_id = ida
         |WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
         |ORDER BY ida, idb""".stripMargin,
+
+    "d78_source_overlap" ->
+      s"""WITH pairs AS (${oracleJaccardCore(0.8)}),
+         |m AS (
+         | SELECT least(da.source, db.source) AS src_a,
+         |        greatest(da.source, db.source) AS src_b
+         | FROM pairs
+         |  JOIN documents da ON da.doc_id = ida
+         |  JOIN documents db ON db.doc_id = idb)
+         |SELECT src_a, src_b, count(*) AS n_pairs FROM m
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // shingle identity is the xxhash64 space on the Spark side and the raw
     // string here — identical sets absent 64-bit collisions (the same

@@ -142,6 +142,34 @@ object TextOps {
         .orderBy(col("lang"), col("pred"))
     }),
 
+    // Bigram language-model table — the count-based n-gram LM every
+    // data-quality stack keeps around (KenLM-shape scoring, next-token
+    // suggestion, perplexity filtering): per (w1, w2) corpus counts, the
+    // conditional P(w2|w1) as one exact-int IEEE divide, and only the top-3
+    // continuations per w1 kept (cnt DESC, w2 ASC). Scale shape: one
+    // generator explode → one (w1,w2) partial/final count agg → one
+    // w1-keyed agg for the denominator reusing the same partitioning →
+    // rank filter that Spark rewrites to WindowGroupLimit (map-side top-k
+    // per w1, no full sort of the bigram table).
+    "t66_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bi = docs(s, dir)
+        .select(explode(QueryUtil.wordNgrams(split(trim(col("text")), "\\s+"), 2))
+          .as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val tot = bi.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+      val w = Window.partitionBy(col("w1")).orderBy(col("cnt").desc, col("w2"))
+      bi.join(tot, "w1")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("w1"), col("w2"), col("cnt"),
+          (col("cnt").cast(DoubleType) / col("tot")).as("p"),
+          col("rnk").cast(IntegerType).as("rnk"))
+        .orderBy(col("w1"), col("rnk"))
+    }),
+
     // Gopher-style document quality rules — the published rule battery
     // (Rae et al. 2021 §A1.1) re-expressed on this corpus: token count in
     // bounds, mean word length in bounds, and a minimum stopword count
@@ -769,6 +797,23 @@ object TextOps {
         | CAST(len(cc) AS INTEGER) AS n_clean,
         | array_to_string(cc[1:5], ' ') AS head
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // 2-gram construction mirrors d52's shingle CTE; conditional p is one
+    // IEEE divide of exact ints (DuckDB's HUGEINT sum widens transparently)
+    "t66_bigram_lm" ->
+      """WITH sh AS (
+        | SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bg
+        | FROM (SELECT string_split_regex(trim(text), '\s+') AS s FROM documents)),
+        |b AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |      FROM sh),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, sum(cnt) AS tot FROM c GROUP BY 1),
+        |r AS (SELECT w1, w2, cnt, CAST(cnt AS DOUBLE) / tot AS p,
+        |  CAST(row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS INTEGER)
+        |    AS rnk
+        | FROM c JOIN t USING (w1))
+        |SELECT w1, w2, cnt, p, rnk FROM r WHERE rnk <= 3
+        |ORDER BY w1, rnk""".stripMargin,
 
     // len()/list_filter lengths are INTEGER-narrowed to Spark's size();
     // the mean-word-length divide is the same IEEE op both sides.
