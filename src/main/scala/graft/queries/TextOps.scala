@@ -214,14 +214,17 @@ object TextOps {
     // arithmetic; then one key agg + one co-partitioned join, linear like
     // d71 with ~1/3 the key volume.
     "t63_winnow" -> ((s, dir) => {
-      val sel = docs(s, dir)
+      // persisted: BOTH the per-key count agg and the join read the selected
+      // fingerprints, and the md5-per-gram selection is the query's dominant
+      // cost (0.8 s of 2.3 s at sf0.1) — without the memo it computes twice
+      val sel = QueryUtil.persistKeyed(s, s"winnow:$dir", docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
         .filter(size(col("t")) >= 8)
         .withColumn("hk", expr("transform(sequence(1, size(t) - 3), i -> " +
           "md5(cast(concat_ws(' ', slice(t, i, 4)) as binary)))"))
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(1, size(hk) - 4), j -> array_min(slice(hk, j, 5)))")))
-          .as("fp"))
+          .as("fp")))
       val cnt = sel.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("nd"))
       sel.join(cnt, "fp")
         .groupBy(col("doc_id"))
