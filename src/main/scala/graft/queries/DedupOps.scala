@@ -691,6 +691,47 @@ object DedupOps {
     // production-width 13-gram variant is brute-force-spec'd.
     "d60_decontaminate" -> ((s, dir) => decontaminate(s, dir, width = 3)),
 
+    // First-occurrence novelty scoring — the incremental-crawl value
+    // metric: what fraction of a doc's distinct shingles appear in NO
+    // smaller-id doc (id = arrival order here)? A recrawl of known content
+    // scores ~0, genuinely new material ~1 — the number an acquisition
+    // pipeline thresholds before paying to keep a page. One min-agg on the
+    // shingle key (earliest occurrence) + a join that reuses the same
+    // partitioning + one per-doc agg; fraction is an exact-int divide.
+    "d79_novelty" -> ((s, dir) => {
+      val sh = hashedDocs(s, dir, 3)
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+      sh.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          count(when(col("first_id") === col("doc_id"), 1)).as("n_new"))
+        .select(col("doc_id"), col("n_sh"), col("n_new"),
+          (col("n_new").cast(DoubleType) / col("n_sh")).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document stitch detection — crawls shear one logical page into
+    // consecutive fragments; a fragment pair (a, b) is a stitch candidate
+    // when a's trailing token bigram equals b's leading bigram. One
+    // boundary-key equi-join (each doc contributes ONE head key and ONE
+    // tail key — rows ∝ corpus, join fan-out only on genuinely shared
+    // boundaries; a hot boundary phrase is the d52 hot-shingle story and
+    // would take the same salt). Exact and oracle-checked.
+    "d80_stitch" -> ((s, dir) => {
+      val t2 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("s"))
+        .filter(size(col("s")) >= 4)
+      val b = t2.select(col("doc_id"),
+        concat_ws(" ", slice(col("s"), 1, 2)).as("head"),
+        concat_ws(" ", expr("slice(s, size(s) - 1, 2)")).as("tail"))
+      b.select(col("doc_id").as("ida"), col("tail"))
+        .join(b.select(col("doc_id").as("idb"), col("head")),
+          col("tail") === col("head") && col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"), col("tail").as("boundary"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // Cross-source duplication matrix — the provenance report over the
     // near-dup graph: how many J >= 0.8 pairs join each unordered pair of
     // sources (diagonal = within-source dups). This is the number a corpus
@@ -1597,6 +1638,30 @@ object DedupOps {
         |SELECT ida, idb, CAST(c AS DOUBLE) / sa.n AS containment
         |FROM common JOIN sizes sa ON sa.doc_id = ida
         |WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY ida, idb""".stripMargin,
+
+    "d79_novelty" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)
+        |), f AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_sh,
+        | CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |   AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d80_stitch" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents),
+        |b AS (
+        | SELECT doc_id, array_to_string(s[1:2], ' ') AS head,
+        |        array_to_string(s[len(s)-1:len(s)], ' ') AS tail
+        | FROM t WHERE len(s) >= 4)
+        |SELECT a.doc_id AS ida, bb.doc_id AS idb, a.tail AS boundary
+        |FROM b a JOIN b bb ON a.tail = bb.head AND a.doc_id <> bb.doc_id
         |ORDER BY ida, idb""".stripMargin,
 
     "d78_source_overlap" ->
