@@ -1014,6 +1014,64 @@ object SimilarityOps {
         .orderBy(col("vec_id"))
     }),
 
+    // MMR DIVERSITY RE-RANKING — the serving-side step after any ANN
+    // shortlist: pick k=5 of the top-R=20 candidates maximizing
+    // λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) (λ=0.5), so near-duplicate
+    // hits don't crowd the result page. Shape: the shortlist comes from the
+    // bounded top-R aggregate (any ANN path could feed it), candidate
+    // vectors join back by id, and the greedy selection runs per query
+    // inside ONE typed mapGroups task — O(R²·dim) scan-local arithmetic on
+    // ≤R rows per group, never corpus-sized state. Deterministic (ties →
+    // lower id; fixed double accumulation); engine-specific floats =>
+    // rows-only driver check, diversity + containment spec-gated.
+    "s73_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val c = emb(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val short = q.crossJoin(c)
+        .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+        .groupBy(col("qid"))
+        .agg(expr("graft_topk_pairs(sim, nid, 20)").as("top"))
+        .select(col("qid"), explode(col("top")).as("p"))
+        .select(col("qid"), col("p.id").as("nid"), col("p.score").as("simq"))
+      val cand = short.join(
+          emb(s, dir).select(col("vec_id").as("nid"), col("embedding").as("cv")),
+          "nid")
+        .select(col("qid"), col("nid"), col("simq"), col("cv"))
+        .as[(Long, Long, Double, Array[Float])]
+      cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+        val rows = it.toArray.sortBy(r => (-r._3, r._2))
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val lambda = 0.5
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (picked.length < math.min(5, rows.length)) {
+          var bi = -1; var bs = Double.NegativeInfinity
+          for (i <- rows.indices if !picked.contains(i)) {
+            val maxSel = if (picked.isEmpty) 0.0
+              else picked.map(j => cos(rows(i)._4, rows(j)._4)).max
+            val score = lambda * rows(i)._3 - (1 - lambda) * maxSel
+            if (score > bs || (score == bs && bi >= 0 && rows(i)._2 < rows(bi)._2)) {
+              bi = i; bs = score
+            }
+          }
+          picked += bi
+        }
+        picked.iterator.zipWithIndex.map { case (i, r) => (qid, rows(i)._2, r + 1) }
+      }.toDF("qid", "nid", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // K-MEANS CLUSTERING REPORT — the unsupervised corpus-structure audit:
     // cluster the corpus with the SAME deterministic spherical-k-means
     // trainer the IVF index uses (k = the label cardinality, fixed seeds/

@@ -325,6 +325,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"k-means objective $meanBest not better than single-centroid $meanGlobal")
   }
 
+  test("s73 MMR: picks from the shortlist, keeps the top hit, and is more diverse than plain top-5") {
+    graft.functions.GraftFunctions.register(spark)
+    val exactTop5 = SparkEntry.queries("s56")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val mmr = SparkEntry.queries("s73")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(mmr.groupBy(_._1).forall(_._2.length == 5))
+    // rank-1 must be the exact argmax (MMR's first pick ignores diversity)
+    val top1 = exactTop5.filter(_._3 == 1).map(t => (t._1, t._2)).toSet
+    assert(mmr.filter(_._3 == 1).map(t => (t._1, t._2)).toSet == top1)
+    // mean pairwise cosine among MMR picks must not exceed plain top-5's
+    val vecs = Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanPairSim(picks: Array[(Long, Long, Int)]): Double = {
+      val byQ = picks.groupBy(_._1).values.toSeq
+      val sims = byQ.flatMap { g =>
+        val ids = g.map(_._2)
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield cos(vecs(ids(i)), vecs(ids(j)))
+      }
+      sims.sum / sims.size
+    }
+    val dMmr = meanPairSim(mmr); val dTop = meanPairSim(exactTop5)
+    assert(dMmr <= dTop + 1e-12,
+      s"MMR picks ($dMmr) should be no less diverse than plain top-5 ($dTop)")
+    // determinism
+    val again = SparkEntry.queries("s73")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(mmr.sameElements(again))
+  }
+
   test("s60_ann_ivf achieves recall@5 >= 0.8 vs exact s56 top-5") {
     val exact = SparkEntry.queries("s56")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
