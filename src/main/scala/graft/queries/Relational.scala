@@ -263,6 +263,25 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // NATIVE recursive CTE (Spark 4's WITH RECURSIVE) generating a date
+    // spine — the warehouse gap-fill pattern: a month series spanning the
+    // order history, LEFT-joined so months with ZERO orders still appear
+    // (a plain GROUP BY can't produce rows for data that isn't there).
+    // The recursion is the generator (one row per month — driver-trivial
+    // depth, never data-sized); the join + agg are ordinary shuffles.
+    // d56 exercises the ITERATIVE-ALGORITHM side of recursion via
+    // ConnectedComponents; this is the SQL-surface operator itself.
+    "q78_date_spine" -> ((s, dir) => sql(s, dir,
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders))
+        |SELECT date_format(s.m, 'yyyy-MM') AS month, count(o.o_orderkey) AS n_orders
+        |FROM spine s LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = s.m
+        |GROUP BY s.m ORDER BY s.m""".stripMargin)),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT — the "top 2 orders
     // per customer" join shape (the relational form of a per-key top-k
     // lookup). Catalyst decorrelates the per-row subquery into ONE
@@ -1119,6 +1138,17 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q78_date_spine" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders))
+        |SELECT strftime(s.m, '%Y-%m') AS month, count(o.o_orderkey) AS n_orders
+        |FROM spine s LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = s.m
+        |GROUP BY s.m ORDER BY s.m""".stripMargin,
 
     "q77_lateral_topk" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
