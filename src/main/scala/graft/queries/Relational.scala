@@ -263,6 +263,20 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // VARIANT semi-structured type (Spark 4): parse once into the binary
+    // variant encoding, then typed-path extraction — the modern engine's
+    // answer to q37's per-call get_json_object string re-parse (variant
+    // parses the JSON ONCE per row; every later path access is a binary
+    // walk, the 8x-faster shredded-JSON story at scale). Missing paths via
+    // try_variant_get surface as NULL, not errors — counted here to pin
+    // that contract. DuckDB mirrors with its native JSON extraction.
+    "q79_variant" -> ((s, dir) => sql(s, dir,
+      """SELECT event_type, count(*) AS n,
+        |  sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+        |  count(try_variant_get(parse_json(props), '$.missing', 'long'))
+        |    AS n_missing
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // NATIVE recursive CTE (Spark 4's WITH RECURSIVE) generating a date
     // spine — the warehouse gap-fill pattern: a month series spanning the
     // order history, LEFT-joined so months with ZERO orders still appear
@@ -1138,6 +1152,12 @@ object Relational {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q79_variant" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(CAST(props->>'$.missing' AS BIGINT)) AS n_missing
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q78_date_spine" ->
       """WITH RECURSIVE spine(m) AS (
