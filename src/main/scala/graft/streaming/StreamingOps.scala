@@ -24,6 +24,10 @@ case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 /** One open session interval of one user (EventTimeTimeout variant). */
 case class OpenSess(startMicros: Long, lastMicros: Long, nEvents: Long)
 
+/** Per-user running moments for the transformWithState anomaly flagger —
+  * constant-size regardless of history length. */
+case class RunStats(n: Long, sum: Double, sumSq: Double)
+
 /** All open session intervals of one user, disjoint, gap-separated,
   * ordered by start. More than one exists only while out-of-order events
   * inside the watermark tolerance are still arriving. */
@@ -430,6 +434,61 @@ object StreamingOps {
         } finally b.unpersist(): Unit
       }
       .start()
+  }
+
+  /** Streaming per-user anomaly flags via Spark 4's transformWithState —
+    * the arbitrary-state API that replaces (flat)mapGroupsWithState: typed
+    * `ValueState` handles from the processor's lifecycle-managed handle,
+    * per-state TTL, timers, and the RocksDB state store underneath (set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider — transformWithState requires it).
+    *
+    * Semantics: an event is anomalous when its value deviates more than
+    * `z` running standard deviations from the user's PRIOR mean (prior =
+    * strictly earlier events, so the decision never peeks at itself), once
+    * at least `minSamples` prior events exist. State per user is three
+    * numbers (n, sum, sumSq) — constant-size regardless of history length,
+    * the Welford-style bound that survives unbounded streams (and TTL can
+    * age out idle users). Within a micro-batch events are processed in
+    * (ts, event_id) order, so replaying batches in event-time order
+    * converges to the batch prior-window computation — spec-proven.
+    * Output: (user_id, event_id, n_prior, is_anomaly). */
+  def anomalyFlags(spark: SparkSession, events: DataFrame,
+      minSamples: Int = 5, z: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    class AnomalyProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Long, Boolean)] {
+      @transient private var stats: org.apache.spark.sql.streaming.ValueState[RunStats] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        stats = getHandle.getValueState[RunStats]("stats",
+          Encs.product[RunStats], TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, Double)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+        var s = if (stats.exists()) stats.get() else RunStats(0L, 0.0, 0.0)
+        val out = rows.toArray.sortBy(r => (r._3, r._2)).map { r =>
+          val anomalous = s.n >= minSamples && {
+            val mean = s.sum / s.n
+            val sd = math.sqrt(math.max(s.sumSq / s.n - mean * mean, 0.0))
+            sd > 0.0 && math.abs(r._4 - mean) > z * sd
+          }
+          val res = (key, r._2, s.n, anomalous)
+          s = RunStats(s.n + 1, s.sum + r._4, s.sumSq + r._4 * r._4)
+          res
+        }
+        stats.update(s)
+        out.iterator
+      }
+    }
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "n_prior", "is_anomaly")
   }
 
   /** Run a streaming aggregation to completion against the (finite) file

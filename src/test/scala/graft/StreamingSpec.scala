@@ -179,6 +179,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState anomaly flags converge to the batch prior-window computation") {
+    // transformWithState requires the RocksDB state store; scope the
+    // provider change to this query and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.anomalyFlags(spark, StreamingOps.eventsStream(spark, dir)),
+        "anomalies", OutputMode.Append)
+      try {
+        val streamed = spark.table("anomalies")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .sortBy(t => (t._1, t._2))
+        // batch mirror: per user ordered by (ts, event_id), stats over the
+        // STRICTLY-PRIOR frame; same formula, same z/minSamples
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val batch = Tables.load(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            count(col("value")).over(w).as("n"),
+            sum(col("value")).over(w).as("s"),
+            sum(col("value") * col("value")).over(w).as("s2"))
+          .select(col("user_id"), col("event_id"), col("n"),
+            (col("n") >= 5 &&
+              sqrt(greatest(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")), lit(0.0))) > 0.0 &&
+              abs(col("value") - col("s") / col("n")) >
+                lit(3.0) * sqrt(greatest(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")), lit(0.0))))
+              .as("an"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2), r.getBoolean(3)))
+          .sortBy(t => (t._1, t._2))
+        assert(streamed.length == batch.length)
+        val bad = streamed.zip(batch).filter { case (a, b) => a != b }
+        assert(bad.isEmpty, s"first diffs: ${bad.take(3).mkString(", ")}")
+        assert(streamed.count(_._4) > 0, "scenario degenerate: no anomalies flagged")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("bounded-state streaming dedup (dropDuplicatesWithinWatermark) converges to batch distinct") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.dedupBounded(StreamingOps.eventsStream(spark, dir)),
