@@ -580,6 +580,22 @@ object Relational {
         .orderBy(col("nk"))
     }),
 
+    // §2.7 bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITY (min / difference of per-value counts) — a different
+    // operator from q25/q26's set forms (Catalyst plans them via a
+    // count-and-replicate rewrite, not an anti/semi join). One row per
+    // surviving duplicate, proven against DuckDB's native ALL variants.
+    "q80_setops_all" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey"))
+      a.intersectAll(b).groupBy(col("nk")).agg(count(lit(1)).as("n_inter"))
+        .join(a.exceptAll(b).groupBy(col("nk")).agg(count(lit(1)).as("n_except")),
+          Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy(col("nk"))
+    }),
+
     // §2.10 generator / LATERAL VIEW: explode + token frequency.
     "q27_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1332,6 +1348,20 @@ object Relational {
       """SELECT 'c' AS src, c_nationkey AS nk FROM customer
         |UNION ALL SELECT 's' AS src, s_nationkey AS nk FROM supplier
         |ORDER BY src, nk""".stripMargin,
+
+    "q80_setops_all" ->
+      """WITH i AS (
+        | SELECT nk, count(*) AS n_inter FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 1),
+        |e AS (
+        | SELECT nk, count(*) AS n_except FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 1)
+        |SELECT coalesce(i.nk, e.nk) AS nk,
+        | coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.nk = e.nk
+        |ORDER BY nk""".stripMargin,
 
     "q25_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
