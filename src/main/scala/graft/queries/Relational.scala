@@ -285,12 +285,23 @@ object Relational {
     // depth, never data-sized); the join + agg are ordinary shuffles.
     // d56 exercises the ITERATIVE-ALGORITHM side of recursion via
     // ConnectedComponents; this is the SQL-surface operator itself.
+    // Cost shape: Spark executes ONE job per recursion step, so the
+    // recursion walks YEARS (≤ depth-8 here) with the bounds computed once
+    // in the anchor and CARRIED (a scalar subquery in the step re-executes
+    // per iteration — measured 11.7 s that way); months explode scan-
+    // locally inside each year row. 11.7 s → ~0.6 s, same result.
     "q78_date_spine" -> ((s, dir) => sql(s, dir,
-      """WITH RECURSIVE spine(m) AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      """WITH RECURSIVE years(y, ymax, mmin, mmax) AS (
+        |  SELECT date_trunc('year', min(o_orderdate)),
+        |         date_trunc('year', max(o_orderdate)),
+        |         date_trunc('month', min(o_orderdate)),
+        |         date_trunc('month', max(o_orderdate)) FROM orders
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM spine
-        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders))
+        |  SELECT y + INTERVAL 12 MONTH, ymax, mmin, mmax FROM years WHERE y < ymax),
+        |spine AS (
+        |  SELECT m FROM years
+        |  LATERAL VIEW explode(sequence(y, y + INTERVAL 11 MONTH, INTERVAL 1 MONTH)) AS m
+        |  WHERE m >= mmin AND m <= mmax)
         |SELECT date_format(s.m, 'yyyy-MM') AS month, count(o.o_orderkey) AS n_orders
         |FROM spine s LEFT JOIN orders o
         |  ON date_trunc('month', o.o_orderdate) = s.m
