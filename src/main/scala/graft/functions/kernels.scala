@@ -144,6 +144,23 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Array[Float] overload of [[cosineFloat]] for JVM-side callers (typed
+    * mapGroups closures, specs) — same arithmetic and same contract (throws
+    * on dimension mismatch, NaN on a zero norm), so similarity semantics
+    * live in one place. */
+  def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"graft_cosine: vector dimension mismatch (${a.length} vs ${b.length})")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def checkedDim(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     if (na != nb) throw new IllegalArgumentException(

@@ -762,7 +762,10 @@ object DedupOps {
     // one IEEE divide of exact ints, so the whole scoring oracle-checks.
     "d76_contam_score" -> ((s, dir) => {
       val docs = hashedDocs(s, dir, 3)
-      val tr = docs.filter(col("doc_id") % 97 =!= 0)
+      // docs too short to shingle (< 3 tokens ⇒ hs = []) have no overlap
+      // DEFINED — drop them like the oracle's unnest does, instead of
+      // emitting an n_sh=0 row with a NULL fraction
+      val tr = docs.filter(col("doc_id") % 97 =!= 0 && size(col("hs")) > 0)
       val ev = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(col("hs")).as("sh")).distinct()
       val hits = tr.select(col("doc_id"), explode(col("hs")).as("sh"))
@@ -1572,16 +1575,18 @@ object DedupOps {
       s"""SELECT lang, ${QueryUtil.oracleSplitCase} AS split,
         | count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // reach uses recursive UNION (set semantics): the closure saturates and
+    // terminates on any graph — no depth bound, so arbitrarily long dup
+    // chains close exactly like the Spark side's unbounded label propagation
     "d56_dedup_components" ->
       s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
          |edges AS (
          |  SELECT ida AS a, idb AS b FROM pairs
          |  UNION ALL SELECT idb, ida FROM pairs),
-         |reach(src, dst, depth) AS (
-         |  SELECT a, b, 1 FROM edges
-         |  UNION ALL
-         |  SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
-         |  WHERE r.depth < 6),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
          |rep AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
          |SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
          |FROM documents d LEFT JOIN rep r ON d.doc_id = r.src
@@ -1589,18 +1594,18 @@ object DedupOps {
     "d52_jaccard_pairs" -> oracleJaccard(0.4),
     "d53_minhash_lsh" -> oracleJaccard(0.8),
 
-    // d56's component CTE + per-component quality argmax (window form);
-    // ties on n_tok break to the lower doc_id, same as the struct-max rule
+    // d56's component CTE (recursive UNION — exact closure, no depth bound)
+    // + per-component quality argmax (window form); ties on n_tok break to
+    // the lower doc_id, same as the struct-max rule
     "d77_canonical_map" ->
       s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
          |edges AS (
          |  SELECT ida AS a, idb AS b FROM pairs
          |  UNION ALL SELECT idb, ida FROM pairs),
-         |reach(src, dst, depth) AS (
-         |  SELECT a, b, 1 FROM edges
-         |  UNION ALL
-         |  SELECT r.src, e.b, r.depth + 1 FROM reach r JOIN edges e ON r.dst = e.a
-         |  WHERE r.depth < 6),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
          |repr AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src),
          |lab AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
          |        FROM documents d LEFT JOIN repr r ON d.doc_id = r.src),

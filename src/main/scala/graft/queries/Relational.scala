@@ -357,7 +357,7 @@ object Relational {
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("l_quantity")).as("q"))
         .filter(col("q") > 60)
-        .select(col("l_suppkey")).distinct()
+        .select(col("l_suppkey")) // no distinct: semi join ignores dup build rows
       t(s, dir, "supplier")
         .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))

@@ -1044,22 +1044,19 @@ object SimilarityOps {
         .select(col("qid"), col("nid"), col("simq"), col("cv"))
         .as[(Long, Long, Double, Array[Float])]
       cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
-        val rows = it.toArray.sortBy(r => (-r._3, r._2))
-        def cos(a: Array[Float], b: Array[Float]): Double = {
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < a.length) {
-            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-            nb += b(i).toDouble * b(i); i += 1
-          }
-          if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-        }
+        // NaN shortlist scores (graft_cosine's zero-norm contract) can't be
+        // ranked — drop them up front so the greedy argmax always finds a
+        // candidate; the diversity term reuses the SAME kernel arithmetic
+        // (Kernels.cosineFloat overload), nothing hand-rolled
+        val rows = it.toArray.filter(r => !r._3.isNaN).sortBy(r => (-r._3, r._2))
+        val cos = graft.functions.Kernels.cosineFloat(_: Array[Float], _: Array[Float])
         val lambda = 0.5
         val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
         while (picked.length < math.min(5, rows.length)) {
           var bi = -1; var bs = Double.NegativeInfinity
           for (i <- rows.indices if !picked.contains(i)) {
-            val maxSel = if (picked.isEmpty) 0.0
-              else picked.map(j => cos(rows(i)._4, rows(j)._4)).max
+            val sims = picked.map(j => cos(rows(i)._4, rows(j)._4)).filter(!_.isNaN)
+            val maxSel = if (sims.isEmpty) 0.0 else sims.max
             val score = lambda * rows(i)._3 - (1 - lambda) * maxSel
             if (score > bs || (score == bs && bi >= 0 && rows(i)._2 < rows(bi)._2)) {
               bi = i; bs = score

@@ -100,15 +100,19 @@ class OperatorsSpec extends AnyFunSuite {
     // correlated per-row subplans: Q17's per-partkey AVG is one joined-back
     // aggregate, Q20's nested INs are hash semi-joins with the part filter
     // broadcast, Q15's MAX-equality is a broadcast of a 1-row aggregate
-    for (q <- Seq("q73", "q74", "q76")) {
+    val plans = Seq("q73", "q74", "q76").map { q =>
       val df = SparkEntry.queries(q)(spark, dir)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
-        s"no broadcast join in $q:\n$plan")
+      df.collect() // executed (final AQE) plan, same plan for all asserts
+      q -> df.queryExecution.executedPlan.toString
+    }.toMap
+    plans.foreach { case (q, plan) =>
+      // hash joins only — BroadcastNestedLoop IS the per-row fallback this
+      // gate exists to forbid (all three queries are pure equi/semi joins)
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast hash join in $q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q degraded to a nested loop:\n$plan")
     }
-    val p74 = SparkEntry.queries("q74")(spark, dir).queryExecution.executedPlan.toString
-    assert(p74.contains("LeftSemi"), s"q74 IN-subqueries should plan as semi joins:\n$p74")
+    assert(plans("q74").contains("LeftSemi"),
+      s"q74 IN-subqueries should plan as semi joins:\n${plans("q74")}")
   }
 
   test("q77 LATERAL LIMIT decorrelates to a WindowGroupLimit join, not per-row subqueries") {

@@ -338,11 +338,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     // mean pairwise cosine among MMR picks must not exceed plain top-5's
     val vecs = Tables.load(spark, dir, "embeddings").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.Kernels.cosineFloat(a, b)
     def meanPairSim(picks: Array[(Long, Long, Int)]): Double = {
       val byQ = picks.groupBy(_._1).values.toSeq
       val sims = byQ.flatMap { g =>
