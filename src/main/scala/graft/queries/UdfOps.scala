@@ -83,6 +83,32 @@ object UdfOps {
         .limit(100)
     }),
 
+    // SQL-defined functions (Spark 4): a scalar SQL UDF whose BODY is an
+    // expression the analyzer INLINES into the calling plan (stays inside
+    // whole-stage codegen — the opposite of u62's opaque Scala closure,
+    // which black-boxes the optimizer), and a SQL table function consumed
+    // as a relation. The oracle states the same queries with the bodies
+    // inlined by hand, proving the definition/invocation machinery is
+    // semantics-preserving.
+    "u66_sql_udf" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_disc_price")
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_big_nations")
+      s.sql("""CREATE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+              |RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
+      s.sql("""CREATE TEMPORARY FUNCTION graft_big_nations(lim INT)
+              |RETURNS TABLE(nk BIGINT)
+              |RETURN SELECT n_nationkey FROM nation WHERE n_nationkey < lim""".stripMargin)
+      s.sql("""SELECT l_returnflag,
+              | CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+              |   AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+              | count(*) AS n
+              |FROM lineitem
+              | JOIN supplier ON s_suppkey = l_suppkey
+              | JOIN graft_big_nations(10) ON s_nationkey = nk
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Table function: LATERAL VIEW explode over a generator expression
     // (bigram extraction) with aggregation on the generated rows.
     "u64_table_function" -> ((s, dir) => {
@@ -116,6 +142,17 @@ object UdfOps {
         |GROUP BY token, tot.n
         |HAVING count(*) >= greatest(5, CAST(floor(tot.n / 257.0) AS BIGINT) + 1)
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "u66_sql_udf" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        | count(*) AS n
+        |FROM lineitem
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN (SELECT n_nationkey AS nk FROM nation WHERE n_nationkey < 10) b
+        |   ON s_nationkey = nk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u64_table_function" ->
       """SELECT bigram, count(*) AS freq FROM (
