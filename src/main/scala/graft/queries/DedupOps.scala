@@ -707,8 +707,11 @@ object DedupOps {
     "d81_boilerplate_strip" -> ((s, dir) => {
       val t = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      val grams = t.select(col("doc_id"),
-        posexplode(QueryUtil.wordNgrams(col("t"), 3)).as(Seq("p", "g")))
+      // persisted: the df-count branch AND the position-probe branch both
+      // read the positional gram table — without the memo the wordNgrams
+      // subtree computes twice per run
+      val grams = persistKeyed(s, s"posgrams:$dir", t.select(col("doc_id"),
+        posexplode(QueryUtil.wordNgrams(col("t"), 3)).as(Seq("p", "g"))))
       // integer threshold, identical arithmetic in the oracle: both engines
       // compute greatest(5, ceil(n_docs/100)) from the same exact count
       val thr = t.agg(greatest(lit(5L), ceil(count(lit(1)) * 3 / 1000.0)).as("thr"))
@@ -717,14 +720,17 @@ object DedupOps {
         .join(broadcast(thr)).filter(col("dfc") >= col("thr")).select(col("g"))
       val flagged = grams.join(hot, Seq("g"), "left_semi")
         .groupBy(col("doc_id")).agg(collect_set(col("p")).as("fp"))
-      t.join(flagged, Seq("doc_id"), "left")
+      // the per-doc result (corpus-row-sized) is persisted BEFORE the sort:
+      // orderBy's range-partitioner sampling otherwise re-executes the whole
+      // gram/strip subtree a second time (measured 4.4 s vs 1.4 s)
+      persistKeyed(s, s"d81:$dir", t.join(flagged, Seq("doc_id"), "left")
         .withColumn("cov", array_distinct(flatten(transform(
           coalesce(col("fp"), array().cast("array<int>")),
           p => sequence(p, p + 2)))))
         .withColumn("kept", filter(col("t"), (x, i) => !array_contains(col("cov"), i)))
         .select(col("doc_id"), size(col("t")).as("n_tok"),
           (size(col("t")) - size(col("kept"))).as("n_removed"),
-          concat_ws(" ", col("kept")).as("cleaned"))
+          concat_ws(" ", col("kept")).as("cleaned")))
         .orderBy(col("doc_id"))
     }),
 
