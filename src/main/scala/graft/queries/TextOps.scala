@@ -142,6 +142,33 @@ object TextOps {
         .orderBy(col("lang"), col("pred"))
     }),
 
+    // Lexical-diversity scoring — type-token ratio and hapax-legomenon
+    // fraction per doc, the vocabulary-richness signals quality filters
+    // use next to t52's repetition ratios (low TTR = templated/looping
+    // text; high hapax = unusual vocabulary worth a second look). The
+    // distinct count runs through the codegen'd graft_ndistinct hash-set
+    // kernel (t52's lesson: builtin array_distinct is O(n²) on strings);
+    // hapax counting sorts the token array once and counts elements
+    // unequal to both neighbors — scan-local array lambdas, no shuffle,
+    // exact-int divides.
+    "t67_lexical_diversity" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          sort_array(col("toks")).as("st"),
+          expr("graft_ndistinct(toks)").as("n_types"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"), col("n_types"),
+          (col("n_types").cast(DoubleType) / size(col("toks"))).as("ttr"),
+          expr("""size(filter(sequence(0, size(st) - 1), i ->
+                 (i = 0 OR st[i] != st[i-1]) AND
+                 (i = size(st) - 1 OR st[i] != st[i+1])))""").as("n_hapax"))
+        .withColumn("hapax_frac",
+          col("n_hapax").cast(DoubleType) / col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram language-model table — the count-based n-gram LM every
     // data-quality stack keeps around (KenLM-shape scoring, next-token
     // suggestion, perplexity filtering): per (w1, w2) corpus counts, the
@@ -800,6 +827,20 @@ object TextOps {
         | CAST(len(cc) AS INTEGER) AS n_clean,
         | array_to_string(cc[1:5], ' ') AS head
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t67_lexical_diversity" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM c GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_hapax
+        |        FROM tc GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tok, n_types,
+        | CAST(n_types AS DOUBLE) / len(toks) AS ttr,
+        | n_hapax, CAST(n_hapax AS DOUBLE) / len(toks) AS hapax_frac
+        |FROM t JOIN agg ON agg.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // 2-gram construction mirrors d52's shingle CTE; conditional p is one
     // IEEE divide of exact ints (DuckDB's HUGEINT sum widens transparently)
