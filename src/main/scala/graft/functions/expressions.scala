@@ -345,27 +345,47 @@ case class RollingFingerprint(child: Expression, k: Int)
   override def prettyName: String = "graft_fingerprint"
 }
 
-/** Multimodal decode stub: binary payload -> struct(n_bytes, width, height,
-  * format). The decode itself is a deterministic fake (no image libs in this
-  * container); the binary-column plumbing, schema, and codegen boundary are
-  * the real, tested part. */
-case class FakeImageMeta(child: Expression)
+/** Encode raw bytes as the pixel stream of a REAL uncompressed 24bpp BMP
+  * (bottom-up rows, 4-byte stride padding): (binary, int width) -> binary.
+  * Fixture-side of the de-stubbed image modality (no image files ship in
+  * this container, so payloads are built from corpus bytes) — the bytes it
+  * emits are a genuine DIB, openable by any image tool. */
+case class BmpBuild(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, left.dataType -> "binary",
+      right.dataType -> "int")
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(pix: Any, w: Any): Any =
+    Kernels.bmpBuild(pix.asInstanceOf[Array[Byte]], w.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BmpBuild = copy(left = l, right = r)
+  override def prettyName: String = "graft_bmp_build"
+}
+
+/** REAL BMP header decode (fixed-offset DIB parser, pure JVM byte
+  * arithmetic — the de-stubbed image modality): binary -> struct, null for
+  * invalid/truncated/compressed payloads. */
+case class BmpMetaExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
-    StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+    StructField("bpp", IntegerType, nullable = false),
+    StructField("stride", IntegerType, nullable = false),
+    StructField("img_size", IntegerType, nullable = false),
+    StructField("top_down", BooleanType, nullable = false)))
   override def nullSafeEval(v: Any): Any = {
-    val n = v.asInstanceOf[Array[Byte]].length
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      n, Kernels.fakeWidth(n), Kernels.fakeHeight(n),
-      UTF8String.fromString(Kernels.fakeFormat(n))))
+    val m = Kernels.bmpParse(v.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      m.width, m.height, m.bpp, m.stride, m.imgSize, m.topDown))
   }
-  override protected def withNewChildInternal(c: Expression): FakeImageMeta = copy(child = c)
-  override def prettyName: String = "graft_image_meta"
+  override protected def withNewChildInternal(c: Expression): BmpMetaExpr = copy(child = c)
+  override def prettyName: String = "graft_bmp_meta"
 }
 
 /** SQL registration so the operators are usable from both the DataFrame API
@@ -392,7 +412,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_lang_id", es => LangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => RollingFingerprint(es.head, if (es.size > 1) lit(es(1), "k").toInt else 8), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_image_meta", es => FakeImageMeta(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_build",
+      es => BmpBuild(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_meta",
+      es => BmpMetaExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mg_topk",
       es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
         .toAggregateExpression(), "scala_udf")

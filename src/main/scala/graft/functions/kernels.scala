@@ -451,18 +451,101 @@ object Kernels {
     true
   }
 
-  // --- multimodal stub ----------------------------------------------------
+  // --- BMP (DIB): the de-stubbed image modality ---------------------------
+  // An uncompressed 24bpp BMP is fixed-offset little-endian byte arithmetic
+  // — no image library needed, so the image modality gets a REAL encoder +
+  // parser (the m64/m66 WAV pattern). Layout: BITMAPFILEHEADER (14 bytes:
+  // "BM", u32 fileSize, u32 reserved, u32 pixelDataOffset) then
+  // BITMAPINFOHEADER (40 bytes: u32 dibSize, i32 width, i32 height —
+  // positive ⇒ rows stored BOTTOM-UP, negative ⇒ top-down — u16 planes,
+  // u16 bpp, u32 compression(0=BI_RGB), u32 imageSize, …) then pixel rows
+  // each padded to a 4-byte stride. The bottom-up row order and the stride
+  // padding are what make the parser a genuine decode, not length math.
 
-  /** Deterministic fake image-decode metadata from an opaque binary payload.
-    * Real decode would go here (image lib absent in this container — the
-    * Spark-side plumbing, schema and batching are the tested part). Derived
-    * only from byte length so a SQL oracle can reproduce it. */
-  def fakeWidth(nBytes: Int): Int = 64 + nBytes % 512
-  def fakeHeight(nBytes: Int): Int = 64 + (nBytes * 7) % 512
-  def fakeFormat(nBytes: Int): String = (nBytes % 3) match {
-    case 0 => "png"
-    case 1 => "jpeg"
-    case _ => "webp"
+  /** Encode raw bytes as the pixel stream of a real 24bpp bottom-up BMP.
+    * Logical pixel byte i (row-major, top-left origin) is `pixels(i)`,
+    * zero-filled past the input's end to complete the last row; height is
+    * the minimal row count for the given width. Parseable by any image
+    * tool (GIMP, PIL, MS Paint). */
+  def bmpBuild(pixels: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0, s"bmpBuild: width must be positive, got $width")
+    val nPix = math.max(1, (pixels.length + 2) / 3)
+    val h = (nPix + width - 1) / width
+    val stride = ((width * 3 + 3) / 4) * 4
+    val imgSize = stride * h
+    val out = new Array[Byte](54 + imgSize)
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(out, 2, 54 + imgSize) // file size
+    putLE32(out, 6, 0) // reserved
+    putLE32(out, 10, 54) // pixel data offset
+    putLE32(out, 14, 40) // BITMAPINFOHEADER size
+    putLE32(out, 18, width)
+    putLE32(out, 22, h) // positive: bottom-up row storage
+    putLE16(out, 26, 1) // planes
+    putLE16(out, 28, 24) // bits per pixel
+    putLE32(out, 30, 0) // BI_RGB (uncompressed)
+    putLE32(out, 34, imgSize)
+    putLE32(out, 38, 2835); putLE32(out, 42, 2835) // 72 DPI
+    putLE32(out, 46, 0); putLE32(out, 50, 0) // palette fields
+    var r = 0
+    while (r < h) {
+      val dst = 54 + (h - 1 - r) * stride // logical row r stored bottom-up
+      val rowBase = r * width * 3
+      var k = 0
+      val lim = math.min(width * 3, pixels.length - rowBase)
+      while (k < lim) { out(dst + k) = pixels(rowBase + k); k += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** Parsed BMP geometry, or null for anything that isn't a valid
+    * uncompressed BMP: magic, DIB size, planes, BI_RGB compression,
+    * positive width, non-zero height, pixel offset past the headers, and
+    * the full stride×height payload present (truncation rejected). `topDown`
+    * reflects the height sign — a parser that ignored it would read real
+    * images upside down. */
+  final case class BmpMeta(width: Int, height: Int, bpp: Int, pixOff: Int,
+      stride: Int, imgSize: Int, topDown: Boolean) {
+    /** File offset of logical (top-origin) row r. */
+    def rowOff(r: Int): Int =
+      pixOff + (if (topDown) r else height - 1 - r) * stride
+  }
+  def bmpParse(b: Array[Byte]): BmpMeta = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val off = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null // core-header variants not supported
+    val w = le32(b, 18); val hRaw = le32(b, 22)
+    val planes = le16(b, 26); val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (w <= 0 || hRaw == 0 || planes != 1 || comp != 0) return null
+    if (bpp != 24 && bpp != 8 && bpp != 32) return null
+    val h = math.abs(hRaw)
+    val stride = ((w * bpp / 8 + 3) / 4) * 4
+    val imgSize = stride.toLong * h
+    // biSizeImage may legally be 0 for BI_RGB — recompute, never trust it
+    if (off < 14 + dibSize || off.toLong + imgSize > b.length) return null
+    BmpMeta(w, h, bpp, off, stride, imgSize.toInt, hRaw < 0)
+  }
+
+  /** (sum, count) of pixel byte values over logical rows [r0, r1), read
+    * through the parsed stride/orientation and EXCLUDING stride padding —
+    * the per-band aggregate a frame/tile sampler computes. Null meta or an
+    * out-of-range band is the caller's bug: require'd. */
+  def bmpBandSum(b: Array[Byte], m: BmpMeta, r0: Int, r1: Int): (Long, Long) = {
+    require(m != null && r0 >= 0 && r1 <= m.height && r0 <= r1,
+      s"bmpBandSum: bad band [$r0,$r1) for height ${if (m == null) -1 else m.height}")
+    val rowBytes = m.width * (m.bpp / 8)
+    var sum = 0L
+    var r = r0
+    while (r < r1) {
+      val base = m.rowOff(r)
+      var k = 0
+      while (k < rowBytes) { sum += b(base + k) & 0xff; k += 1 }
+      r += 1
+    }
+    (sum, (r1 - r0).toLong * rowBytes)
   }
 
   // --- WAV (RIFF): the de-stubbed modality --------------------------------

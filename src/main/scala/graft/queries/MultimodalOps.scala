@@ -4,28 +4,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, Kernels}
 
 /** Multimodal-column handling: opaque `binary` payloads + typed metadata.
-  * The decode step is a clearly-marked deterministic fake (no image/audio
-  * libs in this container — see Kernels.fakeWidth); what is real and tested
-  * is the Spark-side plumbing: binary column schema, the scalar
-  * decode-expression boundary (codegen row path), and the batched
-  * mapPartitions shape (the Scala analogue of mapInPandas: one iterator per
-  * partition, constant memory, no driver materialization).
+  * Both decode modalities are REAL codecs in pure JVM byte arithmetic (no
+  * media libs needed for uncompressed formats): a 24bpp DIB/BMP encoder +
+  * fixed-offset parser (bottom-up rows, stride padding) and a RIFF/WAVE
+  * encoder + chunk-walking parser. Since no media files ship in this
+  * container, payloads are BUILT from corpus bytes and then parsed back —
+  * the driver compare proves each encode→decode round-trip recovers the
+  * construction parameters exactly. Also real and tested: binary column
+  * schema, the scalar decode-expression boundary (codegen row path), and
+  * the batched mapPartitions shape (the Scala analogue of mapInPandas: one
+  * iterator per partition, constant memory, no driver materialization).
   */
 object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary payload -> typed metadata struct via custom expression.
+    // DE-STUBBED image modality: each doc's bytes become the pixel stream
+    // of a REAL 24bpp BMP (graft_bmp_build; width varied per doc), and the
+    // metadata comes from actually PARSING those bytes back with a
+    // fixed-offset DIB reader (graft_bmp_meta) — not from length
+    // arithmetic. The oracle computes the expected geometry (height from
+    // ceil-division, 4-byte row stride, image size) directly from the
+    // construction parameters, so the compare proves the encode→parse
+    // round-trip. Golden-byte, top-down, offset-gap and corruption specs
+    // in KernelsSpec prove the parser against fixtures the builder never
+    // produces.
     "m60_image_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"), expr("graft_image_meta(payload)").as("meta"))
-        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("graft_bmp_build(cast(text as binary), cast(16 + doc_id % 49 as int))")
+            .as("img"))
+        .select(col("doc_id"), octet_length(col("img")).as("n_bytes"),
+          expr("graft_bmp_meta(img)").as("meta"))
+        .select(col("doc_id"), col("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.format").as("format"))
+          col("meta.bpp").as("bpp"), col("meta.img_size").as("img_size"))
         .orderBy(col("doc_id"))
     }),
 
@@ -43,43 +60,54 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Modality routing + per-format corpus stats: the aggregation a
-    // pipeline runs to decide how to shard decode work across format-
-    // specific workers. Groups on decoded (stub) format, exact byte
-    // accounting (integer sums — no float drift).
-    "m63_format_stats" -> ((s, dir) => {
+    // Modality routing + per-shape corpus stats: the aggregation a
+    // pipeline runs to decide how to shard decode work across
+    // geometry-specific workers (e.g. resize kernels batched by aspect
+    // class). The routing key comes from the REAL parsed BMP geometry
+    // (width vs height out of graft_bmp_meta), exact byte accounting
+    // (integer sums — no float drift).
+    // Width is jittered around sqrt(pixel count) so the corpus genuinely
+    // spans all three aspect classes (a fixed narrow width made every doc
+    // portrait — a 1-group degenerate test). floor(sqrt(n)) is safe
+    // cross-engine: IEEE sqrt is correctly rounded on both.
+    "m63_shape_stats" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
-        // explicit null guard BOTH sides: without it a NULL payload would
-        // group under a NULL format here but under 'webp' in the oracle
-        // (CASE NULL%3 falls to ELSE) — don't leave that to corpus luck
-        .filter(col("text").isNotNull)
-        .select(col("text").cast("binary").as("payload"))
-        .select(expr("graft_image_meta(payload)").as("meta"))
-        .select(col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
-        .groupBy(col("format"))
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(expr(
+          "graft_bmp_meta(graft_bmp_build(cast(text as binary), " +
+            "greatest(1, cast(floor(sqrt(cast((length(text) + 2) div 3 " +
+            "as double))) as int) - 3 + cast(doc_id % 7 as int))))").as("m"))
+        .select(
+          when(col("m.width") > col("m.height"), "landscape")
+            .when(col("m.width") < col("m.height"), "portrait")
+            .otherwise("square").as("shape"),
+          col("m.height").as("h"), col("m.img_size").as("img_size"))
+        .groupBy(col("shape"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_bytes").cast("long")).as("total_bytes"),
-          max(col("n_bytes")).as("max_bytes"))
-        .orderBy(col("format"))
+          sum(col("img_size").cast("long")).as("total_bytes"),
+          max(col("h")).as("max_height"))
+        .orderBy(col("shape"))
     }),
 
     // Interleaved multimodal context-window packing — the vision-language
     // final mile: each doc contributes its text tokens PLUS its image's
-    // patch tokens (ViT-style (w/16)·(h/16) patches from the m60 stub
-    // metadata; the count is what a real decoder would also produce), and
-    // the combined token stream packs into fixed-1024 windows under d70's
-    // EXACT prefix-sum rule (shared seqPackFrame — the two packers cannot
-    // drift). Output keeps the per-doc modality split (n_txt, n_patch) next
-    // to each fragment so a loader can budget attention masks. Cost = the
-    // d70 two-pass prefix sum + one co-partitioned doc_id join; patch
-    // arithmetic is scan-local.
+    // patch tokens (ViT-style ceil(w/16)·ceil(h/16) patches over the SAME
+    // geometry the m60 encoder produces — width 16+doc_id%49, height from
+    // the ceil-division rule; a patch COUNT needs only the dims, so this
+    // stays scan-local arithmetic), and the combined token stream packs
+    // into fixed-1024 windows under d70's EXACT prefix-sum rule (shared
+    // seqPackFrame — the two packers cannot drift). Output keeps the
+    // per-doc modality split (n_txt, n_patch) next to each fragment so a
+    // loader can budget attention masks. Cost = the d70 two-pass prefix
+    // sum + one co-partitioned doc_id join; patch arithmetic is scan-local.
     "m65_interleaved_pack" -> ((s, dir) => {
       val cost = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           QueryUtil.tokenCount(col("text")).cast("long").as("n_txt"),
-          expr("cast(((64 + length(text) % 512) div 16) * " +
-            "((64 + (length(text) * 7) % 512) div 16) as bigint)").as("n_patch"))
+          expr("cast((((16 + doc_id % 49) + 15) div 16) * " +
+            "((((length(text) + 2) div 3 + (16 + doc_id % 49) - 1) " +
+            "div (16 + doc_id % 49) + 15) div 16) as bigint)").as("n_patch"))
       DedupOps.seqPackFrame(
           cost.select(col("doc_id"), (col("n_txt") + col("n_patch")).as("n_tok")),
           L = 1024L, twoPass = true)
@@ -89,33 +117,33 @@ object MultimodalOps {
         .orderBy(col("seq_id"), col("seq_off"))
     }),
 
-    // Batched frame extraction over binary payloads via mapPartitions —
-    // the partition-iterator shape a real decoder (ffmpeg/PIL worker) would
-    // use. The fake frame features are pure byte arithmetic over the ASCII
-    // payload (mean byte of each 200-byte block), so a full DuckDB oracle
-    // IS expressible (ord-per-char mirror below) — the stub decode is
-    // hash-checked, not just rows-counted.
+    // Batched frame/tile extraction over binary payloads via mapPartitions
+    // — the partition-iterator shape a real decoder worker uses (one
+    // iterator per partition, constant memory). DE-STUBBED: each payload
+    // is encoded as a real 24bpp BMP and the bands are read back through
+    // the PARSED geometry — pixel-data offset, 4-byte row stride, and the
+    // bottom-up row order (a reader that ignored orientation would sample
+    // the wrong bands). One frame per started 8-row band, capped at 4;
+    // feature = mean pixel byte over the band (stride padding excluded,
+    // zero-fill of the final partial row included). The DuckDB oracle
+    // mirrors the LOGICAL pixel order from the construction parameters, so
+    // the hash-match proves the bottom-up walk is correct.
     "m61_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val src = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .repartition(s.sparkContext.defaultParallelism) // decode runs per partition
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          // fake "video": one frame per started 200-byte block, capped at 4;
-          // feature = mean byte value of the frame's slice (a stand-in for a
-          // decoded frame embedding). Null payloads produce no frames.
-          if (bytes == null || bytes.isEmpty) Iterator.empty
-          else {
-            val nFrames = math.min(4, (bytes.length + 199) / 200)
-            (0 until nFrames).iterator.map { f =>
-              val from = f * 200
-              val until = math.min(bytes.length, from + 200)
-              var sum = 0L; var i = from
-              while (i < until) { sum += bytes(i) & 0xff; i += 1 }
-              (id, f, sum.toDouble / (until - from))
-            }
+          val img = Kernels.bmpBuild(bytes, (16 + id % 49).toInt)
+          val m = Kernels.bmpParse(img)
+          val nFrames = math.min(4, (m.height + 7) / 8)
+          (0 until nFrames).iterator.map { f =>
+            val (sum, cnt) =
+              Kernels.bmpBandSum(img, m, f * 8, math.min(m.height, f * 8 + 8))
+            (id, f, sum.toDouble / cnt)
           }
         }
       }.toDF("doc_id", "frame_idx", "feat_mean")
@@ -178,12 +206,14 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     // d70's prefix-sum packing oracle with the multimodal cost (text tokens
-    // + stub ViT patches) and the per-doc modality split carried through.
+    // + ViT patches over the m60 encoder's real geometry) and the per-doc
+    // modality split carried through.
     "m65_interleaved_pack" ->
       s"""WITH t AS (
          | SELECT doc_id, CAST(${QueryUtil.oracleTokenCount} AS BIGINT) AS n_txt,
-         |  CAST(((64 + strlen(text) % 512) // 16)
-         |    * ((64 + (strlen(text) * 7) % 512) // 16) AS BIGINT) AS n_patch
+         |  CAST(((16 + doc_id % 49 + 15) // 16)
+         |    * ((((strlen(text) + 2) // 3 + (16 + doc_id % 49) - 1)
+         |        // (16 + doc_id % 49) + 15) // 16) AS BIGINT) AS n_patch
          | FROM documents),
          |c AS (
          | SELECT doc_id, n_txt, n_patch, n_txt + n_patch AS n_tok,
@@ -200,23 +230,29 @@ object MultimodalOps {
          | least(cb + n_tok, (seq_id + 1) * 1024) - greatest(cb, seq_id * 1024) AS len,
          | n_txt, n_patch
          |FROM f ORDER BY seq_id, seq_off""".stripMargin,
-    // Mirror of the mapPartitions fake decoder: one frame per started
-    // 200-byte block (capped at 4), feature = mean byte value of the block.
-    // ASCII corpus (spec-asserted precondition, shared with the t49 oracle)
-    // makes per-char ord == the UTF-8 byte Spark sums. The integer sum and
-    // count are exact on both engines; the single double division of equal
+    // Mirrors the LOGICAL pixel order of the m61 band reader from the
+    // construction parameters: pixel byte i is the doc's byte i (ord ==
+    // UTF-8 byte on the ASCII corpus — spec-asserted precondition shared
+    // with the t49 oracle), zero-filled to complete the last row; band f
+    // covers logical rows [f*8, min(h, f*8+8)), w*3 payload bytes per row
+    // (stride padding excluded). Spark reads the same bytes through the
+    // PARSED offset/stride/bottom-up geometry — equality proves that walk.
+    // Integer sum and count are exact; the one double division of equal
     // integers is IEEE-identical.
     "m61_frame_sample" ->
-      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-        | CAST(list_sum([ord(t[i]) FOR i IN
-        |   range(f * 200 + 1, least(length(t), f * 200 + 200) + 1)]) AS DOUBLE)
-        |  / (least(length(t), f * 200 + 200) - f * 200) AS feat_mean
-        |FROM (
-        |  SELECT doc_id, t,
-        |    unnest(range(0, least(4, (length(t) + 199) // 200))) AS f
-        |  FROM (SELECT doc_id, text AS t FROM documents
-        |        WHERE text IS NOT NULL AND length(text) > 0))
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH p AS (
+        | SELECT doc_id, text AS t, strlen(text) AS len, 16 + doc_id % 49 AS w
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT doc_id, t, len, w,
+        |  ((len + 2) // 3 + w - 1) // w AS h FROM p),
+        |f AS (SELECT doc_id, t, len, w, h,
+        |  unnest(range(0, least(4, (h + 7) // 8))) AS fr FROM g)
+        |SELECT doc_id, CAST(fr AS INTEGER) AS frame_idx,
+        | CAST(coalesce(list_sum([ord(t[i]) FOR i IN
+        |   range(fr * 8 * w * 3 + 1,
+        |         least(len, least(h, fr * 8 + 8) * w * 3) + 1)]), 0) AS DOUBLE)
+        |  / ((least(h, fr * 8 + 8) - fr * 8) * w * 3) AS feat_mean
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "m62_audio_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
@@ -225,13 +261,21 @@ object MultimodalOps {
         | strlen(text) % 2 = 0 AS stereo
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "m63_format_stats" ->
-      """SELECT CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |   ELSE 'webp' END AS format,
-        | count(*) AS n_docs,
-        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        | CAST(max(strlen(text)) AS INTEGER) AS max_bytes
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Geometry from the construction parameters; Spark's side groups on
+    // the PARSED width/height — equality proves the decode.
+    "m63_shape_stats" ->
+      """WITH p AS (
+        | SELECT greatest(1, CAST(floor(sqrt((strlen(text) + 2) // 3))
+        |   AS BIGINT) - 3 + doc_id % 7) AS w, strlen(text) AS len
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT w, ((len + 2) // 3 + w - 1) // w AS h,
+        |  (((w * 3 + 3) // 4) * 4) * (((len + 2) // 3 + w - 1) // w) AS img
+        | FROM p)
+        |SELECT CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait'
+        |   ELSE 'square' END AS shape,
+        | count(*) AS n_docs, CAST(sum(img) AS BIGINT) AS total_bytes,
+        | CAST(max(h) AS INTEGER) AS max_height
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Byte-level mirror of the data-chunk aggregate (ASCII corpus ⇒ ord ==
     // payload byte, the t49/m61 precondition); exact integer sums, one
@@ -265,13 +309,20 @@ object MultimodalOps {
         |   / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2)) AS duration_s
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
-    // Metadata is pure arithmetic on byte length => SQL-expressible.
+    // Mirrors the CONSTRUCTION parameters of the 24bpp encoder (pixel
+    // count = ceil(len/3), height = ceil(npix/w), stride = 4-byte-aligned
+    // row, file = 54-byte headers + stride·h), not the parse: Spark builds
+    // real DIB bytes and reads the fields back — equality proves the
+    // round-trip.
     "m60_image_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
-        | CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
-        | CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS height,
-        | CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |   ELSE 'webp' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """WITH p AS (
+        | SELECT doc_id, strlen(text) AS len, 16 + doc_id % 49 AS w
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT doc_id, w, ((len + 2) // 3 + w - 1) // w AS h,
+        |  ((w * 3 + 3) // 4) * 4 AS stride FROM p)
+        |SELECT doc_id, CAST(54 + stride * h AS INTEGER) AS n_bytes,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(24 AS INTEGER) AS bpp, CAST(stride * h AS INTEGER) AS img_size
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

@@ -186,11 +186,52 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.wavStats8(Array[Byte](1, 2, 3)) == null)
   }
 
-  test("fake image meta is stable arithmetic") {
-    assert(Kernels.fakeWidth(100) == 164)
-    assert(Kernels.fakeHeight(100) == 64 + 700 % 512)
-    assert(Kernels.fakeFormat(99) == "png")
-    assert(Kernels.fakeFormat(100) == "jpeg")
-    assert(Kernels.fakeFormat(101) == "webp")
+  test("bmp build emits a valid 24bpp DIB; parse round-trips the geometry") {
+    // 7 payload bytes -> 3 pixels; width 2 => height 2; stride ((6+3)/4)*4=8
+    val img = Kernels.bmpBuild(Array[Byte](1, 2, 3, 4, 5, 6, 7), 2)
+    assert(img.length == 54 + 16 && img(0) == 'B' && img(1) == 'M')
+    val m = Kernels.bmpParse(img)
+    assert(m == Kernels.BmpMeta(2, 2, 24, 54, 8, 16, topDown = false))
+    // bottom-up storage: logical row 0 lives at the END of the pixel block
+    assert(m.rowOff(0) == 54 + 8 && m.rowOff(1) == 54)
+    // band sums read through the parsed geometry, exclude stride padding,
+    // include the zero-fill completing the last pixel/row
+    assert(Kernels.bmpBandSum(img, m, 0, 1) == ((1 + 2 + 3 + 4 + 5 + 6).toLong, 6L))
+    assert(Kernels.bmpBandSum(img, m, 0, 2) == (28L, 12L)) // row1 = 7,0,0,0,0,0
+  }
+
+  test("bmp parse honors top-down storage and pixel-offset gaps; rejects corrupt payloads") {
+    // width 1 => 2 rows of one pixel each, stride 4 (1 padding byte per row)
+    val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
+    val m0 = Kernels.bmpParse(base)
+    assert(m0 == Kernels.BmpMeta(1, 2, 24, 54, 4, 8, topDown = false))
+    // a TOP-DOWN variant the builder never produces: height := -2 and the
+    // two rows swapped — same logical image, different byte layout
+    val td = base.clone()
+    td(22) = -2; td(23) = -1; td(24) = -1; td(25) = -1 // LE32(-2) at biHeight
+    for (k <- 0 until 4) { td(54 + k) = base(58 + k); td(58 + k) = base(54 + k) }
+    val mt = Kernels.bmpParse(td)
+    assert(mt.topDown && mt.rowOff(0) == 54)
+    assert(Kernels.bmpBandSum(td, mt, 0, 1) == Kernels.bmpBandSum(base, m0, 0, 1))
+    assert(Kernels.bmpBandSum(td, mt, 0, 2) == Kernels.bmpBandSum(base, m0, 0, 2))
+    // a pixel-data GAP (offset 58, 4 junk bytes after the headers) — legal
+    // BMP the builder never emits; the parser must honor the offset field
+    val gap = new Array[Byte](58 + 8)
+    System.arraycopy(base, 0, gap, 0, 54)
+    gap(10) = 58 // bfOffBits: bytes 11-13 stay 0
+    gap(54) = 99; gap(55) = 98; gap(56) = 97; gap(57) = 96 // junk, not pixels
+    System.arraycopy(base, 54, gap, 58, 8)
+    val mg = Kernels.bmpParse(gap)
+    assert(mg.pixOff == 58 &&
+      Kernels.bmpBandSum(gap, mg, 0, 2) == Kernels.bmpBandSum(base, m0, 0, 2))
+    // rejects: bad magic, truncation, RLE compression, zero width, tiny buf
+    val badMagic = base.clone(); badMagic(0) = 'X'
+    assert(Kernels.bmpParse(badMagic) == null)
+    assert(Kernels.bmpParse(base.dropRight(1)) == null)
+    val rle = base.clone(); rle(30) = 1 // BI_RLE8
+    assert(Kernels.bmpParse(rle) == null)
+    val zw = base.clone(); zw(18) = 0
+    assert(Kernels.bmpParse(zw) == null)
+    assert(Kernels.bmpParse(Array[Byte](1, 2, 3)) == null)
   }
 }
