@@ -34,6 +34,7 @@ private[functions] object TypeChecks {
   private def ok(dt: DataType, want: String): Boolean = (dt, want) match {
     case (ArrayType(LongType, _), "array<bigint>") => true
     case (ArrayType(_: StringType, _), "array<string>") => true
+    case (ArrayType(IntegerType, _), "array<int>") => true
     case (ArrayType(FloatType, _), "array<float>") => true
     case (ArrayType(DoubleType, _), "array<double>") => true
     case (IntegerType, "int") => true
@@ -158,6 +159,29 @@ case class DistinctCount(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.distinctCount($a)")
   override protected def withNewChildInternal(c: Expression): DistinctCount = copy(child = c)
   override def prettyName: String = "graft_ndistinct"
+}
+
+/** Span-removal token rebuild: (array<string> tokens, array<int> starts,
+  * int width) -> array<string> of tokens NOT covered by any
+  * [start, start+width) span. Codegen'd O(n + |starts|·width) boolean-mask
+  * kernel — the d81 boilerplate strip evaluates this once per document;
+  * the equivalent `filter(t, (x,i) -> !array_contains(cov, i))` is
+  * O(n·|cov|), quadratic on boilerplate-heavy long docs. */
+case class StripSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, first.dataType -> "array<string>",
+      second.dataType -> "array<int>", third.dataType -> "int")
+  override def dataType: DataType = first.dataType
+  override protected def nullSafeEval(t: Any, p: Any, w: Any): Any =
+    Kernels.stripSpans(t.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, p, w) => s"graft.functions.Kernels.stripSpans($t, $p, $w)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): StripSpans = copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_strip_spans"
 }
 
 /** Random-hyperplane LSH bucket: array<float> -> int. */
@@ -424,6 +448,8 @@ object GraftFunctions {
         .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       es => SortedIntersectSize(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_strip_spans",
+      es => StripSpans(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_ndistinct",
       es => DistinctCount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane",

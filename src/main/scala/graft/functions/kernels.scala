@@ -82,6 +82,37 @@ object Kernels {
     seen.size()
   }
 
+  /** Kept tokens after removing every position covered by a width-`w` span
+    * starting at any index in `starts` (clamped to the token range): the
+    * d81 boilerplate rebuild in O(n + |starts|·w) via a boolean mask —
+    * replaces a per-token array_contains probe that was O(n·|cov|),
+    * quadratic on boilerplate-heavy long documents. */
+  def stripSpans(toks: ArrayData, starts: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val mask = new Array[Boolean](n)
+    val m = starts.numElements()
+    var i = 0
+    while (i < m) {
+      var p = math.max(0, starts.getInt(i))
+      val end = math.min(n, p.toLong + w).toInt
+      while (p < end) { mask(p) = true; p += 1 }
+      i += 1
+    }
+    var kept = 0
+    i = 0
+    while (i < n) { if (!mask(i)) kept += 1; i += 1 }
+    val res = new Array[Any](kept)
+    i = 0; var j = 0
+    while (i < n) {
+      if (!mask(i)) {
+        res(j) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
   /** Intersection size of two ascending-sorted long arrays (single merge
     * pass — no per-row hash-set allocation like array_intersect). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {

@@ -702,9 +702,11 @@ object DedupOps {
     // push ordinary grams over any fixed bar). Scale shape: one
     // gram-keyed distinct-doc-count agg, one semi-join back (reuses the
     // gram partitioning), one per-doc position collect (bounded by doc
-    // length), and the span-cover + rebuild are scan-local array lambdas —
-    // linear in corpus tokens, no pairwise anything.
+    // length), and the span-cover + rebuild run in the graft_strip_spans
+    // boolean-mask kernel, O(tokens + flagged·width) per doc — linear in
+    // corpus tokens, no pairwise anything, no quadratic cover probe.
     "d81_boilerplate_strip" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val t = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       // persisted: the df-count branch AND the position-probe branch both
@@ -724,10 +726,8 @@ object DedupOps {
       // orderBy's range-partitioner sampling otherwise re-executes the whole
       // gram/strip subtree a second time (measured 4.4 s vs 1.4 s)
       persistKeyed(s, s"d81:$dir", t.join(flagged, Seq("doc_id"), "left")
-        .withColumn("cov", array_distinct(flatten(transform(
-          coalesce(col("fp"), array().cast("array<int>")),
-          p => sequence(p, p + 2)))))
-        .withColumn("kept", filter(col("t"), (x, i) => !array_contains(col("cov"), i)))
+        .withColumn("kept", expr(
+          "graft_strip_spans(t, coalesce(fp, cast(array() as array<int>)), 3)"))
         .select(col("doc_id"), size(col("t")).as("n_tok"),
           (size(col("t")) - size(col("kept"))).as("n_removed"),
           concat_ws(" ", col("kept")).as("cleaned")))

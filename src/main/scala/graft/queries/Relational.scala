@@ -329,15 +329,18 @@ object Relational {
     // DataFrame form makes it explicit). The brand filter lands on `part`
     // (tiny → broadcast both into the fact scan), so the per-key agg runs
     // over the brand's lineitems only — partkey determines brand, so this
-    // matches the classic all-lineitem inner query. avg = exact-int sum /
-    // count: one IEEE divide, bit-equal in both engines.
+    // matches the classic all-lineitem inner query. The threshold's sum
+    // goes through DECIMAL (the dsum discipline): a raw double avg would
+    // make the cutoff depend on partial-sum order if quantities were ever
+    // fractional; decimal-sum / count is one IEEE divide, order-independent
+    // and bit-equal in both engines.
     "q73_small_qty_revenue" -> ((s, dir) => {
       val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#1")
         .select(col("p_partkey")))
       val l = t(s, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey"))
       val thr = l.groupBy(col("l_partkey").as("tk"))
-        .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+        .agg((dsum(col("l_quantity"), 2) / count(lit(1)) * 0.2).as("thr"))
       l.join(thr, col("l_partkey") === col("tk"))
         .filter(col("l_quantity") < col("thr"))
         .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
@@ -354,8 +357,11 @@ object Relational {
       val heavy = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType))
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        // DECIMAL sum: the >60 HAVING cutoff must not depend on double
+        // partial-sum order (exact today on integer-valued quantities,
+        // exact always this way)
         .groupBy(col("l_suppkey"), col("l_partkey"))
-        .agg(sum(col("l_quantity")).as("q"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
         .filter(col("q") > 60)
         .select(col("l_suppkey")) // no distinct: semi join ignores dup build rows
       t(s, dir, "supplier")
@@ -1211,7 +1217,9 @@ object Relational {
         | SELECT l_partkey, l_quantity, l_extendedprice
         | FROM lineitem JOIN part ON p_partkey = l_partkey
         | WHERE p_brand = 'Brand#1'),
-        |thr AS (SELECT l_partkey AS tk, 0.2 * avg(l_quantity) AS thr
+        |thr AS (SELECT l_partkey AS tk,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 0.2 AS thr
         |        FROM l GROUP BY 1)
         |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |  AS avg_yearly
@@ -1225,7 +1233,7 @@ object Relational {
         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  GROUP BY l_suppkey, l_partkey
-        |  HAVING sum(l_quantity) > 60)
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60)
         |ORDER BY s_suppkey""".stripMargin,
 
     "q75_acct_outliers" ->

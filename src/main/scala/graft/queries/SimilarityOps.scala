@@ -1034,6 +1034,10 @@ object SimilarityOps {
         .repartition(s.sparkContext.defaultParallelism)
       val short = q.crossJoin(c)
         .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
+        // NaN sims (zero-norm vectors) must go BEFORE the top-R aggregate:
+        // graft_topk_pairs ranks NaN as largest, so an unrankable candidate
+        // would otherwise occupy a shortlist slot and evict a real one
+        .filter(!isnan(col("sim")))
         .groupBy(col("qid"))
         .agg(expr("graft_topk_pairs(sim, nid, 20)").as("top"))
         .select(col("qid"), explode(col("top")).as("p"))
@@ -1044,10 +1048,10 @@ object SimilarityOps {
         .select(col("qid"), col("nid"), col("simq"), col("cv"))
         .as[(Long, Long, Double, Array[Float])]
       cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
-        // NaN shortlist scores (graft_cosine's zero-norm contract) can't be
-        // ranked — drop them up front so the greedy argmax always finds a
-        // candidate; the diversity term reuses the SAME kernel arithmetic
-        // (Kernels.cosineFloat overload), nothing hand-rolled
+        // NaN scores are filtered before the shortlist aggregate; this is a
+        // defensive second layer only. The diversity term reuses the SAME
+        // kernel arithmetic (Kernels.cosineFloat overload), nothing
+        // hand-rolled
         val rows = it.toArray.filter(r => !r._3.isNaN).sortBy(r => (-r._3, r._2))
         val cos = graft.functions.Kernels.cosineFloat(_: Array[Float], _: Array[Float])
         val lambda = 0.5

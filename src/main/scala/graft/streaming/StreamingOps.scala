@@ -448,22 +448,37 @@ object StreamingOps {
     * strictly earlier events, so the decision never peeks at itself), once
     * at least `minSamples` prior events exist. State per user is three
     * numbers (n, sum, sumSq) — constant-size regardless of history length,
-    * the Welford-style bound that survives unbounded streams (and TTL can
-    * age out idle users). Within a micro-batch events are processed in
-    * (ts, event_id) order, so replaying batches in event-time order
-    * converges to the batch prior-window computation — spec-proven.
+    * the Welford-style bound that survives unbounded streams.
+    *
+    * Ordering contract (API-level): state accumulates in ARRIVAL order.
+    * Within a micro-batch events are sorted by (ts, event_id), so equality
+    * with the batch prior-window mirror holds exactly when batches arrive
+    * in event-time order — the replay/backfill regime, proven by the
+    * multi-batch spec (maxFilesPerTrigger=1). Under out-of-order
+    * cross-batch arrival the prior is "all events seen so far" — the
+    * standard online-scoring model; flags stay well-defined but are not
+    * the event-time frame. Callers needing the exact frame under disorder
+    * should buffer by watermark upstream before this operator.
+    *
+    * `ttl` ages out idle users' state (processing-time TTL, switches the
+    * processor to TimeMode.ProcessingTime): an idle user costs nothing
+    * after expiry and their stats restart cold — the bounded-state knob
+    * for 100 TB streams with churning user populations; eviction
+    * spec-proven via the state-store row count.
     * Output: (user_id, event_id, n_prior, is_anomaly). */
   def anomalyFlags(spark: SparkSession, events: DataFrame,
-      minSamples: Int = 5, z: Double = 3.0): DataFrame = {
+      minSamples: Int = 5, z: Double = 3.0,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders => Encs}
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     class AnomalyProcessor
         extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Long, Boolean)] {
       @transient private var stats: org.apache.spark.sql.streaming.ValueState[RunStats] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         stats = getHandle.getValueState[RunStats]("stats",
-          Encs.product[RunStats], TTLConfig.NONE)
+          Encs.product[RunStats], ttlConfig)
       override def handleInputRows(key: Long,
           rows: Iterator[(Long, Long, Long, Double)],
           timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
@@ -487,7 +502,9 @@ object StreamingOps {
         col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
-      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new AnomalyProcessor,
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
       .toDF("user_id", "event_id", "n_prior", "is_anomaly")
   }
 

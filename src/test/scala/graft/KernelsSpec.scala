@@ -186,6 +186,38 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.wavStats8(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("strip spans masks covered positions in O(n): equals the array_contains form") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Any*) = new GenericArrayData(xs.map {
+      case s: String => UTF8String.fromString(s)
+      case x => x
+    }.toArray)
+    def run(toks: Seq[String], starts: Seq[Int], w: Int): Seq[String] = {
+      val r = Kernels.stripSpans(arr(toks: _*), arr(starts: _*), w)
+      (0 until r.numElements()).map(i => r.getUTF8String(i).toString)
+    }
+    // reference semantics: token i survives iff no start p has p <= i < p+w
+    def brute(toks: Seq[String], starts: Seq[Int], w: Int): Seq[String] =
+      toks.zipWithIndex.collect {
+        case (t, i) if !starts.exists(p => p <= i && i < p + w) => t
+      }
+    val toks = Seq("a", "b", "c", "d", "e", "f", "g")
+    for (starts <- Seq(Seq.empty[Int], Seq(0), Seq(5), Seq(6), Seq(1, 3), Seq(0, 2, 4, 6)))
+      assert(run(toks, starts, 3) == brute(toks, starts, 3), s"starts=$starts")
+    // span clamped at the array end; overlapping spans; empty input
+    assert(run(Seq("x"), Seq(0), 3) == Nil)
+    assert(run(Nil, Seq(0, 1), 3) == Nil)
+    // randomized equivalence over longer docs
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(40)
+      val ts = (0 until n).map(i => s"t$i")
+      val ss = Seq.fill(rnd.nextInt(10))(rnd.nextInt(n))
+      assert(run(ts, ss, 3) == brute(ts, ss, 3))
+    }
+  }
+
   test("bmp build emits a valid 24bpp DIB; parse round-trips the geometry") {
     // 7 payload bytes -> 3 pixels; width 2 => height 2; stride ((6+3)/4)*4=8
     val img = Kernels.bmpBuild(Array[Byte](1, 2, 3, 4, 5, 6, 7), 2)

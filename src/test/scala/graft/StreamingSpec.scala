@@ -224,6 +224,146 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Write `df` as ONE parquet file at `dest` with an explicit modification
+    * time — the file source orders batches by (modTime, path), so ascending
+    * stamps give deterministic multi-batch arrival order. */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+      dest: java.nio.file.Path, lastMod: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-onefile-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part, dest)
+    assert(dest.toFile.setLastModified(lastMod))
+    dest.toFile.deleteOnExit(); tmp.toFile.deleteOnExit()
+  }
+
+  /** The batch prior-window mirror of anomalyFlags (same formula, z=3,
+    * minSamples=5) over a (user_id, event_id, ts, value) frame. */
+  private def anomalyMirror(events: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sd = sqrt(greatest(col("s2") / col("n") -
+      (col("s") / col("n")) * (col("s") / col("n")), lit(0.0)))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        count(col("value")).over(w).as("n"),
+        sum(col("value")).over(w).as("s"),
+        sum(col("value") * col("value")).over(w).as("s2"))
+      .select(col("user_id"), col("event_id"), col("n"),
+        (col("n") >= 5 && sd > 0.0 &&
+          abs(col("value") - col("s") / col("n")) > lit(3.0) * sd).as("an"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("anomaly flags across MULTIPLE micro-batches (event-time-ordered arrival) converge to the batch mirror") {
+    // the single-batch convergence test can't exercise cross-batch state
+    // carry-over; here the corpus is split into 3 event-time ranges fed as
+    // 3 separate micro-batches (maxFilesPerTrigger=1, ascending mod times)
+    // — the documented ordered-arrival regime of the API contract
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      // cut on ts: the contract needs event-time-ordered batch arrival
+      val Array(t1, t2) = ev.selectExpr("cast(ts as double) d")
+        .stat.approxQuantile("d", Array(0.33, 0.66), 0.0)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-mb-")
+      val base = System.currentTimeMillis() - 600000
+      writeOneFile(ev.filter(col("ts").cast("double") <= t1),
+        streamDir.resolve("b1.parquet"), base)
+      writeOneFile(ev.filter(col("ts").cast("double") > t1 && col("ts").cast("double") <= t2),
+        streamDir.resolve("b2.parquet"), base + 60000)
+      writeOneFile(ev.filter(col("ts").cast("double") > t2),
+        streamDir.resolve("b3.parquet"), base + 120000)
+      val stream = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.anomalyFlags(spark, stream), "anomalies_mb", OutputMode.Append)
+      try {
+        val streamed = spark.table("anomalies_mb")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .sortBy(t => (t._1, t._2))
+        assert(q.lastProgress != null && q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "expected at least 3 non-empty micro-batches")
+        val batch = anomalyMirror(ev)
+        assert(streamed.length == batch.length)
+        val bad = streamed.zip(batch).filter { case (a, b) => a != b }
+        assert(bad.isEmpty, s"first diffs: ${bad.take(3).mkString(", ")}")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("anomaly state ages out under TTL: idle user's stats restart cold and the state store stays bounded") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      def mkBatch(uid: Long, eids: Range, tsBase: Long): org.apache.spark.sql.DataFrame =
+        eids.map(e => (uid, e.toLong,
+          new java.sql.Timestamp(tsBase + e * 1000L), 10.0 + (e % 3)))
+          .toDF("user_id", "event_id", "ts", "value")
+      // TimeMode.ProcessingTime (which TTL requires) makes the engine run
+      // batches CONTINUOUSLY to fire expiry work, so processAllAvailable
+      // never settles — each phase instead runs Trigger.AvailableNow to
+      // completion, sharing one checkpoint so state survives between runs
+      // (also the realistic incremental-job shape for TTL'd pipelines)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-ttl-")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl-ckpt-")
+      val base = System.currentTimeMillis() - 600000
+      val collected = scala.collection.mutable.Map.empty[Long, Long] // event_id -> n_prior
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQueryProgress = {
+        val stream = spark.readStream
+          .schema("user_id long, event_id long, ts timestamp, value double")
+          .parquet(streamDir.toString)
+        val q = StreamingOps.anomalyFlags(spark, stream,
+            ttl = Some(java.time.Duration.ofMillis(500)))
+          .writeStream.outputMode(OutputMode.Append)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+            collected.synchronized { collected ++= rows }: Unit
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000) finally q.stop()
+        q.lastProgress
+      }
+      writeOneFile(mkBatch(1L, 0 until 8, 1000000L), streamDir.resolve("b1.parquet"), base)
+      runOnce()
+      assert(collected.get(7L).contains(7L), "batch 1 should accumulate prior counts 0..7")
+      Thread.sleep(1500) // comfortably past the 500 ms TTL
+      // the SAME user returns after idling past the TTL: state must have
+      // expired, so prior counts restart from 0 instead of continuing at 8
+      writeOneFile(mkBatch(1L, 100 until 103, 2000000L),
+        streamDir.resolve("b2.parquet"), base + 60000)
+      val prog2 = runOnce()
+      val b2 = collected.toMap
+      assert(b2.get(100L).contains(0L) && b2.get(101L).contains(1L) && b2.get(102L).contains(2L),
+        s"expired state must restart cold, got ${b2.view.filterKeys(_ >= 100).toMap}")
+      // state-store boundedness: one live key's value row (plus at most its
+      // TTL-index bookkeeping) — churned keys don't accumulate
+      val st = Option(prog2).toSeq.flatMap(_.stateOperators)
+      assert(st.nonEmpty && st.head.numRowsTotal <= 2,
+        s"state rows not bounded by live keys: ${st.map(_.numRowsTotal).mkString(",")}")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("bounded-state streaming dedup (dropDuplicatesWithinWatermark) converges to batch distinct") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.dedupBounded(StreamingOps.eventsStream(spark, dir)),
