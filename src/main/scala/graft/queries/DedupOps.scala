@@ -461,6 +461,47 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Variable-length exact-substring match per doc pair (the suffix-array
+    * capability of Lee et al.'s dedup, re-expressed Spark-first): for every
+    * pair sharing a token span of >= `W` tokens, the LONGEST shared span
+    * length and the number of maximal shared spans — without a suffix
+    * array and without any iterative extend loop.
+    *
+    * Key identity: a shared span of length L >= W contains exactly
+    * L − W + 1 aligned anchor W-grams, all with the SAME alignment offset
+    * pa − pb. So: explode positional W-grams, equi-join on the gram string
+    * (exact — no hash collisions), and inside each (pair, offset) group
+    * find maximal runs of consecutive pa via gaps-and-islands
+    * (pa − row_number() is constant within a run); longest span =
+    * max run + W − 1. One gram-keyed shuffle join + one window + two
+    * aggregates — every stage partition-parallel.
+    *
+    * Scale: gram-join fan-out concentrates on hot anchors exactly like
+    * d52's hot shingles (same salting remedy); at corpus scale you run
+    * d81's boilerplate strip FIRST so template 8-grams don't anchor-join
+    * the world (capping anchor df would bound the join but shortens
+    * reported runs — kept exact here). */
+  private[graft] def longestSharedSpans(docs: DataFrame, W: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        posexplode(QueryUtil.wordNgrams(col("t"), W)).as(Seq("p", "g")))
+    val m = g.select(col("doc_id").as("ida"), col("p").as("pa"), col("g"))
+      .join(g.select(col("doc_id").as("idb"), col("p").as("pb"), col("g")), Seq("g"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("pa"), col("pb"))
+    val w = Window.partitionBy(col("ida"), col("idb"), col("d")).orderBy(col("pa"))
+    m.withColumn("d", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("ida"), col("idb"), col("d"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("ida"), col("idb"))
+      .agg((max(col("run")) + lit(W - 1)).as("longest_tok"),
+        count(lit(1)).as("n_spans"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Word-level exact-substring (boilerplate) detection over 8-gram
     // windows; full DuckDB oracle (md5 window keys are engine-portable).
@@ -733,6 +774,16 @@ object DedupOps {
           concat_ws(" ", col("kept")).as("cleaned")))
         .orderBy(col("doc_id"))
     }),
+
+    // Variable-length exact-substring dedup (suffix-array capability, no
+    // suffix array): longest shared token span >= 8 per doc pair via
+    // anchor-gram join + aligned-run reconstruction — see
+    // [[longestSharedSpans]] for the identity and the scale story. Exact
+    // (string-keyed anchors, no hashing) and fully oracle-able; the
+    // brute-force DP equivalence is additionally spec-proven on planted
+    // spans.
+    "d83_longest_span" -> ((s, dir) =>
+      longestSharedSpans(Tables.load(s, dir, "documents"), W = 8)),
 
     // First-occurrence novelty scoring — the incremental-crawl value
     // metric: what fraction of a doc's distinct shingles appear in NO
@@ -1716,6 +1767,34 @@ object DedupOps {
         | CAST(len(s) - len(kept) AS INTEGER) AS n_removed,
         | coalesce(array_to_string(kept, ' '), '') AS cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Same anchor-gram + gaps-and-islands identity, mirrored: 8-gram
+    // positional windows, string-keyed join, run = consecutive pa within
+    // (pair, pa-pb), longest = max run + 7.
+    "d83_longest_span" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents),
+        |g AS (
+        | SELECT doc_id, u['p'] AS p, u['g'] AS g FROM (
+        |  SELECT doc_id,
+        |   unnest([{'p': i-1, 'g': s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]
+        |     ||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]}
+        |           for i in range(1, len(s)-6)]) AS u
+        |  FROM t)),
+        |m AS (
+        | SELECT a.doc_id AS ida, b.doc_id AS idb, a.p AS pa, b.p AS pb
+        | FROM g a JOIN g b USING (g) WHERE a.doc_id < b.doc_id),
+        |isl AS (
+        | SELECT ida, idb, pa,
+        |  pa - row_number() OVER (PARTITION BY ida, idb, pa - pb ORDER BY pa) AS isl,
+        |  pa - pb AS d
+        | FROM m),
+        |sp AS (
+        | SELECT ida, idb, count(*) AS run
+        | FROM isl GROUP BY ida, idb, d, isl)
+        |SELECT ida, idb, CAST(max(run) + 7 AS BIGINT) AS longest_tok,
+        | count(*) AS n_spans
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d79_novelty" ->
       """WITH sh AS (

@@ -871,4 +871,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tiled == brute,
       s"missing ${brute.diff(tiled)}, extra ${tiled.diff(brute)}")
   }
+
+  test("d83 longest shared span equals brute-force token-level substring matching (planted spans)") {
+    import spark.implicits._
+    val W = 8
+    // doc-unique noise vocab guarantees only the PLANTED spans cross docs
+    def noise(id: Long, n: Int) = (0 until n).map(i => s"n${id}_$i")
+    val span12 = (0 until 12).map(i => s"S$i")
+    val span8 = (0 until W).map(i => s"T$i")
+    val docs: Seq[(Long, Seq[String])] = Seq(
+      1L -> (noise(1, 20) ++ span12 ++ noise(1, 15)),
+      2L -> (noise(2, 5) ++ span12 ++ noise(2, 30) ++ span8),
+      3L -> (span8 ++ noise(3, 25)),
+      4L -> noise(4, 40), // shares nothing
+      5L -> (noise(5, 10) ++ span12.take(W - 1) ++ noise(5, 10)), // sub-threshold
+      6L -> (span8 ++ noise(6, 12) ++ span8) // repeated span => 2 alignments
+    )
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = queries.DedupOps.longestSharedSpans(df, W).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // brute force: for every alignment offset, maximal equal-token runs
+    def spansFor(a: IndexedSeq[String], b: IndexedSeq[String]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      for (d <- -(b.length - 1) to (a.length - 1)) {
+        var run = 0
+        val lo = math.max(0, d); val hi = math.min(a.length, b.length + d)
+        var i = lo
+        while (i < hi) {
+          if (a(i) == b(i - d)) run += 1
+          else { if (run >= W) out += run; run = 0 }
+          i += 1
+        }
+        if (run >= W) out += run
+      }
+      out.result()
+    }
+    val exp = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      sp = spansFor(docs(i)._2.toIndexedSeq, docs(j)._2.toIndexedSeq)
+      if sp.nonEmpty
+    } yield ((docs(i)._1, docs(j)._1), (sp.max.toLong, sp.size.toLong))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // the planted structure, spelled out: exact span lengths, sub-threshold
+    // overlap absent, repeated span counted once per alignment
+    assert(got((1L, 2L)) == ((12L, 1L)))
+    assert(got((2L, 3L)) == ((8L, 1L)))
+    assert(got((3L, 6L)) == ((8L, 2L)))
+    assert(!got.contains((1L, 5L)) && !got.contains((2L, 5L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
