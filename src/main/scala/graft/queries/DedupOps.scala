@@ -461,6 +461,29 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** d63's per-(source, quality-keep, split) partial aggregates — ONE
+    * shared stage for the one-shot report (d63), the delta refresh (d84)
+    * and the stored-state spec, so the three cannot drift. The aggregate
+    * is algebraic: (n_docs, n_tokens) merge by addition, which is what
+    * makes the report incrementally maintainable. */
+  private[graft] def reportPartials(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        QueryUtil.qualityKeep(col("text")).as("keep"),
+        QueryUtil.splitAssign(col("doc_id")).as("split"),
+        QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"), col("keep"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** Refreshed data card = stored report state ⊕ a new batch's partials —
+    * a pure additive merge, no corpus rescan; ≡ full recompute (d84's
+    * driver oracle + the chained-delta spec). State rows are
+    * group-cardinality-sized, so this costs O(batch) at any corpus. */
+  private[graft] def reportDelta(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(reportPartials(batch))
+      .groupBy(col("source"), col("keep"), col("split"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
   /** Variable-length exact-substring match per doc pair (the suffix-array
     * capability of Lee et al.'s dedup, re-expressed Spark-first): for every
     * pair sharing a token span of >= `W` tokens, the LONGEST shared span
@@ -959,14 +982,25 @@ object DedupOps {
     // the same predicate t50/d58 use, so the card can't drift from the
     // pipeline) and d58's split rule; one partial/final aggregate over a
     // single scan — scan-bound at any corpus size.
-    "d63_corpus_report" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
-        .select(col("source"),
-          QueryUtil.qualityKeep(col("text")).as("keep"),
-          QueryUtil.splitAssign(col("doc_id")).as("split"),
-          QueryUtil.tokenCount(col("text")).cast(LongType).as("n_tok"))
-        .groupBy(col("source"), col("keep"), col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    "d63_corpus_report" -> ((s, dir) =>
+      reportPartials(Tables.load(s, dir, "documents"))
+        .orderBy(col("source"), col("keep"), col("split"))),
+
+    // INCREMENTAL corpus report — the data card refreshed by a new batch
+    // WITHOUT rescanning the corpus: d63's aggregate is algebraic (counts
+    // + token sums merge by addition), so its grouped rows ARE the
+    // partial-agg state. Here the corpus plays base (doc_id % 10 != 0) and
+    // batch (== 0) roles; the refreshed card = stored state ⊕ batch
+    // partials, and the ORACLE is d63's full-recompute SQL over everything
+    // — the driver hash-match IS the delta ≡ recompute proof. The
+    // bucketed-storage round-trip and delta chaining are spec-proven
+    // (OperatorsSpec). Scale: the state is group-cardinality-sized
+    // (sources × 2 × splits), the batch scan is batch-sized — refresh cost
+    // is independent of corpus size.
+    "d84_report_delta" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      reportDelta(reportPartials(docs.filter(col("doc_id") % 10 =!= 0)),
+          docs.filter(col("doc_id") % 10 === 0))
         .orderBy(col("source"), col("keep"), col("split"))
     }),
 
@@ -1715,6 +1749,16 @@ object DedupOps {
          |ORDER BY l.doc_id""".stripMargin,
 
     "d63_corpus_report" ->
+      s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,
+         |  ${QueryUtil.oracleSplitCase} AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${QueryUtil.oracleTokenCount}) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the delta ≡ recompute proof: the oracle is the FULL one-shot report
+    // over all documents; Spark's side got there via stored-state merge
+    "d84_report_delta" ->
       s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,
          |  ${QueryUtil.oracleSplitCase} AS split,
          |  count(*) AS n_docs,

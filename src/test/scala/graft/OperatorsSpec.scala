@@ -484,6 +484,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental corpus report: stored bucketed state + chained deltas == full recompute") {
+    import graft.queries.DedupOps
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      // three arrival waves; state persisted as a bucketed table between them
+      val w1 = docs.filter(col("doc_id") % 3 === 0)
+      val w2 = docs.filter(col("doc_id") % 3 === 1)
+      val w3 = docs.filter(col("doc_id") % 3 === 2)
+      DedupOps.reportPartials(w1).write.mode("overwrite")
+        .bucketBy(4, "source").sortBy("source", "keep", "split")
+        .saveAsTable("report_state")
+      // refresh with wave 2, store back, refresh with wave 3
+      DedupOps.reportDelta(spark.table("report_state"), w2)
+        .write.mode("overwrite").bucketBy(4, "source")
+        .sortBy("source", "keep", "split").saveAsTable("report_state2")
+      val refreshed = DedupOps.reportDelta(spark.table("report_state2"), w3)
+        .collect().map(_.toString).sorted.toSeq
+      val full = DedupOps.reportPartials(docs)
+        .collect().map(_.toString).sorted.toSeq
+      assert(refreshed.nonEmpty && refreshed == full,
+        s"chained delta diverges from recompute: ${refreshed.diff(full).take(3)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS report_state")
+      spark.sql("DROP TABLE IF EXISTS report_state2")
+    }
+  }
+
   test("ingestion dedup: stored corpus index probes without reshuffling either stored table; probe == in-memory d65") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
