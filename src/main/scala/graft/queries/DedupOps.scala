@@ -461,6 +461,42 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** d81's boilerplate strip-and-rebuild over an ARBITRARY tokenized frame
+    * (doc_id, t: array<string>) — ONE definition shared by the d81
+    * contract query and the d82 pipeline stage, so the cleaning rule
+    * cannot drift. Every token covered by a 3-gram occurring in
+    * >= greatest(5, 0.3% of docs) of the INPUT frame is cut (the
+    * corpus-proportional threshold — a fixed df cutoff degenerates under
+    * growth, measured in r8) and the text is rebuilt from survivors via
+    * the graft_strip_spans boolean-mask kernel (O(tokens) per doc).
+    * Returns (doc_id, n_tok, n_removed, kept, cleaned); the gram table
+    * and the per-doc result are memo-persisted under `cacheKey` — the
+    * result BEFORE any sort, because orderBy's range-sampling job
+    * otherwise re-executes the whole subtree (measured 4.4 s vs 1.4 s). */
+  private[graft] def boilerplateStripFrame(s: SparkSession, cacheKey: String,
+      t: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    // persisted: the df-count branch AND the position-probe branch both
+    // read the positional gram table — without the memo the wordNgrams
+    // subtree computes twice per run
+    val grams = persistKeyed(s, s"$cacheKey:grams", t.select(col("doc_id"),
+      posexplode(QueryUtil.wordNgrams(col("t"), 3)).as(Seq("p", "g"))))
+    // integer threshold, identical arithmetic in the oracle: both engines
+    // compute greatest(5, ceil(n_docs*3/1000)) from the same exact count
+    val thr = t.agg(greatest(lit(5L), ceil(count(lit(1)) * 3 / 1000.0)).as("thr"))
+    val hot = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .join(broadcast(thr)).filter(col("dfc") >= col("thr")).select(col("g"))
+    val flagged = grams.join(hot, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("fp"))
+    persistKeyed(s, s"$cacheKey:out", t.join(flagged, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "graft_strip_spans(t, coalesce(fp, cast(array() as array<int>)), 3)"))
+      .select(col("doc_id"), size(col("t")).as("n_tok"),
+        (size(col("t")) - size(col("kept"))).as("n_removed"),
+        col("kept"), concat_ws(" ", col("kept")).as("cleaned")))
+  }
+
   /** d63's per-(source, quality-keep, split) partial aggregates — ONE
     * shared stage for the one-shot report (d63), the delta refresh (d84)
     * and the stored-state spec, so the three cannot drift. The aggregate
@@ -769,33 +805,98 @@ object DedupOps {
     // length), and the span-cover + rebuild run in the graft_strip_spans
     // boolean-mask kernel, O(tokens + flagged·width) per doc — linear in
     // corpus tokens, no pairwise anything, no quadratic cover probe.
-    "d81_boilerplate_strip" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val t = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      // persisted: the df-count branch AND the position-probe branch both
-      // read the positional gram table — without the memo the wordNgrams
-      // subtree computes twice per run
-      val grams = persistKeyed(s, s"posgrams:$dir", t.select(col("doc_id"),
-        posexplode(QueryUtil.wordNgrams(col("t"), 3)).as(Seq("p", "g"))))
-      // integer threshold, identical arithmetic in the oracle: both engines
-      // compute greatest(5, ceil(n_docs/100)) from the same exact count
-      val thr = t.agg(greatest(lit(5L), ceil(count(lit(1)) * 3 / 1000.0)).as("thr"))
-      val hot = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("dfc"))
-        .join(broadcast(thr)).filter(col("dfc") >= col("thr")).select(col("g"))
-      val flagged = grams.join(hot, Seq("g"), "left_semi")
-        .groupBy(col("doc_id")).agg(collect_set(col("p")).as("fp"))
-      // the per-doc result (corpus-row-sized) is persisted BEFORE the sort:
-      // orderBy's range-partitioner sampling otherwise re-executes the whole
-      // gram/strip subtree a second time (measured 4.4 s vs 1.4 s)
-      persistKeyed(s, s"d81:$dir", t.join(flagged, Seq("doc_id"), "left")
-        .withColumn("kept", expr(
-          "graft_strip_spans(t, coalesce(fp, cast(array() as array<int>)), 3)"))
-        .select(col("doc_id"), size(col("t")).as("n_tok"),
-          (size(col("t")) - size(col("kept"))).as("n_removed"),
-          concat_ws(" ", col("kept")).as("cleaned")))
-        .orderBy(col("doc_id"))
+    "d81_boilerplate_strip" -> ((s, dir) =>
+      boilerplateStripFrame(s, s"d81:$dir",
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")))
+        .drop("kept")
+        .orderBy(col("doc_id"))),
+
+    // PIPELINE V3 — the r8 cleaning/scoring family composed as ONE
+    // declarative DAG (the d69 discipline, next-generation stages): Gopher
+    // gate (QueryUtil.gopherCols — t65's SHARED rule battery) → boilerplate
+    // strip-and-rebuild (boilerplateStripFrame — d81's SHARED stage, df
+    // threshold computed on the gated set) → decontamination score on the
+    // CLEANED text vs the untouched eval benchmark (d76's rule; drop
+    // contam_frac >= 0.2) → novelty floor among survivors (d79's
+    // first-occurrence rule; keep novelty >= 0.3, shingle-less docs cannot
+    // prove novelty and drop) → sqrt-temperature mixture weights (t60's
+    // quantized-exact-normalizer discipline, budget = surviving token
+    // total so epochs average 1) feeding d66's deterministic epoch
+    // upsampling (upsampleMixture — SHARED). Output: one audit row per
+    // source carrying every stage's cardinality; the oracle recomputes the
+    // whole DAG, so drift in ANY stage breaks the hash. All fractions are
+    // corpus-proportional (no fixed cutoffs to degenerate under growth).
+    // Scale: scalar gates fuse into the scan; the shuffles are the
+    // semantic ones (gram df, shingle probe, novelty min, source aggs) —
+    // composition costs what its stages cost.
+    "d82_pipeline_v3" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val src = train.select(col("doc_id"), col("source"))
+      val gated = train.filter(QueryUtil.gopherKeep(col("text")))
+      val stripped = boilerplateStripFrame(s, s"d82:$dir",
+        gated.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")))
+      // distinct 3-gram shingles of the CLEANED stream, persisted: the
+      // contamination probe, the novelty agg and the audit all read it
+      val tsh = persistKeyed(s, s"d82sh:$dir", stripped
+        .select(col("doc_id"), (col("n_tok") - col("n_removed")).as("n_clean"),
+          array_distinct(QueryUtil.wordNgrams(col("kept"), 3)).as("shs")))
+      val evalSh = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(QueryUtil.wordNgrams(
+          split(trim(col("text")), "\\s+"), 3))).as("sh"))
+        .distinct()
+      val hits = tsh.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(evalSh, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val decont = persistKeyed(s, s"d82dc:$dir", tsh
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_clean"), col("shs"),
+          size(col("shs")).as("n_sh"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .filter(col("n_sh") === 0 ||
+          col("n_hit").cast(DoubleType) / col("n_sh") < 0.2))
+      val sh2 = decont.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val first = sh2.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+      val nov = sh2.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh2"),
+          count(when(col("first_id") === col("doc_id"), 1)).as("n_new"))
+        .filter(col("n_new").cast(DoubleType) / col("n_sh2") >= 0.3)
+        .select(col("doc_id"))
+      val kept = decont.join(nov, Seq("doc_id"), "left_semi")
+        .join(src, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_clean"))
+      val perSrc = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_clean")).as("tok_src"))
+        .withColumn("wq",
+          floor(sqrt(col("tok_src").cast(DoubleType)) * 1000000.0d).cast(LongType))
+      val tot = perSrc.agg(sum(col("wq")).as("wsum"), sum(col("tok_src")).as("tbudget"))
+      val withW = perSrc.crossJoin(broadcast(tot))
+        .withColumn("share", col("wq").cast(DoubleType) / col("wsum").cast(DoubleType))
+        .withColumn("epochs", col("share") * col("tbudget").cast(DoubleType)
+          / col("tok_src").cast(DoubleType))
+      val up = upsampleMixture(
+        kept.join(broadcast(withW.select(col("source"), col("epochs"))), "source"),
+        col("epochs"))
+      val finalN = up.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_clean")).as("n_tokens"))
+      val rawN = train.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      val gatedN = gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+      val decontN = decont.join(src, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_decontam"))
+      rawN.join(gatedN, Seq("source"), "left")
+        .join(decontN, Seq("source"), "left")
+        .join(withW.select(col("source"), col("n_kept"), col("epochs")),
+          Seq("source"), "left")
+        .join(finalN, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("epochs"), lit(0.0d)).as("epochs"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy(col("source"))
     }),
 
     // Variable-length exact-substring dedup (suffix-array capability, no
@@ -1811,6 +1912,98 @@ object DedupOps {
         | CAST(len(s) - len(kept) AS INTEGER) AS n_removed,
         | coalesce(array_to_string(kept, ' '), '') AS cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Full-DAG mirror of pipeline v3: every stage recomputed in SQL (gate
+    // → strip → contamination → novelty → weights → upsample → audit), so
+    // the hash-match proves ALL stage rules and their composition at once.
+    // Parity notes: share and epochs follow Spark's exact operation order
+    // (wq/wsum, then ·budget, then /tok); sqrt is IEEE-correctly-rounded
+    // both sides; the quantized wq normalizer sums as exact BIGINTs; the
+    // floor/frac upsample rule is the proven d66/d69 arithmetic.
+    "d82_pipeline_v3" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+        |gt AS (SELECT * FROM train WHERE ${QueryUtil.oracleGopherKeep}),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS s FROM gt),
+        |g2 AS (SELECT doc_id, u['p'] AS p, u['g'] AS gg FROM (
+        |  SELECT doc_id, unnest([{'p': i-1, 'g': s[i]||' '||s[i+1]||' '||s[i+2]}
+        |    for i in range(1, len(s)-1)]) AS u FROM t)),
+        |thr AS (SELECT greatest(5, CAST(ceil(count(*) * 3 / 1000.0) AS BIGINT)) AS v
+        |        FROM t),
+        |hot AS (SELECT gg FROM g2 GROUP BY gg
+        |        HAVING count(DISTINCT doc_id) >= (SELECT v FROM thr)),
+        |fl AS (SELECT doc_id, list(DISTINCT p) AS fp FROM g2
+        |       WHERE gg IN (SELECT gg FROM hot) GROUP BY 1),
+        |rec AS (SELECT t.doc_id, s, coalesce(fp, []) AS fp
+        |        FROM t LEFT JOIN fl USING (doc_id)),
+        |cov AS (SELECT doc_id, s,
+        |         list_distinct(flatten([[p, p+1, p+2] for p in fp])) AS covered
+        |        FROM rec),
+        |k AS (SELECT doc_id,
+        |       [s[i] for i in range(1, len(s)+1)
+        |        if NOT list_contains(covered, i-1)] AS kept
+        |      FROM cov),
+        |cl AS (SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_clean,
+        |        list_distinct([kept[i]||' '||kept[i+1]||' '||kept[i+2]
+        |          FOR i IN range(1, len(kept)-1)]) AS shs
+        |       FROM k),
+        |esh AS (SELECT DISTINCT unnest(list_distinct(
+        |   [s[i]||' '||s[i+1]||' '||s[i+2] FOR i IN range(1, len(s)-1)])) AS sh
+        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS s
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |tshr AS (SELECT doc_id, unnest(shs) AS sh FROM cl),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM tshr
+        |         WHERE sh IN (SELECT sh FROM esh) GROUP BY 1),
+        |dcp AS (SELECT cl.doc_id, n_clean, shs, len(shs) AS n_sh,
+        |        coalesce(n_hit, 0) AS n_hit
+        |       FROM cl LEFT JOIN hits ON cl.doc_id = hits.doc_id),
+        |dc AS (SELECT * FROM dcp
+        |       WHERE n_sh = 0 OR CAST(n_hit AS DOUBLE) / n_sh < 0.2),
+        |sh2 AS (SELECT doc_id, unnest(shs) AS sh FROM dc),
+        |fi AS (SELECT sh, min(doc_id) AS first_id FROM sh2 GROUP BY 1),
+        |nov AS (SELECT sh2.doc_id FROM sh2 JOIN fi USING (sh)
+        |        GROUP BY 1
+        |        HAVING CAST(sum(CASE WHEN first_id = sh2.doc_id THEN 1 ELSE 0 END)
+        |          AS DOUBLE) / count(*) >= 0.3),
+        |kept2 AS (SELECT dc.doc_id, d.source, n_clean
+        |          FROM dc JOIN documents d ON dc.doc_id = d.doc_id
+        |          WHERE dc.doc_id IN (SELECT doc_id FROM nov)),
+        |perq AS (SELECT source, count(*) AS n_kept,
+        |          CAST(sum(n_clean) AS BIGINT) AS tok_src,
+        |          CAST(floor(sqrt(CAST(sum(n_clean) AS DOUBLE)) * 1000000.0)
+        |            AS BIGINT) AS wq
+        |         FROM kept2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum,
+        |         CAST(sum(tok_src) AS BIGINT) AS tbudget FROM perq),
+        |ww AS (SELECT source, n_kept, tok_src,
+        |        CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |          * CAST(tbudget AS DOUBLE) / CAST(tok_src AS DOUBLE) AS epochs
+        |       FROM perq, tot),
+        |upc AS (SELECT k2.doc_id, k2.source, n_clean,
+        |         CAST(floor(epochs) + CASE WHEN k2.doc_id % 1000
+        |           < (epochs - floor(epochs)) * 1000 THEN 1 ELSE 0 END
+        |          AS INTEGER) AS n_copies
+        |        FROM kept2 k2 JOIN ww USING (source)),
+        |up AS (SELECT doc_id, source, n_clean,
+        |        unnest(generate_series(1, n_copies)) AS epoch
+        |       FROM upc WHERE n_copies > 0),
+        |fin AS (SELECT source, count(*) AS n_rows,
+        |         CAST(sum(n_clean) AS BIGINT) AS n_tokens FROM up GROUP BY 1),
+        |rawn AS (SELECT source, count(*) AS n_raw FROM train GROUP BY 1),
+        |gn AS (SELECT source, count(*) AS n_gated FROM gt GROUP BY 1),
+        |dcn AS (SELECT d.source, count(*) AS n_decontam
+        |        FROM dc JOIN documents d ON dc.doc_id = d.doc_id GROUP BY 1)
+        |SELECT rawn.source, n_raw,
+        | coalesce(n_gated, 0) AS n_gated,
+        | coalesce(n_decontam, 0) AS n_decontam,
+        | coalesce(n_kept, 0) AS n_kept,
+        | coalesce(epochs, 0.0) AS epochs,
+        | coalesce(n_rows, 0) AS n_rows,
+        | coalesce(n_tokens, 0) AS n_tokens
+        |FROM rawn LEFT JOIN gn USING (source)
+        | LEFT JOIN dcn ON rawn.source = dcn.source
+        | LEFT JOIN ww ON rawn.source = ww.source
+        | LEFT JOIN fin ON rawn.source = fin.source
+        |ORDER BY source""".stripMargin,
 
     // Same anchor-gram + gaps-and-islands identity, mirrored: 8-gram
     // positional windows, string-keyed join, run = consecutive pa within

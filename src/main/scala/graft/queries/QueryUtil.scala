@@ -191,6 +191,36 @@ private[graft] object QueryUtil {
        |     / length(text) >= 0.27
        |   AND length(text) <= 450)""".stripMargin
 
+  /** The Gopher rule battery (Rae et al. 2021 §A1.1 re-expressed on this
+    * corpus) — single definition shared by t65_gopher_rules and the d82
+    * pipeline gate so the two cannot drift. Returns the named metric and
+    * rule columns in t65's output order; [[oracleGopherKeep]] is the
+    * conjunction's DuckDB mirror. */
+  def gopherCols(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(text), "\\s+")
+    val nTok = size(toks)
+    val mwl = length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / nTok
+    val nStop = size(filter(toks, t =>
+      t.isin("the", "a", "is", "on", "fast", "slow")))
+    val rWc = nTok >= 20 && nTok <= 80
+    val rWl = mwl >= 4.0 && mwl <= 5.0
+    val rSt = nStop >= 3
+    Seq("n_tok" -> nTok, "mean_wlen" -> mwl, "n_stop" -> nStop,
+      "r_wordcount" -> rWc, "r_wordlen" -> rWl, "r_stopwords" -> rSt,
+      "keep" -> (rWc && rWl && rSt))
+  }
+
+  /** The Gopher gate: conjunction of the three rules. */
+  def gopherKeep(text: Column): Column = gopherCols(text).last._2
+
+  /** DuckDB fragment mirroring [[gopherKeep]] over the `text` column. */
+  val oracleGopherKeep: String =
+    s"""($oracleTokenCount BETWEEN 20 AND 80
+       |   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |     / $oracleTokenCount BETWEEN 4.0 AND 5.0
+       |   AND len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |     x -> x IN ('the','a','is','on','fast','slow'))) >= 3)""".stripMargin
+
   def wordNgrams(tokens: Column, n: Int): Column =
     if (n == 2)
       // bigram fast path: two O(n) slices + zip_with, instead of an O(n)

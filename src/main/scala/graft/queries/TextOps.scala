@@ -208,23 +208,14 @@ object TextOps {
     // did. Pure scalar pipeline — codegen, scan-bound, no shuffle; the
     // mean-word-length divide is one IEEE op of exact ints, bit-equal in
     // DuckDB.
-    "t65_gopher_rules" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val nTok = size(toks)
-      val nChar = length(regexp_replace(col("text"), "\\s+", ""))
-      val mwl = nChar.cast(DoubleType) / nTok
-      val nStop = size(filter(toks, t =>
-        t.isin("the", "a", "is", "on", "fast", "slow")))
+    "t65_gopher_rules" -> ((s, dir) =>
+      // the rule battery lives in QueryUtil.gopherCols — ONE definition
+      // shared with the d82 pipeline's gate, so the report and the gate
+      // cannot drift
       docs(s, dir)
-        .select(col("doc_id"), nTok.as("n_tok"), mwl.as("mean_wlen"),
-          nStop.as("n_stop"),
-          (nTok >= 20 && nTok <= 80).as("r_wordcount"),
-          (mwl >= 4.0 && mwl <= 5.0).as("r_wordlen"),
-          (nStop >= 3).as("r_stopwords"))
-        .withColumn("keep",
-          col("r_wordcount") && col("r_wordlen") && col("r_stopwords"))
-        .orderBy(col("doc_id"))
-    }),
+        .select(col("doc_id") +:
+          QueryUtil.gopherCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
 
     // Winnowing fingerprint selection (the MOSS algorithm): per position a
     // k=4-token-gram hash, then the MIN hash of each w=5 window of
