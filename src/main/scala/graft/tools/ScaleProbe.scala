@@ -186,7 +186,33 @@ object ScaleProbe {
       // 100× eval (kn/m ≈ 4.6 → FPR ≈ 0.95, cut vanishes — measured);
       // 2^25 bits (4 MiB) restores kn/m ≈ 0.037
       "d72_sized" -> ((s, d) =>
-        graft.queries.DedupOps.decontaminateBloom(s, d, 3, 1L << 25, 5)))
+        graft.queries.DedupOps.decontaminateBloom(s, d, 3, 1L << 25, 5)),
+      // d81 doc-LENGTH stress (the graft_strip_spans kernel claim): same
+      // corpus with every token stream repeated ×16 — boilerplate-heavy
+      // long docs. The old array_contains cover probe was O(len²) per doc
+      // (≈256× the base cost here); the mask kernel must stay ≈×16.
+      // clearCache per pass: d81 persists its RESULT, and Spark's
+      // CacheManager matches cached plans structurally, so without the
+      // clear every warm pass is a cache read, not a computation (the
+      // reported time is therefore true per-pass compute, JIT-warm).
+      "d81_flat" -> ((s, d) => { s.catalog.clearCache()
+        graft.queries.DedupOps.boilerplateStripFrame(s, s"sc-d81f:$d",
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")))
+          .drop("kept") }),
+      "d81_long" -> ((s, d) => { s.catalog.clearCache()
+        graft.queries.DedupOps.boilerplateStripFrame(s, s"sc-d81l:$d",
+          s.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), flatten(array_repeat(
+              split(trim(col("text")), "\\s+"), 16)).as("t")))
+          .drop("kept") }),
+      // d84 day-2 refresh: stored bucketed report state (built outside
+      // timing from the ×K corpus) + a FIXED base-sf batch — cost must stay
+      // flat while the corpus behind the state grows ×K
+      "d84_probe" -> ((s, d) =>
+        graft.queries.DedupOps.reportDelta(
+          s.table(s"scale_report_state_${tblSuffix(d)}"),
+          s.read.parquet(s"$baseDir/documents.parquet"))))
 
     // max single-task seconds of the min-time warm pass, for skew probes
     var minRunMaxTaskSec = 0.0
@@ -226,7 +252,8 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
-          "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72") &&
+          "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72",
+          "d83", "d84_probe") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -262,6 +289,23 @@ object ScaleProbe {
       // containment join: suffixed replicas keep containment structure
       // per shard (same rationale as d52) — prefix x full-entries join
       run("d62", k, d)
+      // longest-shared-span: suffixed replicas share zero 8-gram anchors,
+      // so pairs and aligned runs replicate per shard — the linear
+      // anchor-join regime the gaps-and-islands form claims
+      run("d83", k, d)
+      // d81 kernel claims are doc-LENGTH scaling, probed at the base
+      // corpus only (the ×16-token stress next to its control)
+      if (k == 1) { run("d81_flat", k, d); run("d81_long", k, d) }
+      if (wanted("d84_probe")) {
+        if (!spark.catalog.tableExists(s"scale_report_state_${tblSuffix(d)}")) {
+          dropStaleIndex(s"scale_report_state_${tblSuffix(d)}")
+          graft.queries.DedupOps.reportPartials(
+              spark.read.parquet(s"$d/documents.parquet"))
+            .write.bucketBy(4, "source").sortBy("source", "keep", "split")
+            .saveAsTable(s"scale_report_state_${tblSuffix(d)}")
+        }
+        run("d84_probe", k, d)
+      }
       // pipeline v2: quality/dedup/decontam/upsample structure replicates
       // per shard (suffixed texts stay distinct across replicas)
       run("d69", k, d)

@@ -18,6 +18,63 @@ class OperatorsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("AQE skew-join splits a hot-key candidate join at runtime (and when the manual salt is still required)") {
+    // the d52/d80 candidate joins rely on a manual hot-key salt; this
+    // proves the OTHER remedy the Scaladocs point at — AQE skew-join
+    // handling — actually engages on a deliberately skewed corpus, so at
+    // 100 TB the two remedies compose: AQE splits skewed SHUFFLE-JOIN
+    // partitions with no code change, while the salt remains required for
+    // skew feeding an AGGREGATION (AQE cannot split a groupBy's hash
+    // partition — all copies of a hot gram must meet in one task) and for
+    // broadcast-ineligible build sides. SCALE.md carries the note.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      // BOTH thresholds: without the adaptive one, AQE re-plans the tiny
+      // sides into a broadcast join at runtime and skew handling never runs
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one boundary key carries 800 of 850 rows — the d80 stitch shape
+      // (a's tail joins b's head) with a pathologically hot boundary.
+      // Distinct incompressible payloads matter twice: identical pruned
+      // sides would hit ReusedExchange (one side's skew split then can't
+      // be decided independently), and lz4 of repeated strings compresses
+      // below the skew threshold so AQE would just coalesce
+      def payload(tag: String, i: Int): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$tag$i".getBytes).map("%02x".format(_)).mkString * 2
+      val a = (1 to 850).map(i =>
+        (if (i <= 800) "the quick brown" else s"cold$i", payload("a", i)))
+        .toDF("tail", "pa")
+      val b = (1 to 840).map(i =>
+        (if (i <= 800) "the quick brown" else s"cold$i", payload("b", i)))
+        .toDF("head", "pb")
+      // the aggregate must touch BOTH payloads (defeats column pruning);
+      // execute THIS dataset so its AQE finalizes, then read the plan
+      val joined = a.join(b, col("tail") === col("head"))
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(length(col("pa")) + length(col("pb"))).as("s"))
+      val n = joined.collect().head.getLong(0)
+      assert(n == 800L * 800 + 40, s"unexpected join cardinality $n") // 800² hot + 40 cold
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot join as skewed:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed") ||
+        plan.contains("AQEShuffleRead skewed"),
+        s"hot partition was not split into skew-read chunks:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain inner join on skewed keys") {
     import spark.implicits._
     // 90% of left rows hit one key — the shape salting exists for
