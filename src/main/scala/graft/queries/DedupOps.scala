@@ -863,9 +863,13 @@ object DedupOps {
           count(when(col("first_id") === col("doc_id"), 1)).as("n_new"))
         .filter(col("n_new").cast(DoubleType) / col("n_sh2") >= 0.3)
         .select(col("doc_id"))
-      val kept = decont.join(nov, Seq("doc_id"), "left_semi")
+      // persisted: the upsample AND the per-source weight agg both read the
+      // survivor set, and its novelty semi-join (shingle explode + min-agg
+      // + join) is the DAG's priciest tail — without the memo it runs twice
+      val kept = persistKeyed(s, s"d82k:$dir", decont
+        .join(nov, Seq("doc_id"), "left_semi")
         .join(src, "doc_id")
-        .select(col("doc_id"), col("source"), col("n_clean"))
+        .select(col("doc_id"), col("source"), col("n_clean")))
       val perSrc = kept.groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_clean")).as("tok_src"))
         .withColumn("wq",
