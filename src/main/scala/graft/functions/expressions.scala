@@ -161,6 +161,24 @@ case class DistinctCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_ndistinct"
 }
 
+/** Per-channel pixel sums through the REAL BMP decode path: binary ->
+  * array<bigint> [nPix, sumC0, sumC1, sumC2] (storage-order BGR channels,
+  * stride padding excluded) — the decode-side aggregate an image
+  * normalization pipeline computes per file. Null for invalid/non-24bpp. */
+case class BmpChanStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val a = Kernels.bmpChanStats(v.asInstanceOf[Array[Byte]])
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def withNewChildInternal(c: Expression): BmpChanStats = copy(child = c)
+  override def prettyName: String = "graft_bmp_chanstats"
+}
+
 /** Span-removal token rebuild: (array<string> tokens, array<int> starts,
   * int width) -> array<string> of tokens NOT covered by any
   * [start, start+width) span. Codegen'd O(n + |starts|·width) boolean-mask
@@ -440,6 +458,8 @@ object GraftFunctions {
       es => BmpBuild(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bmp_meta",
       es => BmpMetaExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_chanstats",
+      es => BmpChanStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mg_topk",
       es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
         .toAggregateExpression(), "scala_udf")

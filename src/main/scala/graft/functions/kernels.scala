@@ -560,6 +560,29 @@ object Kernels {
     BmpMeta(w, h, bpp, off, stride, imgSize.toInt, hRaw < 0)
   }
 
+  /** Per-channel pixel sums over a 24bpp BMP, read through the PARSED
+    * stride/orientation with padding excluded: [nPix, sumC0, sumC1, sumC2]
+    * with C0..C2 the pixel bytes in storage order (BGR in a BMP) — the
+    * per-channel aggregate a normalize/resize pipeline computes per image.
+    * Exact integer sums; null for invalid or non-24bpp payloads. */
+  def bmpChanStats(b: Array[Byte]): Array[Long] = {
+    val m = bmpParse(b)
+    if (m == null || m.bpp != 24) return null
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    var r = 0
+    while (r < m.height) {
+      val base = m.rowOff(r)
+      var x = 0
+      while (x < m.width) {
+        val o = base + x * 3
+        s0 += b(o) & 0xff; s1 += b(o + 1) & 0xff; s2 += b(o + 2) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    Array(m.width.toLong * m.height, s0, s1, s2)
+  }
+
   /** (sum, count) of pixel byte values over logical rows [r0, r1), read
     * through the parsed stride/orientation and EXCLUDING stride padding —
     * the per-band aggregate a frame/tile sampler computes. Null meta or an

@@ -185,6 +185,30 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-CHANNEL pixel statistics through the real codec path — the
+    // normalize/resize precursor an image pipeline computes per file
+    // (channel means feed mean-subtraction; a grayscale-ish image shows
+    // near-equal channels). graft_bmp_chanstats walks the PARSED
+    // stride/orientation and sums the storage-order BGR bytes per channel
+    // (padding excluded, zero-fill of the last partial pixel included).
+    // The oracle mirrors the logical pixel stream by residue class
+    // (channel c = bytes at positions ≡ c mod 3), so the hash-match
+    // proves the interleaved-channel walk. Integer-exact sums; the only
+    // floats are three divisions of exact ints.
+    "m67_channel_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("graft_bmp_chanstats(graft_bmp_build(cast(text as binary), " +
+            "cast(16 + doc_id % 49 as int)))").as("st"))
+        .select(col("doc_id"), col("st")(0).as("n_pix"),
+          (col("st")(1).cast("double") / col("st")(0)).as("mean_c0"),
+          (col("st")(2).cast("double") / col("st")(0)).as("mean_c1"),
+          (col("st")(3).cast("double") / col("st")(0)).as("mean_c2"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m64_wav_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
@@ -253,6 +277,24 @@ object MultimodalOps {
         |         least(len, least(h, fr * 8 + 8) * w * 3) + 1)]), 0) AS DOUBLE)
         |  / ((least(h, fr * 8 + 8) - fr * 8) * w * 3) AS feat_mean
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Channel c of logical pixel p is byte 3p+c of the stream (text ords
+    // with zero-fill); mirrored by the 1-based step-3 residue ranges.
+    // Spark reads the SAME bytes through the parsed bottom-up stride walk.
+    "m67_channel_stats" ->
+      """WITH p AS (
+        | SELECT doc_id, text AS t, strlen(text) AS len, 16 + doc_id % 49 AS w
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT doc_id, t, len, w,
+        |  ((len + 2) // 3 + w - 1) // w AS h FROM p)
+        |SELECT doc_id, CAST(w * h AS BIGINT) AS n_pix,
+        | CAST(coalesce(list_sum([ord(t[i]) FOR i IN range(1, len + 1, 3)]), 0)
+        |   AS DOUBLE) / (w * h) AS mean_c0,
+        | CAST(coalesce(list_sum([ord(t[i]) FOR i IN range(2, len + 1, 3)]), 0)
+        |   AS DOUBLE) / (w * h) AS mean_c1,
+        | CAST(coalesce(list_sum([ord(t[i]) FOR i IN range(3, len + 1, 3)]), 0)
+        |   AS DOUBLE) / (w * h) AS mean_c2
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "m62_audio_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

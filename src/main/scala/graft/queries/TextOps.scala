@@ -169,6 +169,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF keyword extraction — the top-3 most characteristic terms per
+    // doc, the classic retrieval/labeling primitive (doc tagging, topic
+    // drill-down, near-dup explanation). Deliberately LOG-FREE: score =
+    // tf · n_docs / df is order-isomorphic to tf·idf for ranking within a
+    // doc (log is monotone), and the rational form is one IEEE divide of
+    // exact ints, so the whole pipeline oracle-checks bit-exactly where
+    // log would hit libm divergence. Ties break (score DESC, term ASC) —
+    // total order, and the rank filter rewrites to WindowGroupLimit
+    // (map-side top-3 per doc, never a full sort of the tf table). Scale:
+    // per-doc (term, tf) FIRST (bounds join volume by distinct terms, the
+    // t59 discipline), df reuses the term partitioning, n_docs is a
+    // broadcast 1-row cross join.
+    "t68_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tf = d
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Bigram language-model table — the count-based n-gram LM every
     // data-quality stack keeps around (KenLM-shape scoring, next-token
     // suggestion, perplexity filtering): per (w1, w2) corpus counts, the
@@ -832,6 +864,25 @@ object TextOps {
         | n_hapax, CAST(n_hapax AS DOUBLE) / len(toks) AS hapax_frac
         |FROM t JOIN agg ON agg.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // rational tf·n/df score (log-free, one IEEE divide of exact ints);
+    // row_number narrowed to Spark's INTEGER; identical tiebreak
+    "t68_tfidf_keywords" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf * n_docs AS DOUBLE) / df AS score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term)
+        |   AS INTEGER) AS rnk
+        | FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, score, rnk FROM sc WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     // 2-gram construction mirrors d52's shingle CTE; conditional p is one
     // IEEE divide of exact ints (DuckDB's HUGEINT sum widens transparently)

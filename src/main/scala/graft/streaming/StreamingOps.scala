@@ -508,6 +508,47 @@ object StreamingOps {
       .toDF("user_id", "event_id", "n_prior", "is_anomaly")
   }
 
+  /** Streaming per-user rising-streak flags via transformWithState's LIST
+    * state — the micro-pattern detector shape (spike onsets, monotone
+    * ramps): emit, per event, whether the last 3 values (this one and the
+    * two before it in (ts, event_id) order) strictly increase. Exercises
+    * `ListState` next to anomalyFlags' ValueState: the list is trimmed to
+    * the last 2 values on every update, so state is O(pattern window) per
+    * user, never O(history). Same ordering contract as anomalyFlags
+    * (within-batch sort; cross-batch equality with the batch lag-window
+    * mirror under event-time-ordered arrival — spec-proven). Output:
+    * (user_id, event_id, rising). */
+  def risingStreak(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    class StreakProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Boolean)] {
+      @transient private var last: org.apache.spark.sql.streaming.ListState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        last = getHandle.getListState[Double]("last2", Encs.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, Double)],
+          timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+        var prev = last.get().toVector // [older, newer]
+        val out = rows.toArray.sortBy(r => (r._3, r._2)).map { r =>
+          val rising = prev.length == 2 && prev(0) < prev(1) && prev(1) < r._4
+          prev = (prev :+ r._4).takeRight(2)
+          (key, r._2, rising)
+        }
+        last.put(prev.toArray)
+        out.iterator
+      }
+    }
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "rising")
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -232,6 +232,21 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.bmpBandSum(img, m, 0, 2) == (28L, 12L)) // row1 = 7,0,0,0,0,0
   }
 
+  test("bmp channel stats sum storage-order channels through the stride walk") {
+    // pixels from bytes 1..7 at width 2: [1,2,3] [4,5,6] [7,0,0] [0,0,0]
+    val img = Kernels.bmpBuild(Array[Byte](1, 2, 3, 4, 5, 6, 7), 2)
+    assert(Kernels.bmpChanStats(img).toSeq == Seq(4L, 1L + 4 + 7, 2L + 5, 3L + 6))
+    // top-down re-layout preserves the per-channel sums (same logical image)
+    val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
+    val td = base.clone()
+    td(22) = -2; td(23) = -1; td(24) = -1; td(25) = -1
+    for (k <- 0 until 4) { td(54 + k) = base(58 + k); td(58 + k) = base(54 + k) }
+    assert(Kernels.bmpChanStats(td).toSeq == Kernels.bmpChanStats(base).toSeq)
+    // rejects truncation and non-image bytes
+    assert(Kernels.bmpChanStats(base.dropRight(1)) == null)
+    assert(Kernels.bmpChanStats(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("bmp parse honors top-down storage and pixel-offset gaps; rejects corrupt payloads") {
     // width 1 => 2 rows of one pixel each, stride 4 (1 padding byte per row)
     val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)

@@ -305,6 +305,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ListState rising-streak flags converge to the batch lag-window computation") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.risingStreak(spark, StreamingOps.eventsStream(spark, dir)),
+        "streaks", OutputMode.Append)
+      try {
+        val streamed = spark.table("streaks")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .sortBy(t => (t._1, t._2))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val batch = Tables.load(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            (lag(col("value"), 2).over(w) < lag(col("value"), 1).over(w) &&
+              lag(col("value"), 1).over(w) < col("value")).as("rising"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            !r.isNullAt(2) && r.getBoolean(2)))
+          .sortBy(t => (t._1, t._2))
+        assert(streamed.length == batch.length)
+        val bad = streamed.zip(batch).filter { case (a, b) => a != b }
+        assert(bad.isEmpty, s"first diffs: ${bad.take(3).mkString(", ")}")
+        assert(streamed.count(_._3) > 0, "scenario degenerate: no rising streaks")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("anomaly state ages out under TTL: idle user's stats restart cold and the state store stays bounded") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
