@@ -363,6 +363,23 @@ case class WavStats8Expr(child: Expression)
   override def prettyName: String = "graft_wav_stats8"
 }
 
+/** 16-bit signed LE PCM sample stats over a WAV payload: binary ->
+  * array<bigint> [n, sum, sumSq, peakAbs] — the CD-depth companion of
+  * graft_wav_stats8, same chunk walk, null for non-16-bit/odd/corrupt. */
+case class WavStats16Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val a = Kernels.wavStats16(v.asInstanceOf[Array[Byte]])
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def withNewChildInternal(c: Expression): WavStats16Expr = copy(child = c)
+  override def prettyName: String = "graft_wav_stats16"
+}
+
 /** Stopword-profile language identification: string -> string lang code. */
 case class LangId(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -488,5 +505,7 @@ object GraftFunctions {
       es => WavMetaExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_wav_stats8",
       es => WavStats8Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_wav_stats16",
+      es => WavStats16Expr(es.head), "scala_udf")
   }
 }

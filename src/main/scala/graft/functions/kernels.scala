@@ -683,6 +683,41 @@ object Kernels {
     null
   }
 
+  /** 16-bit signed LE PCM sample statistics over a WAV payload's data
+    * chunk (same chunk walk as wavParse): [n, sum, sumSq, peakAbs] with
+    * samples decoded as signed little-endian int16 — the companion of
+    * wavStats8 for the CD-depth path. Integer-exact; null for invalid,
+    * non-16-bit, or odd-sized (malformed for int16) data. */
+  def wavStats16(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return null
+    var off = 12
+    var sawFmt = false; var bits = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return null
+      if (id == "fmt ") {
+        if (sz < 16 || le16(b, off + 8) != 1) return null
+        bits = le16(b, off + 22); sawFmt = true
+      } else if (id == "data") {
+        if (!sawFmt || bits != 16 || sz % 2 != 0) return null
+        var i = off + 8; val end = off + 8 + sz
+        var n = 0L; var sum = 0L; var sq = 0L; var peak = 0L
+        while (i < end) {
+          val v = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toShort.toLong
+          sum += v; sq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          n += 1; i += 2
+        }
+        return Array(n, sum, sq, peak)
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    null
+  }
+
   /** 8-bit PCM sample statistics over a WAV payload's data chunk (the same
     * chunk walk as wavParse — foreign chunks skipped, truncation rejected):
     * [n, sum, sumSq, peakDev] with samples read as unsigned bytes and

@@ -209,6 +209,30 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // 16-bit (CD-depth) PCM statistics through the same real codec path as
+    // m66: build the WAV at bits=16 (text truncated to an even byte count
+    // — an odd data size is malformed for int16 and the parser rejects
+    // it), walk its RIFF chunks, and aggregate the data chunk as SIGNED
+    // little-endian int16 samples — n/mean/RMS/peak-|v|. The oracle pairs
+    // the logical bytes (lo + 256·hi, two's-complement fold) so the
+    // hash-match proves the int16 LE decode; signedness edge cases
+    // (0x8000 → −32768) are KernelsSpec-pinned since the ASCII corpus
+    // never produces a negative sample.
+    "m68_wav16_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+        .select(col("doc_id"),
+          expr("graft_wav_stats16(graft_wav_build(cast(substr(text, 1, " +
+            "length(text) - length(text) % 2) as binary), 16000, 1, 16))")
+            .as("st"))
+        .select(col("doc_id"), col("st")(0).as("n_samples"),
+          (col("st")(1).cast("double") / col("st")(0).cast("double")).as("mean_level"),
+          sqrt(col("st")(2).cast("double") / col("st")(0).cast("double")).as("rms"),
+          col("st")(3).as("peak_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m64_wav_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
@@ -318,6 +342,27 @@ object MultimodalOps {
         | count(*) AS n_docs, CAST(sum(img) AS BIGINT) AS total_bytes,
         | CAST(max(h) AS INTEGER) AS max_height
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // int16 LE pairing of the logical bytes (lo + 256·hi with the
+    // two's-complement fold); exact integer sums, IEEE divides, one
+    // correctly-rounded sqrt.
+    "m68_wav16_stats" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  [ord(text[i]) FOR i IN range(1, strlen(text) - strlen(text) % 2 + 1)] AS bs
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) >= 2),
+        |v AS (SELECT doc_id,
+        |  [CASE WHEN bs[2*k+1] + 256 * bs[2*k+2] >= 32768
+        |     THEN bs[2*k+1] + 256 * bs[2*k+2] - 65536
+        |     ELSE bs[2*k+1] + 256 * bs[2*k+2] END
+        |   FOR k IN range(0, len(bs) // 2)] AS vs
+        | FROM b)
+        |SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_samples,
+        | CAST(list_sum(vs) AS DOUBLE) / CAST(len(vs) AS DOUBLE) AS mean_level,
+        | sqrt(CAST(list_sum([x * x FOR x IN vs]) AS DOUBLE)
+        |   / CAST(len(vs) AS DOUBLE)) AS rms,
+        | CAST(list_max([abs(x) FOR x IN vs]) AS BIGINT) AS peak_abs
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // Byte-level mirror of the data-chunk aggregate (ASCII corpus ⇒ ord ==
     // payload byte, the t49/m61 precondition); exact integer sums, one

@@ -549,6 +549,44 @@ object StreamingOps {
       .toDF("user_id", "event_id", "rising")
   }
 
+  /** Streaming per-(user, event_type) running counts via
+    * transformWithState's MAP state — the per-key sub-dictionary shape
+    * (feature counters, per-category rate limits): each event emits how
+    * many PRIOR events of the SAME type its user produced. Completes the
+    * arbitrary-state triad next to anomalyFlags (ValueState) and
+    * risingStreak (ListState); state is one counter per (user, seen type)
+    * — bounded by the type vocabulary, never history length. Same
+    * ordering contract as the other two. Output:
+    * (user_id, event_id, event_type, n_prior_type). */
+  def typeCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    class TypeCountProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, String, Long)] {
+      @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        counts = getHandle.getMapState[String, Long]("counts",
+          Encs.STRING, Encs.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, String)],
+          timerValues: TimerValues): Iterator[(Long, Long, String, Long)] = {
+        rows.toArray.sortBy(r => (r._3, r._2)).map { r =>
+          val c = if (counts.containsKey(r._4)) counts.getValue(r._4) else 0L
+          counts.updateValue(r._4, c + 1)
+          (key, r._2, r._4, c)
+        }.iterator
+      }
+    }
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "event_type", "n_prior_type")
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -186,6 +186,26 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.wavStats8(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("wav 16-bit stats decode signed LE samples; reject odd/non-16-bit data") {
+    // samples: 0x0102=258, 0x8000=-32768 (the sign edge the ASCII corpus
+    // never produces), 0xFFFF=-1
+    val pcm = Array[Byte](0x02, 0x01, 0x00, 0x80.toByte, 0xff.toByte, 0xff.toByte)
+    val wav = Kernels.wavBuild(pcm, 16000, 1, 16)
+    val st = Kernels.wavStats16(wav)
+    assert(st.toSeq == Seq(3L, 258L - 32768 - 1,
+      258L * 258 + 32768L * 32768 + 1L, 32768L))
+    // foreign chunk between fmt and data is walked over, stats unchanged
+    val listChunk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte]('I', 'N', 'F', 0)
+    assert(Kernels.wavStats16(wav.take(36) ++ listChunk ++ wav.drop(36)).toSeq
+      == st.toSeq)
+    // an 8-bit payload parses but must NOT aggregate as int16; odd data
+    // size is malformed for int16; truncation rejects
+    assert(Kernels.wavStats16(Kernels.wavBuild(Array[Byte](1, 2), 8000, 1, 8)) == null)
+    assert(Kernels.wavStats16(Kernels.wavBuild(Array[Byte](1, 2, 3), 16000, 1, 16)) == null)
+    assert(Kernels.wavStats16(wav.dropRight(1)) == null)
+  }
+
   test("strip spans masks covered positions in O(n): equals the array_contains form") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String

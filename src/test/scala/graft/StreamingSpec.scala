@@ -337,6 +337,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState per-type running counts converge to the batch per-(user,type) prior-count window") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.typeCounts(spark, StreamingOps.eventsStream(spark, dir)),
+        "type_counts", OutputMode.Append)
+      try {
+        val streamed = spark.table("type_counts")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val batch = Tables.load(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            count(lit(1)).over(w).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2))
+        assert(streamed.length == batch.length)
+        val bad = streamed.zip(batch).filter { case (a, b) => a != b }
+        assert(bad.isEmpty, s"first diffs: ${bad.take(3).mkString(", ")}")
+        assert(streamed.count(_._4 > 0) > 0, "scenario degenerate: no repeated types")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("anomaly state ages out under TTL: idle user's stats restart cold and the state store stays bounded") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
