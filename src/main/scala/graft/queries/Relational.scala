@@ -551,6 +551,21 @@ object Relational {
         |FROM customer WHERE c_custkey <= 100
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // §2.3 NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of vanishing — the join variant optional
+    // foreign keys and sentinel-free dimension tables need. Planned as a
+    // plain hash join (EqualNullSafe is a valid equi-join key, no
+    // cartesian fallback); the nullif derivation makes the NULL group
+    // corpus-real.
+    "q81_nullsafe_join" -> ((s, dir) => sql(s, dir,
+      """SELECT a.o_orderkey AS ka, b.o_orderkey AS kb, a.pri
+        |FROM (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |      FROM orders WHERE o_orderkey <= 200) a
+        |JOIN (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |      FROM orders WHERE o_orderkey <= 200) b
+        |  ON a.pri <=> b.pri AND a.o_orderkey < b.o_orderkey
+        |ORDER BY ka, kb""".stripMargin)),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1202,6 +1217,16 @@ object Relational {
         |FROM spine s LEFT JOIN orders o
         |  ON date_trunc('month', o.o_orderdate) = s.m
         |GROUP BY s.m ORDER BY s.m""".stripMargin,
+
+    // Spark's <=> is ANSI IS NOT DISTINCT FROM — identical null-match rule
+    "q81_nullsafe_join" ->
+      """SELECT a.o_orderkey AS ka, b.o_orderkey AS kb, a.pri
+        |FROM (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |      FROM orders WHERE o_orderkey <= 200) a
+        |JOIN (SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+        |      FROM orders WHERE o_orderkey <= 200) b
+        |  ON a.pri IS NOT DISTINCT FROM b.pri AND a.o_orderkey < b.o_orderkey
+        |ORDER BY ka, kb""".stripMargin,
 
     "q77_lateral_topk" ->
       """SELECT c_custkey, o_orderkey, o_totalprice

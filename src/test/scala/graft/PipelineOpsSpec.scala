@@ -872,6 +872,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing ${brute.diff(tiled)}, extra ${tiled.diff(brute)}")
   }
 
+  test("s74 PCA top-1: small eigen residual, Rayleigh-dominant, unit norm, deterministic") {
+    val out = SparkEntry.queries("s74")(spark, dir).collect()
+    val d = 64
+    assert(out.length == d)
+    val rows = out.sortBy(_.getInt(0))
+    val v = rows.map(_.getDouble(2))
+    val lambda = rows.head.getDouble(3)
+    val ef = rows.head.getDouble(4)
+    // brute-force centered gram from the collected corpus (double math —
+    // the 1e-6 fixed-point quantization sits far inside the tolerances)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(d)(i => vecs.map(_(i).toDouble).sum / n)
+    val g = Array.tabulate(d, d)((i, j) =>
+      vecs.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum)
+    def mult(u: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * u(j)).sum)
+    // eigenpair residual ||Gv - λv|| / λ
+    val gv = mult(v)
+    val res = math.sqrt(v.indices.map(i => {
+      val e = gv(i) - lambda * v(i); e * e
+    }).sum) / lambda
+    assert(res < 1e-3, s"eigen residual $res")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9, "v1 not unit")
+    // Rayleigh dominance: no fixed probe direction beats the returned λ
+    for (k <- 0 until 10) {
+      val raw = Array.tabulate(d)(i => math.sin(i + 1.0 + k))
+      val nn = math.sqrt(raw.map(x => x * x).sum)
+      val u = raw.map(_ / nn)
+      val gu = mult(u)
+      val r = u.indices.map(i => u(i) * gu(i)).sum
+      assert(r <= lambda * (1 + 1e-6), s"probe $k Rayleigh $r beats lambda $lambda")
+    }
+    assert(ef > 0.0 && ef <= 1.0, s"explained fraction $ef out of range")
+    // sign canonicalized + fixed iteration count => bit-stable reruns
+    val again = SparkEntry.queries("s74")(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(_.toString)
+    assert(again.sameElements(rows.map(_.toString)), "PCA output not deterministic")
+  }
+
   test("d83 longest shared span equals brute-force token-level substring matching (planted spans)") {
     import spark.implicits._
     val W = 8
