@@ -918,10 +918,11 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Distributed top-1 PCA over the embedding corpus — the linear-algebra
-    * primitive behind whitening, low-rank compression, and embedding-drift
-    * monitoring: the leading principal direction of the CENTERED gram
-    * matrix plus its explained-variance fraction.
+  /** Distributed top-2 PCA over the embedding corpus — the linear-algebra
+    * primitive behind whitening, low-rank compression, 2-D corpus maps,
+    * and embedding-drift monitoring: the two leading principal directions
+    * of the CENTERED gram matrix (the second via Hotelling deflation)
+    * plus their explained-variance fractions.
     *
     * Shape at 100 TB: ONE scan accumulates a d²-sized fixed-point gram
     * partial per partition (mapPartitions state = 4096 longs at d=64,
@@ -978,35 +979,46 @@ object SimilarityOps {
       var i = 0; while (i < d * d) { a(i) += b(i); i += 1 }; a
     }
     val g = gram.map(_ / 1e6)
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var lambda = 0.0
-    // 300 fixed steps: convergence is (λ2/λ1)^k and this corpus's eigengap
+    // 300 fixed steps: convergence is (λ₂/λ₁)^k and this corpus's eigengap
     // is mild (residual 5e-3 at k=50, <1e-6 at k=300); each step is O(d²)
     // on the driver — microseconds, so fixed-k stays the determinism rule
-    for (_ <- 1 to 300) {
-      val w = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var acc = 0.0; var j = 0
-        while (j < d) { acc += g(i * d + j) * v(j); j += 1 }
-        w(i) = acc; i += 1
+    def topEigen(m: Array[Double]): (Array[Double], Double) = {
+      var ev = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var lam = 0.0
+      for (_ <- 1 to 300) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += m(i * d + j) * ev(j); j += 1 }
+          w(i) = acc; i += 1
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        ev = w.map(_ / norm); lam = norm
       }
-      val norm = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(_ / norm); lambda = norm
+      val k0 = ev.indexWhere(math.abs(_) > 1e-12)
+      if (k0 >= 0 && ev(k0) < 0) ev = ev.map(-_)
+      (ev, lam)
     }
-    val k0 = v.indexWhere(math.abs(_) > 1e-12)
-    if (k0 >= 0 && v(k0) < 0) v = v.map(-_)
+    val (v1, l1) = topEigen(g)
+    // second component by Hotelling deflation: G₂ = G − λ₁·v₁v₁ᵀ — its
+    // leading direction is G's second eigenvector; still driver-side O(d²)
+    val g2 = Array.tabulate(d * d)(k => g(k) - l1 * v1(k / d) * v1(k % d))
+    val (v2, l2) = topEigen(g2)
     val trace = (0 until d).map(i => g(i * d + i)).sum
-    s.createDataset((0 until d).map(i => (i, mu(i), v(i), lambda, lambda / trace)))
-      .toDF("dim", "mean", "v1", "eigenvalue", "explained_frac")
+    s.createDataset((0 until d).map(i =>
+        (i, mu(i), v1(i), v2(i), l1, l2, l1 / trace, l2 / trace)))
+      .toDF("dim", "mean", "v1", "v2", "eigenvalue1", "eigenvalue2",
+        "explained_frac1", "explained_frac2")
       .orderBy(col("dim"))
   }
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Distributed top-1 PCA (whitening / drift-monitoring primitive):
-    // fixed-point gram-matrix allreduce + driver-side power iteration —
-    // see [[pcaTop1]] for the scale shape and determinism discipline.
-    "s74_pca_top1" -> ((s, dir) => pcaTop1(s, dir)),
+    // Distributed top-2 PCA (whitening / corpus-map primitive):
+    // fixed-point gram-matrix allreduce + driver-side power iteration
+    // with deflation — see [[pcaTop1]] for the scale shape and
+    // determinism discipline.
+    "s74_pca_top2" -> ((s, dir) => pcaTop1(s, dir)),
 
     // PRODUCT-QUANTIZED ANN with exact refine — the third point on the
     // compression curve (float 256 B → int8 64 B → PQ 8 B per vector):

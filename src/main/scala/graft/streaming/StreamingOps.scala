@@ -587,6 +587,73 @@ object StreamingOps {
       .toDF("user_id", "event_id", "event_type", "n_prior_type")
   }
 
+  /** TIMER-driven sessionization via transformWithState's event-time
+    * timers — the fourth arbitrary-state feature next to Value/List/Map
+    * state: a session closes either when a later in-batch event reveals
+    * the gap (immediate emit) or when the WATERMARK passes lastTs + gap
+    * and the registered timer fires in `handleExpiredTimer` (the user
+    * went quiet — no further event will ever close it). Each batch
+    * re-registers one timer at the current close point; stale timers
+    * (re-registered later by new events) are ignored by re-checking the
+    * live state's close point at expiry — the standard
+    * one-logical-timer-per-key pattern. Semantics match
+    * sessionizeWithTimeout (flatMapGroupsWithState EventTimeTimeout) and
+    * the batch session_window mirror — same gap, same emit tuple, spec
+    * gated the same way. State: one 3-number ValueState + one timer per
+    * user. Output: (user_id, smin, smax, n_events) in event-time micros. */
+  def timerSessions(spark: SparkSession, events: DataFrame,
+      gapMicros: Long = graft.queries.QueryUtil.sessionGapMicros,
+      delay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    val gapMs = gapMicros / 1000
+    class TimerSessProcessor
+        extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+      @transient private var sess: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+          Encs.tuple(Encs.scalaLong, Encs.scalaLong, Encs.scalaLong), TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+        val sorted = rows.toArray.map(_._2).sorted
+        var st = if (sess.exists()) sess.get() else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        sorted.foreach { ts =>
+          if (st == null) st = (ts, ts, 1L)
+          else if (ts - st._2 <= gapMicros) st = (st._1, math.max(st._2, ts), st._3 + 1)
+          else { // gap visible in arrived data: close immediately
+            out += ((key, st._1, st._2, st._3))
+            st = (ts, ts, 1L)
+          }
+        }
+        sess.update(st)
+        getHandle.registerTimer(st._2 / 1000 + gapMs)
+        out.iterator
+      }
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+        if (!sess.exists()) return Iterator.empty
+        val st = sess.get()
+        // a timer registered for an OLDER close point is stale if later
+        // events extended the session past it — only the live close fires
+        if (expiredTimerInfo.getExpiryTimeInMs() < st._2 / 1000 + gapMs)
+          Iterator.empty
+        else {
+          sess.clear()
+          Iterator.single((key, st._1, st._2, st._3))
+        }
+      }
+    }
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "smin", "smax", "n_events")
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source via a named memory sink; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

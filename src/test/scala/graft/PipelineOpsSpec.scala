@@ -872,14 +872,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing ${brute.diff(tiled)}, extra ${tiled.diff(brute)}")
   }
 
-  test("s74 PCA top-1: small eigen residual, Rayleigh-dominant, unit norm, deterministic") {
+  test("s74 PCA top-2: small eigen residuals, Rayleigh-dominant, orthonormal, deterministic") {
     val out = SparkEntry.queries("s74")(spark, dir).collect()
     val d = 64
     assert(out.length == d)
     val rows = out.sortBy(_.getInt(0))
     val v = rows.map(_.getDouble(2))
-    val lambda = rows.head.getDouble(3)
-    val ef = rows.head.getDouble(4)
+    val v2 = rows.map(_.getDouble(3))
+    val lambda = rows.head.getDouble(4)
+    val lambda2 = rows.head.getDouble(5)
+    val ef = rows.head.getDouble(6)
+    val ef2 = rows.head.getDouble(7)
     // brute-force centered gram from the collected corpus (double math —
     // the 1e-6 fixed-point quantization sits far inside the tolerances)
     val vecs = Tables.load(spark, dir, "embeddings")
@@ -908,6 +911,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r <= lambda * (1 + 1e-6), s"probe $k Rayleigh $r beats lambda $lambda")
     }
     assert(ef > 0.0 && ef <= 1.0, s"explained fraction $ef out of range")
+    // second component: orthogonal to v1, unit, its own small residual,
+    // and strictly subordinate (λ2 ≤ λ1, fractions ordered)
+    val dot12 = v.indices.map(i => v(i) * v2(i)).sum
+    assert(math.abs(dot12) < 1e-6, s"v1·v2 = $dot12 not orthogonal")
+    assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-9, "v2 not unit")
+    val gv2 = mult(v2)
+    val res2 = math.sqrt(v2.indices.map(i => {
+      val e = gv2(i) - lambda2 * v2(i); e * e
+    }).sum) / lambda2
+    assert(res2 < 1e-3, s"second eigen residual $res2")
+    assert(lambda2 <= lambda * (1 + 1e-9) && ef2 <= ef && ef2 > 0.0,
+      s"eigen order violated: $lambda2 vs $lambda")
     // sign canonicalized + fixed iteration count => bit-stable reruns
     val again = SparkEntry.queries("s74")(spark, dir).collect()
       .sortBy(_.getInt(0)).map(_.toString)

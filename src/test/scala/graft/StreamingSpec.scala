@@ -97,6 +97,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TIMER sessions (transformWithState handleExpiredTimer) == batch session_window up to the watermark") {
+    val ck = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ck)
+    spark.conf.set(ck,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.timerSessions(spark, StreamingOps.eventsStream(spark, dir)),
+        "timer_sessions", OutputMode.Append)
+      try {
+        val emitted = spark.table("timer_sessions")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(emitted.length == emitted.distinct.length, "a session was emitted twice")
+        val batch = Tables.load(spark, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), graft.queries.QueryUtil.sessionGapStr))
+          .agg(min(unix_micros(col("ts"))).as("smin"),
+            max(unix_micros(col("ts"))).as("smax"), count(lit(1)).as("n"))
+          .select(col("user_id"), col("smin"), col("smax"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // same watermark-boundary slack as the EventTimeTimeout spec: the
+        // strict core must emit; nothing beyond the non-strict closure may
+        val maxTsMs = Tables.load(spark, dir, "events")
+          .agg(max(unix_micros(col("ts")))).collect().head.getLong(0) / 1000
+        val watermarkMs = maxTsMs - 10 * 60 * 1000
+        val gapMs = graft.queries.QueryUtil.sessionGapMicros / 1000
+        val mustEmit = batch.filter(s => s._3 / 1000 + gapMs < watermarkMs).toSet
+        val mayEmit = batch.filter(s => s._3 / 1000 + gapMs <= watermarkMs).toSet
+        assert(mustEmit.subsetOf(emitted.toSet),
+          s"missing ${mustEmit.diff(emitted.toSet).take(3)}")
+        assert(emitted.toSet.subsetOf(mayEmit),
+          s"emitted a session the watermark hasn't closed: ${emitted.toSet.diff(mayEmit).take(3)}")
+        // the TIMER path must actually fire: a user's FINAL session can
+        // only close via handleExpiredTimer (no later event exists)
+        val finals = batch.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+        assert(emitted.toSet.intersect(finals).nonEmpty,
+          "no timer-closed session — handleExpiredTimer never fired")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(ck, v); case None => spark.conf.unset(ck) }
+    }
+  }
+
   test("EventTimeTimeout sessionization merges cross-batch out-of-order events (no inverted/split sessions)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
