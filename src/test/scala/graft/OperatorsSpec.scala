@@ -178,6 +178,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesian"), s"q77 fell back to a cartesian product:\n$p")
   }
 
+  test("r9 query shapes: t68 WindowGroupLimit, q81 hash join, d83 no-cartesian (plan gates)") {
+    // t68's rank-3 filter must rewrite to a map-side group limit, never a
+    // full sort of the tf table
+    val t68 = SparkEntry.queries("t68")(spark, dir)
+    assert(t68.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      s"t68 top-3 not pushed to WindowGroupLimit:\n${t68.queryExecution.executedPlan}")
+    // q81's <=> must plan as a HASH join (EqualNullSafe is an equi-key);
+    // a nested-loop fallback would be quadratic on the null groups
+    val q81 = SparkEntry.queries("q81")(spark, dir)
+    q81.collect()
+    val p81 = q81.queryExecution.executedPlan.toString
+    assert(p81.contains("HashJoin"), s"q81 <=> not a hash join:\n$p81")
+    assert(!p81.contains("BroadcastNestedLoop") && !p81.toLowerCase.contains("cartesian"),
+      s"q81 degraded to a non-equi join:\n$p81")
+    // d83's anchor join is an equi-join on the gram string + window + two
+    // partial/final aggregates — no cartesian anywhere
+    val d83 = SparkEntry.queries("d83")(spark, dir)
+    d83.collect()
+    val p83 = d83.queryExecution.executedPlan.toString
+    assert(!p83.contains("BroadcastNestedLoop") && !p83.toLowerCase.contains("cartesian"),
+      s"d83 anchor join fell off the equi-join path:\n$p83")
+    assert(p83.contains("WindowGroupLimit") || p83.contains("Window"),
+      s"d83 lost its islands window:\n$p83")
+  }
+
   test("q02 filter reaches the parquet scan as a pushed filter (plan regression gate)") {
     val df = SparkEntry.queries("q02")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
