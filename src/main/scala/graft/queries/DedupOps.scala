@@ -903,6 +903,31 @@ object DedupOps {
         .orderBy(col("source"))
     }),
 
+    // LENGTH-BUCKETED batching audit — the OTHER padding strategy next to
+    // d70's sequence packing: batch docs of similar length together
+    // (bucket = next power of two of the token count) and measure the
+    // padding each bucket pays, the number a training-efficiency pass
+    // monitors (dense packing avoids padding but splits docs; length
+    // bucketing keeps docs whole and pays pad_frac). The bucket is exact
+    // INTEGER arithmetic — length(bin(n)) is floor(log2 n)+1, so
+    // next-pow2 needs no libm log2 (whose 2^k boundary rounding differs
+    // per engine). One scan + one bucket-keyed agg; everything exact but
+    // the final fraction divide.
+    "d85_length_buckets" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(QueryUtil.tokenCount(col("text")).cast(LongType).as("n"))
+        .withColumn("bucket", expr(
+          "CASE WHEN n = shiftleft(cast(1 as bigint), length(bin(n)) - 1) " +
+            "THEN n ELSE shiftleft(cast(1 as bigint), length(bin(n))) END"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          sum(col("bucket") - col("n")).as("n_padding"))
+        .withColumn("pad_frac", col("n_padding").cast(DoubleType) /
+          (col("n_docs") * col("bucket")).cast(DoubleType))
+        .orderBy(col("bucket"))
+    }),
+
     // Variable-length exact-substring dedup (suffix-array capability, no
     // suffix array): longest shared token span >= 8 per doc pair via
     // anchor-gram join + aligned-run reconstruction — see
@@ -2008,6 +2033,22 @@ object DedupOps {
         | LEFT JOIN ww ON rawn.source = ww.source
         | LEFT JOIN fin ON rawn.source = fin.source
         |ORDER BY source""".stripMargin,
+
+    // bin()-length next-pow2 (exact integer arithmetic both engines; <<
+    // is DuckDB's shiftleft); one IEEE divide for the fraction
+    "d85_length_buckets" ->
+      s"""WITH t AS (
+        | SELECT CAST(${QueryUtil.oracleTokenCount} AS BIGINT) AS n
+        | FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT n,
+        |  CASE WHEN n = (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) THEN n
+        |       ELSE (CAST(1 AS BIGINT) << length(bin(n))) END AS bucket
+        | FROM t)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(sum(bucket - n) AS BIGINT) AS n_padding,
+        | CAST(sum(bucket - n) AS DOUBLE) / CAST(count(*) * bucket AS DOUBLE)
+        |   AS pad_frac
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same anchor-gram + gaps-and-islands identity, mirrored: 8-gram
     // positional windows, string-keyed join, run = consecutive pa within
