@@ -179,6 +179,21 @@ case class BmpChanStats(child: Expression)
   override def prettyName: String = "graft_bmp_chanstats"
 }
 
+/** Nearest-neighbor 2× BMP downsample through the real codec (parse →
+  * sample even pixels of even rows → re-encode): binary -> binary, null
+  * for invalid/non-24bpp input — the resize stage of an image pipeline. */
+case class BmpDownsample2x(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.bmpDownsample2x(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): BmpDownsample2x = copy(child = c)
+  override def prettyName: String = "graft_bmp_downsample2x"
+}
+
 /** Span-removal token rebuild: (array<string> tokens, array<int> starts,
   * int width) -> array<string> of tokens NOT covered by any
   * [start, start+width) span. Codegen'd O(n + |starts|·width) boolean-mask
@@ -477,6 +492,8 @@ object GraftFunctions {
       es => BmpMetaExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bmp_chanstats",
       es => BmpChanStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_downsample2x",
+      es => BmpDownsample2x(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mg_topk",
       es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
         .toAggregateExpression(), "scala_udf")

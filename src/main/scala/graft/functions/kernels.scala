@@ -583,6 +583,35 @@ object Kernels {
     Array(m.width.toLong * m.height, s0, s1, s2)
   }
 
+  /** Nearest-neighbor 2× downsample of a 24bpp BMP through the FULL codec
+    * path — the brief's "resize" op made real: parse the geometry, sample
+    * every second pixel of every second logical row (top-left anchor, so
+    * output pixel (x,y) = input pixel (2x,2y)), and re-encode with
+    * bmpBuild. Output dims are ceil(w/2)×ceil(h/2) (every even index is
+    * kept). Orientation-correct: a top-down input samples the same
+    * LOGICAL pixels as its bottom-up equivalent. Null for
+    * invalid/non-24bpp input. */
+  def bmpDownsample2x(b: Array[Byte]): Array[Byte] = {
+    val m = bmpParse(b)
+    if (m == null || m.bpp != 24) return null
+    val wO = (m.width + 1) / 2
+    val hO = (m.height + 1) / 2
+    val pix = new Array[Byte](wO * hO * 3)
+    var y = 0
+    while (y < hO) {
+      val srcRow = m.rowOff(2 * y)
+      var x = 0
+      while (x < wO) {
+        val so = srcRow + (2 * x) * 3
+        val po = (y * wO + x) * 3
+        pix(po) = b(so); pix(po + 1) = b(so + 1); pix(po + 2) = b(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    bmpBuild(pix, wO) // height = ceil(wO·hO / wO) = hO exactly
+  }
+
   /** (sum, count) of pixel byte values over logical rows [r0, r1), read
     * through the parsed stride/orientation and EXCLUDING stride padding —
     * the per-band aggregate a frame/tile sampler computes. Null meta or an

@@ -233,6 +233,32 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // IMAGE RESIZE through the real codec — the transform stage of an
+    // image pipeline (decode → downsample → re-encode), not just a decode:
+    // nearest-neighbor 2× downsample (output pixel (x,y) = input (2x,2y),
+    // top-left anchor), then the RESIZED image is parsed back and
+    // channel-aggregated. The oracle computes the sampled byte indices
+    // straight from the construction parameters (idx = 3·(2y·w + 2x) + c),
+    // so the hash-match proves parse → sample → re-encode → re-parse
+    // end-to-end. Scan-local per doc, embarrassingly parallel.
+    "m69_resize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("graft_bmp_downsample2x(graft_bmp_build(cast(text as binary), " +
+            "cast(16 + doc_id % 49 as int)))").as("img2"))
+        .select(col("doc_id"), expr("graft_bmp_meta(img2)").as("m"),
+          expr("graft_bmp_chanstats(img2)").as("st"))
+        .select(col("doc_id"),
+          col("m.width").as("w2"), col("m.height").as("h2"),
+          col("st")(0).as("n_pix2"),
+          (col("st")(1).cast("double") / col("st")(0)).as("mean_c0"),
+          (col("st")(2).cast("double") / col("st")(0)).as("mean_c1"),
+          (col("st")(3).cast("double") / col("st")(0)).as("mean_c2"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m64_wav_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
@@ -319,6 +345,33 @@ object MultimodalOps {
         | CAST(coalesce(list_sum([ord(t[i]) FOR i IN range(3, len + 1, 3)]), 0)
         |   AS DOUBLE) / (w * h) AS mean_c2
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // sampled byte index from the construction params: output pixel k →
+    // (x, y) = (k % wo, k // wo) → input byte 3·(2y·w + 2x) + c, zero
+    // beyond len (the encoder's zero-fill). Exact int sums, one divide.
+    "m69_resize" ->
+      """WITH p AS (
+        | SELECT doc_id, text AS t, strlen(text) AS len, 16 + doc_id % 49 AS w
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT doc_id, t, len, w,
+        |  ((len + 2) // 3 + w - 1) // w AS h FROM p),
+        |o AS (SELECT doc_id, t, len, w,
+        |  (w + 1) // 2 AS wo, (h + 1) // 2 AS ho FROM g)
+        |SELECT doc_id, CAST(wo AS INTEGER) AS w2, CAST(ho AS INTEGER) AS h2,
+        | CAST(wo * ho AS BIGINT) AS n_pix2,
+        | CAST(coalesce(list_sum([CASE
+        |    WHEN 3 * (2 * (k // wo) * w + 2 * (k % wo)) < len
+        |    THEN ord(t[3 * (2 * (k // wo) * w + 2 * (k % wo)) + 1]) ELSE 0 END
+        |   FOR k IN range(0, wo * ho)]), 0) AS DOUBLE) / (wo * ho) AS mean_c0,
+        | CAST(coalesce(list_sum([CASE
+        |    WHEN 3 * (2 * (k // wo) * w + 2 * (k % wo)) + 1 < len
+        |    THEN ord(t[3 * (2 * (k // wo) * w + 2 * (k % wo)) + 2]) ELSE 0 END
+        |   FOR k IN range(0, wo * ho)]), 0) AS DOUBLE) / (wo * ho) AS mean_c1,
+        | CAST(coalesce(list_sum([CASE
+        |    WHEN 3 * (2 * (k // wo) * w + 2 * (k % wo)) + 2 < len
+        |    THEN ord(t[3 * (2 * (k // wo) * w + 2 * (k % wo)) + 3]) ELSE 0 END
+        |   FOR k IN range(0, wo * ho)]), 0) AS DOUBLE) / (wo * ho) AS mean_c2
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "m62_audio_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

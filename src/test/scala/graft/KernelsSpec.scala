@@ -267,6 +267,26 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.bmpChanStats(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("bmp 2x downsample samples even pixels of even logical rows and re-encodes") {
+    // 3x3 image from bytes 1..27: logical pixels (x,y) = value 3*(3y+x)+1..
+    val img = Kernels.bmpBuild((1 to 27).map(_.toByte).toArray, 3)
+    val m0 = Kernels.bmpParse(img)
+    assert(m0.width == 3 && m0.height == 3)
+    val small = Kernels.bmpDownsample2x(img)
+    val m = Kernels.bmpParse(small)
+    assert(m.width == 2 && m.height == 2) // ceil(3/2) each way
+    // kept input pixels: (0,0)=1,2,3 (2,0)=7,8,9 (0,2)=19,20,21 (2,2)=25,26,27
+    assert(Kernels.bmpChanStats(small).toSeq ==
+      Seq(4L, 1L + 7 + 19 + 25, 2L + 8 + 20 + 26, 3L + 9 + 21 + 27))
+    // a top-down re-layout of the input samples the SAME logical pixels
+    val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
+    val td = base.clone()
+    td(22) = -2; td(23) = -1; td(24) = -1; td(25) = -1
+    for (k <- 0 until 4) { td(54 + k) = base(58 + k); td(58 + k) = base(54 + k) }
+    assert(Kernels.bmpDownsample2x(td).toSeq == Kernels.bmpDownsample2x(base).toSeq)
+    assert(Kernels.bmpDownsample2x(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("bmp parse honors top-down storage and pixel-offset gaps; rejects corrupt payloads") {
     // width 1 => 2 rows of one pixel each, stride 4 (1 padding byte per row)
     val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
