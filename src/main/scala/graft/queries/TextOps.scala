@@ -201,6 +201,25 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // FEATURE HASHING (the hashing trick, Weinberger et al. 2009) — the
+    // vocabulary-free featurizer that turns a doc into a fixed-k sparse
+    // count vector via hash(term) mod k: no dictionary to build, store,
+    // or join (the property that makes it the streaming/low-memory
+    // baseline featurizer). Bucket = first md5 nibble (k=16 contract
+    // instance; production widens to 2^18 with more nibbles — same
+    // mechanics), md5 being the engine-portable hash discipline (d67/d74).
+    // Scan-local hash + ONE (doc, bucket) count agg, output only non-zero
+    // buckets — cost ∝ tokens, memory ∝ k, nothing vocabulary-sized
+    // anywhere.
+    "t69_feature_hashing" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("term").cast(BinaryType)), 1, 1), 16, 10)
+            .cast(IntegerType).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // Bigram language-model table — the count-based n-gram LM every
     // data-quality stack keeps around (KenLM-shape scoring, next-token
     // suggestion, perplexity filtering): per (w1, w2) corpus counts, the
@@ -864,6 +883,16 @@ object TextOps {
         | n_hapax, CAST(n_hapax AS DOUBLE) / len(toks) AS hapax_frac
         |FROM t JOIN agg ON agg.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // first-md5-nibble bucket via the instr idiom (= Spark's conv base-16)
+    "t69_feature_hashing" ->
+      """SELECT doc_id,
+        | CAST(instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1
+        |   AS INTEGER) AS bucket,
+        | count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // rational tf·n/df score (log-free, one IEEE divide of exact ints);
     // row_number narrowed to Spark's INTEGER; identical tiebreak
