@@ -203,6 +203,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"d83 lost its islands window:\n$p83")
   }
 
+  test("Observation metrics ride the pipeline scan: quality counters without a second pass") {
+    // the data-quality counters a production pipeline wants (rows seen,
+    // rows kept, token volume) collected via df.observe DURING the one
+    // pass that does the work — CollectMetrics adds no job, no extra scan,
+    // no accumulator races (exactly-once per observed row)
+    import org.apache.spark.sql.Observation
+    val obs = Observation("quality_scan")
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs
+      .observe(obs,
+        count(lit(1)).as("n_seen"),
+        count(when(graft.queries.QueryUtil.qualityKeep(col("text")), 1)).as("n_keep"),
+        sum(graft.queries.QueryUtil.tokenCount(col("text")).cast("long")).as("n_tok"))
+      .filter(graft.queries.QueryUtil.qualityKeep(col("text")))
+    val keptCount = kept.count()
+    val m = obs.get
+    assert(m("n_keep") == keptCount,
+      s"observed keep count ${m("n_keep")} != pipeline output $keptCount")
+    val expected = docs.agg(count(lit(1)),
+        sum(graft.queries.QueryUtil.tokenCount(col("text")).cast("long")))
+      .collect().head
+    assert(m("n_seen") == expected.getLong(0) && m("n_tok") == expected.getLong(1),
+      s"observed $m vs recomputed $expected")
+  }
+
   test("q02 filter reaches the parquet scan as a pushed filter (plan regression gate)") {
     val df = SparkEntry.queries("q02")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
