@@ -566,6 +566,18 @@ object Relational {
         |  ON a.pri <=> b.pri AND a.o_orderkey < b.o_orderkey
         |ORDER BY ka, kb""".stripMargin)),
 
+    // §2.8 error-safe (try_*) function family — the lenient-semantics
+    // surface of the facade contract: a data edge case (zero divisor,
+    // unparseable cast) yields NULL instead of aborting the query. DuckDB
+    // mirrors try_cast natively and try_divide as an explicit zero guard.
+    "q82_try_functions" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey,
+        | try_divide(o_totalprice, o_orderkey % 3) AS safe_div,
+        | try_cast(o_orderpriority AS INT) AS pri_int,
+        | try_cast(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // §2.6 top-k: TakeOrderedAndProject.
     "q21_topk" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1217,6 +1229,17 @@ object Relational {
         |FROM spine s LEFT JOIN orders o
         |  ON date_trunc('month', o.o_orderdate) = s.m
         |GROUP BY s.m ORDER BY s.m""".stripMargin,
+
+    // try_divide = NULL-on-zero (explicit guard; DuckDB double/0 is inf,
+    // not an error, so the guard IS the mirror); TRY_CAST native both
+    "q82_try_functions" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |      ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+        | TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        | TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Spark's <=> is ANSI IS NOT DISTINCT FROM — identical null-match rule
     "q81_nullsafe_join" ->
