@@ -93,9 +93,13 @@ object Kernels {
     val m = starts.numElements()
     var i = 0
     while (i < m) {
-      var p = math.max(0, starts.getInt(i))
-      val end = math.min(n, p.toLong + w).toInt
-      while (p < end) { mask(p) = true; p += 1 }
+      // graft_strip_spans is SQL-registered: a caller can pass an array<int>
+      // with null elements — skip them rather than reading garbage/NPE.
+      if (!starts.isNullAt(i)) {
+        var p = math.max(0, starts.getInt(i))
+        val end = math.min(n, p.toLong + w).toInt
+        while (p < end) { mask(p) = true; p += 1 }
+      }
       i += 1
     }
     var kept = 0
@@ -550,14 +554,19 @@ object Kernels {
     val w = le32(b, 18); val hRaw = le32(b, 22)
     val planes = le16(b, 26); val bpp = le16(b, 28)
     val comp = le32(b, 30)
-    if (w <= 0 || hRaw == 0 || planes != 1 || comp != 0) return null
+    // hRaw == Int.MinValue would survive math.abs still negative; huge w
+    // would overflow an Int stride into a negative that passes the
+    // truncation check — do the geometry arithmetic in Long and reject.
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || planes != 1 || comp != 0)
+      return null
     if (bpp != 24 && bpp != 8 && bpp != 32) return null
     val h = math.abs(hRaw)
-    val stride = ((w * bpp / 8 + 3) / 4) * 4
-    val imgSize = stride.toLong * h
+    val stride = ((w.toLong * bpp / 8 + 3) / 4) * 4
+    val imgSize = stride * h
     // biSizeImage may legally be 0 for BI_RGB — recompute, never trust it
-    if (off < 14 + dibSize || off.toLong + imgSize > b.length) return null
-    BmpMeta(w, h, bpp, off, stride, imgSize.toInt, hRaw < 0)
+    if (off < 14L + dibSize || off.toLong + imgSize > b.length) return null
+    // imgSize <= b.length here, so both narrow safely
+    BmpMeta(w, h, bpp, off, stride.toInt, imgSize.toInt, hRaw < 0)
   }
 
   /** Per-channel pixel sums over a 24bpp BMP, read through the PARSED
@@ -693,7 +702,8 @@ object Kernels {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val sz = le32(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return null // truncated/corrupt
+      // compare in Long: sz near Int.MaxValue would wrap the Int sum negative
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return null // truncated/corrupt
       if (id == "fmt ") {
         if (sz < 16 || le16(b, off + 8) != 1) return null // non-PCM
         channels = le16(b, off + 10)
@@ -725,7 +735,7 @@ object Kernels {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val sz = le32(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return null
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return null
       if (id == "fmt ") {
         if (sz < 16 || le16(b, off + 8) != 1) return null
         bits = le16(b, off + 22); sawFmt = true
@@ -760,7 +770,7 @@ object Kernels {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val sz = le32(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return null
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return null
       if (id == "fmt ") {
         if (sz < 16 || le16(b, off + 8) != 1) return null
         bits = le16(b, off + 22); sawFmt = true

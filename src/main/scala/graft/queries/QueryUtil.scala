@@ -56,6 +56,17 @@ private[graft] object QueryUtil {
     /** Snapshot of the live entries (for the eviction cross-uncache guard). */
     def values: Seq[DataFrame] =
       synchronized(map.values().toArray(Array.empty[DataFrame]).toSeq)
+    /** Remove every entry whose key starts with `prefix`; returns the
+      * removed frames (caller unpersists under the survivor guard). */
+    def removePrefix(prefix: String): Seq[DataFrame] = synchronized {
+      val removed = Seq.newBuilder[DataFrame]
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) { removed += e.getValue; it.remove() }
+      }
+      removed.result()
+    }
   }
 
   /** Contexts that already carry the eviction listener (weak: value holds no
@@ -123,6 +134,29 @@ private[graft] object QueryUtil {
           !built.queryExecution.analyzed.sameResult(winner.queryExecution.analyzed))
         built.unpersist()
       winner
+    }
+  }
+
+  /** Drop and unpersist every memo entry of `s` whose key starts with
+    * `prefix` — targeted eviction for measurement harnesses (ScaleProbe's
+    * per-pass reset). `catalog.clearCache()` is the wrong tool there: it
+    * evicts every OTHER probe's shared memo too, and leaves this map's
+    * memoized frames silently UNcached, so a warm pass re-executes shared
+    * subtrees twice (heavier than the production plan). Prefix removal +
+    * unpersist means the next pass rebuilds and re-persists exactly like a
+    * fresh production run. Same cross-uncache guard as LRU eviction:
+    * CacheManager keys entries by plan sameResult, so a survivor whose plan
+    * matches a removed frame keeps the shared cache entry alive. */
+  def unpersistKeyed(s: SparkSession, prefix: String): Unit = {
+    val perSession = persistedMemo.synchronized(persistedMemo.get(s))
+    if (perSession == null) return
+    val removed = perSession.removePrefix(prefix)
+    if (removed.isEmpty) return
+    val survivors = perSession.values
+    removed.foreach { e =>
+      if (!survivors.exists(v =>
+          v.queryExecution.analyzed.sameResult(e.queryExecution.analyzed)))
+        e.unpersist()
     }
   }
 

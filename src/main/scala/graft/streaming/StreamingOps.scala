@@ -598,9 +598,16 @@ object StreamingOps {
     * live state's close point at expiry — the standard
     * one-logical-timer-per-key pattern. Semantics match
     * sessionizeWithTimeout (flatMapGroupsWithState EventTimeTimeout) and
-    * the batch session_window mirror — same gap, same emit tuple, spec
-    * gated the same way. State: one 3-number ValueState + one timer per
-    * user. Output: (user_id, smin, smax, n_events) in event-time micros. */
+    * the batch session_window mirror — same strict gap, same emit tuple,
+    * spec gated the same way — including cross-batch disorder that lands
+    * inside/adjacent to the open interval (merges, lowering smin as
+    * needed). One documented delta of the single-interval state: a
+    * straggler session older than the open interval by MORE than the gap
+    * emits as closed immediately instead of staying open for possible
+    * later within-watermark companions (sessionizeWithTimeout's
+    * interval-list state holds those open until the watermark passes).
+    * State: one 3-number ValueState + one timer per user. Output:
+    * (user_id, smin, smax, n_events) in event-time micros. */
   def timerSessions(spark: SparkSession, events: DataFrame,
       gapMicros: Long = graft.queries.QueryUtil.sessionGapMicros,
       delay: String = "10 minutes"): DataFrame = {
@@ -619,13 +626,32 @@ object StreamingOps {
         val sorted = rows.toArray.map(_._2).sorted
         var st = if (sess.exists()) sess.get() else null
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        // group the batch into in-batch sessions first (strict gap, same
+        // rule as session_window), THEN merge each against the open state:
+        // per-event folding would split a straggler group that precedes
+        // the open interval into singletons.
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         sorted.foreach { ts =>
-          if (st == null) st = (ts, ts, 1L)
-          else if (ts - st._2 <= gapMicros) st = (st._1, math.max(st._2, ts), st._3 + 1)
-          else { // gap visible in arrived data: close immediately
+          if (batch.nonEmpty && ts - batch.last._2 < gapMicros) {
+            val l = batch.last
+            batch(batch.length - 1) = (l._1, ts, l._3 + 1)
+          } else batch += ((ts, ts, 1L))
+        }
+        batch.foreach { bs =>
+          if (st == null) st = bs
+          else if (bs._2 > st._1 - gapMicros && bs._1 < st._2 + gapMicros)
+            // touches the open interval on either side (a cross-batch
+            // out-of-order group may precede it): merge, lowering smin
+            st = (math.min(st._1, bs._1), math.max(st._2, bs._2), st._3 + bs._3)
+          else if (bs._1 >= st._2 + gapMicros) {
+            // gap visible in arrived data: close the open interval
             out += ((key, st._1, st._2, st._3))
-            st = (ts, ts, 1L)
-          }
+            st = bs
+          } else
+            // entirely before the open interval by more than the gap:
+            // emit as closed (see docstring for the delta vs the
+            // interval-list variant)
+            out += ((key, bs._1, bs._2, bs._3))
         }
         sess.update(st)
         getHandle.registerTimer(st._2 / 1000 + gapMs)

@@ -191,16 +191,20 @@ object ScaleProbe {
       // corpus with every token stream repeated ×16 — boilerplate-heavy
       // long docs. The old array_contains cover probe was O(len²) per doc
       // (≈256× the base cost here); the mask kernel must stay ≈×16.
-      // clearCache per pass: d81 persists its RESULT, and Spark's
-      // CacheManager matches cached plans structurally, so without the
-      // clear every warm pass is a cache read, not a computation (the
-      // reported time is therefore true per-pass compute, JIT-warm).
-      "d81_flat" -> ((s, d) => { s.catalog.clearCache()
+      // Targeted unpersist per pass: d81 memo-persists its grams AND its
+      // result, and Spark's CacheManager matches cached plans structurally,
+      // so without a reset every warm pass is a cache read, not a
+      // computation. clearCache() (the r9 form) was the wrong reset — it
+      // also evicted the OTHER probes' shared memos and left this probe's
+      // memoized frames uncached, so warm passes computed the grams subtree
+      // twice (heavier than the production plan). Prefix unpersist makes
+      // each pass rebuild + re-persist exactly like a fresh production run.
+      "d81_flat" -> ((s, d) => { graft.queries.QueryUtil.unpersistKeyed(s, "sc-d81f:")
         graft.queries.DedupOps.boilerplateStripFrame(s, s"sc-d81f:$d",
           s.read.parquet(s"$d/documents.parquet")
             .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")))
           .drop("kept") }),
-      "d81_long" -> ((s, d) => { s.catalog.clearCache()
+      "d81_long" -> ((s, d) => { graft.queries.QueryUtil.unpersistKeyed(s, "sc-d81l:")
         graft.queries.DedupOps.boilerplateStripFrame(s, s"sc-d81l:$d",
           s.read.parquet(s"$d/documents.parquet")
             .select(col("doc_id"), flatten(array_repeat(

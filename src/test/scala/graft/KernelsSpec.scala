@@ -321,4 +321,48 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.bmpParse(zw) == null)
     assert(Kernels.bmpParse(Array[Byte](1, 2, 3)) == null)
   }
+
+  test("bmp/wav parsers reject overflow-crafted geometry (Long arithmetic guards)") {
+    // r9 advisor: crafted headers whose sizes overflow Int arithmetic used
+    // to slip past the truncation checks — each must reject with null, not
+    // return garbage meta / [0,0,0,0] stats / throw AIOOBE downstream.
+    val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
+    // width 2^28 at 24bpp: w*bpp wraps negative in Int, so the old stride
+    // came out negative and the stride×height truncation check passed
+    val hugeW = base.clone()
+    hugeW(18) = 0; hugeW(19) = 0; hugeW(20) = 0; hugeW(21) = 0x10
+    assert(Kernels.bmpParse(hugeW) == null)
+    assert(Kernels.bmpChanStats(hugeW) == null) // was AIOOBE pre-fix
+    assert(Kernels.bmpDownsample2x(hugeW) == null)
+    // biHeight = Int.MinValue: math.abs stays negative -> garbage meta
+    val minH = base.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Kernels.bmpParse(minH) == null)
+    // WAV data-chunk size near Int.MaxValue: off+8+sz wraps negative in
+    // Int, bypassing truncation; the stats sample loop then never runs and
+    // returned [0,0,0,0] instead of null
+    val w16 = Kernels.wavBuild(Array[Byte](1, 0), 16000, 1, 16)
+    val crafted16 = w16.clone()
+    crafted16(40) = 0xf0.toByte; crafted16(41) = 0xff.toByte
+    crafted16(42) = 0xff.toByte; crafted16(43) = 0x7f
+    assert(Kernels.wavParse(crafted16) == null)
+    assert(Kernels.wavStats16(crafted16) == null)
+    val w8 = Kernels.wavBuild(Array[Byte](1), 8000, 1, 8)
+    val crafted8 = w8.clone()
+    crafted8(40) = 0xf0.toByte; crafted8(41) = 0xff.toByte
+    crafted8(42) = 0xff.toByte; crafted8(43) = 0x7f
+    assert(Kernels.wavParse(crafted8) == null)
+    assert(Kernels.wavStats8(crafted8) == null)
+  }
+
+  test("strip spans skips null start elements (public SQL surface hardening)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Seq("a", "b", "c", "d").map(UTF8String.fromString).toArray[Any])
+    // graft_strip_spans is SQL-registered: array(1, NULL) is a legal input
+    val starts = new GenericArrayData(Array[Any](1, null))
+    val r = Kernels.stripSpans(toks, starts, 2)
+    assert((0 until r.numElements()).map(r.getUTF8String(_).toString) == Seq("a", "d"))
+  }
 }

@@ -140,6 +140,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions under cross-batch disorder: adjacent stragglers lower smin; older-than-gap stragglers emit closed") {
+    // r9 advisor: the single-interval timer state never lowered the session
+    // start, so a within-watermark out-of-order event extended n_events but
+    // left smin at the first-seen ts. Both disorder regimes are pinned here:
+    // (a) a straggler INSIDE the gap of the open interval merges and lowers
+    // smin; (b) a straggler older than the open interval by MORE than the
+    // gap emits as its own closed session (the documented single-interval
+    // delta vs sessionizeWithTimeout's interval list).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ck = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ck)
+    spark.conf.set(ck,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(min: Int) = new java.sql.Timestamp(360000000L + min * 60000L)
+    def tus(min: Int) = ts(min).getTime * 1000
+    try {
+      // (a) default 10-min delay: T-4 arrives after [T+0, T+5] is open
+      val memA = MemoryStream[(Long, java.sql.Timestamp)]
+      val qa = StreamingOps.timerSessions(spark, memA.toDS().toDF("user_id", "ts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("timer_ooo_a").start()
+      try {
+        memA.addData((1L, ts(0)), (1L, ts(5)))
+        qa.processAllAvailable() // watermark now T-5
+        memA.addData((1L, ts(-4))) // above watermark, inside the 30-min gap
+        qa.processAllAvailable()
+        memA.addData((2L, ts(120)))
+        qa.processAllAvailable()
+        memA.addData((2L, ts(200))) // watermark passes T+5 + gap: timer fires
+        qa.processAllAvailable()
+        val a = spark.table("timer_ooo_a").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(a.contains((1L, tus(-4), tus(5), 3L)),
+          s"straggler did not lower smin: ${a.toSeq}")
+      } finally qa.stop()
+      // (b) 2-hour delay so a 60-min-older straggler is still above the
+      // watermark: it precedes the open interval by more than the gap
+      val memB = MemoryStream[(Long, java.sql.Timestamp)]
+      val qb = StreamingOps.timerSessions(spark,
+          memB.toDS().toDF("user_id", "ts"), delay = "2 hours")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("timer_ooo_b").start()
+      try {
+        memB.addData((3L, ts(0)))
+        qb.processAllAvailable() // watermark T-120
+        memB.addData((3L, ts(-60))) // disjoint straggler session
+        qb.processAllAvailable()
+        memB.addData((4L, ts(400)))
+        qb.processAllAvailable()
+        memB.addData((4L, ts(600))) // watermark passes T+0 + gap
+        qb.processAllAvailable()
+        val b = spark.table("timer_ooo_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(b.contains((3L, tus(-60), tus(-60), 1L)),
+          s"older-than-gap straggler not emitted closed: ${b.toSeq}")
+        assert(b.contains((3L, tus(0), tus(0), 1L)),
+          s"open interval corrupted by the straggler: ${b.toSeq}")
+      } finally qb.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(ck, v); case None => spark.conf.unset(ck) }
+    }
+  }
+
   test("EventTimeTimeout sessionization merges cross-batch out-of-order events (no inverted/split sessions)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
