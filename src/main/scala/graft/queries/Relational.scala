@@ -408,6 +408,110 @@ object Relational {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q19 shape: DISJUNCTIVE join predicates — an OR of conjunctions
+    // that each mix both sides of the join. The classic optimizer workout:
+    // Catalyst must still extract the common l_partkey = p_partkey equi key
+    // (one broadcast hash join, NOT a cartesian/BNL) and keep the
+    // disjunction as the join's residual condition; part is dim-sized and
+    // broadcast. Revenue through DECIMAL so the one-row answer is bit-equal.
+    "q83_disjunctive_join" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the hardest
+    // TPC-H correlation workout: EXISTS + NOT EXISTS against the SAME fact
+    // table with an inequality on the correlated column. Late =
+    // l_shipdate > o_orderdate + 90 days (this corpus has no
+    // commit/receipt dates). Planned as one late-lines subtree feeding a
+    // semi join (another supplier on the order) and an anti join (no OTHER
+    // supplier late on it) — all three joins shuffle on l_orderkey, no
+    // correlated re-execution anywhere.
+    "q84_waiting_suppliers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      late
+        .join(l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — IN over a grouped-HAVING
+    // subquery. Spark-first: the HAVING aggregate IS the quantity the
+    // outer query re-computes in classic Q18, so compute it once and JOIN
+    // (bit-identical, one lineitem pass instead of two); the >300 survivor
+    // set is tiny at any SF (top ~0.3% of orders) so it broadcasts into
+    // orders, then AQE broadcasts the result into customer.
+    "q85_big_orders" -> ((s, dir) => {
+      val q = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qd"))
+        .filter(col("qd") > 300)
+      t(s, dir, "orders").join(broadcast(q), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_totalprice"), col("qd").cast(DoubleType).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // with a filter that belongs to the JOIN CONDITION (not the WHERE:
+    // pushing it to WHERE would silently drop zero-order customers), then
+    // aggregation-of-an-aggregation. The o-side filter applies before the
+    // outer join (equivalent to the ON-clause form and pushdown-friendly);
+    // count(o_orderkey) counts non-null matches so no-order customers
+    // land in the c_count=0 bucket.
+    "q86_cust_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // SQL PIPE syntax (Spark 4's |> operators — the FROM-first composable
+    // form): WHERE -> AGGREGATE...GROUP BY -> SELECT -> ORDER BY as a
+    // left-to-right pipeline. Parses to exactly the plan the equivalent
+    // nested SELECT produces (EliminatePipeOperators), so this is a parser
+    // surface — the oracle is the plain-SQL spelling of the same query.
+    "q87_pipe_syntax" -> ((s, dir) => sql(s, dir,
+      """FROM lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        ||> AGGREGATE sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d,
+        |            count(*) AS n_rows
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> SELECT l_returnflag, l_linestatus,
+        |          CAST(sum_qty_d AS DOUBLE) AS sum_qty, n_rows
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -1307,6 +1411,60 @@ object Relational {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_d = (SELECT max(rev_d) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q83_disjunctive_join" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue, count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // the NOT EXISTS correlates on the OUTER order's o_orderdate — same
+    // order row, so this is the l3⋈orders(F) form the Spark side builds
+    "q84_waiting_suppliers" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "q85_big_orders" ->
+      """WITH q AS (
+        | SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        | o_totalprice, CAST(qd AS DOUBLE) AS total_qty
+        |FROM orders JOIN q ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q86_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q87_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

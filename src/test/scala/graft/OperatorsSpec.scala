@@ -203,6 +203,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"d83 lost its islands window:\n$p83")
   }
 
+  test("r10 TPC-H shapes: q83 one equi hash join, q84 semi+anti, q86 outer join kept (plan gates)") {
+    // q83 (Q19 disjunctive predicates): the OR-of-conjunctions must ride
+    // ONE equi hash join as a residual condition — the common
+    // l_partkey = p_partkey key extracted, never a nested-loop fallback
+    val q83 = SparkEntry.queries("q83")(spark, dir)
+    q83.collect()
+    val p83 = q83.queryExecution.executedPlan.toString
+    assert(p83.contains("BroadcastHashJoin"), s"q83 lost the equi hash join:\n$p83")
+    assert(!p83.contains("BroadcastNestedLoop") && !p83.toLowerCase.contains("cartesian"),
+      s"q83 degraded to a nested loop:\n$p83")
+    // q84 (Q21 double correlation): EXISTS -> semi join, NOT EXISTS -> anti
+    // join, all on the l_orderkey equi key — no correlated re-execution
+    val q84 = SparkEntry.queries("q84")(spark, dir)
+    q84.collect()
+    val p84 = q84.queryExecution.executedPlan.toString
+    assert(p84.contains("LeftSemi") && p84.contains("LeftAnti"),
+      s"q84 EXISTS/NOT EXISTS not planned as semi/anti joins:\n$p84")
+    assert(!p84.contains("BroadcastNestedLoop") && !p84.toLowerCase.contains("cartesian"),
+      s"q84 fell off the equi-join path:\n$p84")
+    // q86 (Q13): the priority filter lives on the join's o-side — the
+    // OUTER join must survive (an inner rewrite would drop the
+    // zero-order customers that Q13 exists to count)
+    val q86 = SparkEntry.queries("q86")(spark, dir)
+    q86.collect()
+    val p86 = q86.queryExecution.executedPlan.toString
+    assert(p86.contains("LeftOuter"), s"q86 outer join was rewritten away:\n$p86")
+  }
+
   test("Observation metrics ride the pipeline scan: quality counters without a second pass") {
     // the data-quality counters a production pipeline wants (rows seen,
     // rows kept, token volume) collected via df.observe DURING the one
