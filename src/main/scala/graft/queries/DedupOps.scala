@@ -573,6 +573,35 @@ object DedupOps {
           countDistinct(md5(col("text"))).as("n_unique"))
     }),
 
+    // Prefix-truncation dedup: docs whose ENTIRE token stream is a prefix
+    // of a strictly longer doc — the crawler-truncation / re-crawl artifact
+    // the near-dup family systematically misses (Jaccard(prefix, full)
+    // falls below any usable threshold once the long doc is 2×+ longer).
+    // Candidates via a first-8-token anchor equi-join (every prefix pair
+    // agrees on it — this corpus' min doc length is 10 tokens; a general
+    // corpus would key the anchor at min(8, shortest-doc) and carry d52's
+    // hot-anchor salt), then EXACT verification: the long doc's first
+    // n_short tokens equal the short doc's stream, compared tokenizer-
+    // normalized so raw-whitespace differences can't fake a mismatch.
+    // Candidate count is Σ_anchor shorts×longs — corpus-linear on natural
+    // text where 8-token openings are near-unique.
+    "d86_prefix_dupes" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("anchor", concat_ws(" ", slice(col("t"), 1, 8)))
+      val a = d.select(col("doc_id").as("short_id"), col("t").as("ta"),
+        col("n").as("n_short"), col("anchor"))
+      val b = d.select(col("doc_id").as("long_id"), col("t").as("tb"),
+        col("n").as("n_long"), col("anchor"))
+      a.join(b, "anchor")
+        .filter(col("n_short") < col("n_long") &&
+          concat_ws(" ", slice(col("tb"), lit(1), col("n_short"))) ===
+            concat_ws(" ", col("ta")))
+        .select(col("short_id"), col("long_id"), col("n_short"), col("n_long"))
+        .orderBy(col("short_id"), col("long_id"))
+    }),
+
     // The actual dedup decision: keep-list after near-dup removal. Rule:
     // drop a doc iff ANY smaller doc_id is near-identical (J >= 0.8) — one
     // deterministic anti-join, no iteration. Note this is deliberately NOT
@@ -1824,6 +1853,21 @@ object DedupOps {
         |FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    // the anchor join mirrors the Spark candidate rule; with every doc
+    // >= 10 tokens the 8-token anchor is IMPLIED by the prefix condition,
+    // so this is the true prefix-pair spec, not just an algorithm mirror
+    "d86_prefix_dupes" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n,
+        |        array_to_string(t[1:8], ' ') AS anchor FROM d)
+        |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+        | CAST(a.n AS INTEGER) AS n_short, CAST(b.n AS INTEGER) AS n_long
+        |FROM n a JOIN n b ON a.anchor = b.anchor AND a.n < b.n
+        | AND array_to_string(b.t[1:CAST(a.n AS INTEGER)], ' ')
+        |   = array_to_string(a.t, ' ')
+        |ORDER BY short_id, long_id""".stripMargin,
     "d51_dedup_keep" ->
       s"""WITH pairs AS (${oracleJaccardCore(0.8)})
          |SELECT doc_id FROM documents

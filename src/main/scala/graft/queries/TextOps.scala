@@ -425,6 +425,21 @@ object TextOps {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Token frequency-of-frequencies (the Zipf spectrum): how many distinct
+    // tokens occur exactly f times, with the pow2 bucket alongside —
+    // floor(log2 f)+1 = length(bin(f)), engine-portable integer arithmetic
+    // (no libm). The vocab-sizing / tokenizer-budget audit: the head (few
+    // tokens, huge f) vs the hapax tail in one table. Two hash aggregates;
+    // the second runs on the vocab-sized table, so cost is the token scan.
+    "t70_zipf_spectrum" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n_terms"))
+        .select(col("f"), col("n_terms"), length(bin(col("f"))).as("f_bucket"))
+        .orderBy(col("f"))
+    }),
+
     // Text normalization / boilerplate collapse — the cleaning pass that
     // runs before tokenizer training and dedup: collapse consecutive
     // repeated tokens (the dominant repetition artifact in scraped text —
@@ -1119,6 +1134,15 @@ object TextOps {
         | CAST($tok AS INTEGER) AS n_ws,
         | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpeish,
         | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t70_zipf_spectrum" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT term, count(*) AS f FROM toks GROUP BY 1)
+        |SELECT f, count(*) AS n_terms,
+        | CAST(length(bin(f)) AS INTEGER) AS f_bucket
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

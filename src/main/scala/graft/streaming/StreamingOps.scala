@@ -230,6 +230,32 @@ object StreamingOps {
       .select(col("user_id"), col("click_ts"), col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickPurchaseJoin]] plus
+    * the unmatched side: a click with NO purchase inside its 30-minute
+    * window emits with NULL p_ts once the watermark passes the window end
+    * (only then is "no purchase will ever match" decidable — outer results
+    * are inherently watermark-delayed; Spark runs the no-data batch that
+    * performs the final evictions when the source drains). Same
+    * both-sides-bounded state as the inner form — the only outer
+    * stream-stream shape that is safe unbounded. The spec asserts the
+    * matched rows equal the batch inner join exactly and the null rows are
+    * batch-unmatched clicks (never a false null), with every unmatched
+    * click whose eviction horizon the final watermark passed present. */
+  def clickPurchaseLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("p_ts"))
+  }
+
   /** Bounded-state streaming exact dedup — the streaming form of the d50
     * batch operator: `dropDuplicatesWithinWatermark` keeps a key's dedup
     * state only until the watermark passes its arrival horizon, so state is

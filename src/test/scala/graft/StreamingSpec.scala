@@ -699,6 +699,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches equal batch inner; nulls are exactly the closed unmatched clicks") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.clickPurchaseLeftOuter(StreamingOps.eventsStream(spark, dir)),
+      "attribution_outer", OutputMode.Append)
+    try {
+      val out = spark.table("attribution_outer")
+        .select(col("user_id"), col("click_ts").cast("string"),
+          col("p_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      val matched = out.filter(_._3.isDefined).map(r => (r._1, r._2, r._3.get)).sorted
+      val nulls = out.filter(_._3.isEmpty).map(r => (r._1, r._2)).toSet
+      val ev = Tables.load(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val joinCond = col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+      val batchInner = clicks.join(purchases, joinCond)
+        .select(col("user_id"), col("click_ts").cast("string"),
+          col("p_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      // matched rows are watermark-independent: they emit as they arrive
+      assert(matched.nonEmpty && matched.sameElements(batchInner),
+        s"outer join matched side diverged: stream ${matched.length} vs batch ${batchInner.length}")
+      // the null side: exactly the batch-unmatched clicks, gated by the
+      // final watermark passing the click's join-window end (+1h delay)
+      val unmatched = clicks.join(purchases, joinCond, "left_anti")
+        .select(col("user_id"), unix_micros(col("click_ts")).as("cm"),
+          col("click_ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val unmatchedSet = unmatched.map(r => (r._1, r._3)).toSet
+      assert(nulls.subsetOf(unmatchedSet),
+        s"false null emitted: ${nulls.diff(unmatchedSet).take(3)}")
+      // the query's GLOBAL watermark is the min across its two watermark
+      // nodes (click stream and purchase stream), each maxTs - 1h — the
+      // click side finishes hours before the purchase side in this corpus
+      val wmMicros = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
+        .agg(min(col("m"))).collect().head.getLong(0) -
+        3600L * 1000000 // 1-hour watermark delay
+      val mustNull = unmatched
+        .filter(r => r._2 + 30L * 60 * 1000000 < wmMicros)
+        .map(r => (r._1, r._3)).toSet
+      assert(mustNull.subsetOf(nulls),
+        s"closed unmatched click never emitted: ${mustNull.diff(nulls).take(3)}")
+      assert(nulls.nonEmpty, "no null-side rows — the outer path never fired")
+    } finally q.stop()
+  }
+
   test("streaming accept+append loop: the index grows with accepted docs and " +
       "matches a greedy batch replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
