@@ -512,6 +512,27 @@ object Relational {
         |          CAST(sum_qty_d AS DOUBLE) AS sum_qty, n_rows
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // GROUP BY ALL + ORDER BY ALL + lateral column aliases — the modern
+    // SQL-surface trio (Spark 3.4+/4): grouping keys inferred from the
+    // non-aggregate select items, ordering over the whole output row, and
+    // an alias CHAIN in the outer select (avg_price references two sibling
+    // columns, price_kbucket references avg_price — no repetition). Spark
+    // doesn't yet allow lateral aliases inside a GROUP BY ALL block
+    // (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY), so the chain
+    // lives one projection out. The oracle spells all inference out
+    // explicitly, so it checks the rules, not just the arithmetic.
+    "q88_group_by_all" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority, yr, n_orders, total,
+        |  total / n_orders AS avg_price,
+        |  CAST(floor(avg_price / 1000) AS BIGINT) AS price_kbucket
+        |FROM (
+        |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders
+        |  GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin)),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -1465,6 +1486,19 @@ object Relational {
         | count(*) AS n_rows
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // explicit grouping/ordering + repeated expressions: an independent
+    // spelling of what GROUP BY ALL / ORDER BY ALL / lateral aliases infer
+    "q88_group_by_all" ->
+      """WITH a AS (
+        | SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, yr, n_orders, total,
+        | total / n_orders AS avg_price,
+        | CAST(floor(total / n_orders / 1000) AS BIGINT) AS price_kbucket
+        |FROM a ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -1014,6 +1014,30 @@ object SimilarityOps {
   }
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-quality audit — the QA gate that runs BEFORE any ANN index
+    // is built: per-label vector counts, dimension min/max (a ragged dim
+    // means a broken encoder batch), zero-vector count (dead encodings
+    // poison cosine math), and total quantized energy. Exact and fully
+    // oracle-able: each element is floor(x·1000) in DOUBLE (parquet
+    // float→double is exact and the scale is one identical IEEE op in
+    // both engines), squared and summed as BIGINTs — order-independent,
+    // no float accumulation anywhere. One scan, one label-keyed agg.
+    "s75_embedding_audit" -> ((s, dir) => {
+      val q2 = expr("aggregate(transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+      emb(s, dir)
+        .select(col("label"), size(col("embedding")).as("dim"), q2.as("q2"),
+          col("embedding").isNull.as("isn"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          sum(col("q2")).as("sum_q2"),
+          count(when(col("q2") === 0, 1)).as("n_zero"),
+          count(when(col("isn"), 1)).as("n_null"))
+        .orderBy(col("label"))
+    }),
+
     // Distributed top-2 PCA (whitening / corpus-map primitive):
     // fixed-point gram-matrix allreduce + driver-side power iteration
     // with deflation — see [[pcaTop1]] for the scale shape and
@@ -1248,6 +1272,25 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-element floor(x·1000) in DOUBLE then BIGINT squares/sums — the
+    // t60 quantize-to-exact-integers discipline, so no float accumulation
+    // can drift between engines
+    "s75_embedding_audit" ->
+      """WITH v AS (
+        | SELECT label, len(embedding) AS dim,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q2,
+        |  (embedding IS NULL) AS isn
+        | FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(min(dim) AS INTEGER) AS dim_min,
+        | CAST(max(dim) AS INTEGER) AS dim_max,
+        | CAST(sum(q2) AS BIGINT) AS sum_q2,
+        | count(CASE WHEN q2 = 0 THEN 1 END) AS n_zero,
+        | count(CASE WHEN isn THEN 1 END) AS n_null
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Same shape as the s56 oracle with the metadata join; rnk dropped to
     // 3 and narrowed to INTEGER.
     "s67_filtered_ann" ->
