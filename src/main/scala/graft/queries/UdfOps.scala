@@ -109,6 +109,26 @@ object UdfOps {
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // PARAMETERIZED SQL (Spark 3.4+/4 sql(text, args)): named :placeholders
+    // bound server-side as typed literals — the injection-safe templating
+    // surface an application layer calls instead of string interpolation.
+    // Binding happens at parse time, so the date lands in the parquet
+    // scan's pushed filters exactly like an inline literal (no dynamic
+    // filter penalty). Oracle = the same SQL with the literals spelled out.
+    "u67_parameterized_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |   AS sum_price,
+          | count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= :cutoff AND l_quantity < :maxq
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+        Map("cutoff" -> java.sql.Timestamp.valueOf("1996-06-01 00:00:00"),
+          "maxq" -> Int.box(25)))
+    }),
+
     // Table function: LATERAL VIEW explode over a generator expression
     // (bigram extraction) with aggregation on the generated rows.
     "u64_table_function" -> ((s, dir) => {
@@ -152,6 +172,15 @@ object UdfOps {
         | JOIN supplier ON s_suppkey = l_suppkey
         | JOIN (SELECT n_nationkey AS nk FROM nation WHERE n_nationkey < 10) b
         |   ON s_nationkey = nk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u67_parameterized_sql" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_quantity < 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u64_table_function" ->

@@ -256,6 +256,26 @@ object StreamingOps {
       .select(col("user_id"), col("click_ts"), col("p_ts"))
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape every
+    * production pipeline runs before any stateful op: a static (batch)
+    * table joined to a stream needs NO state store at all — the static
+    * side is planned per micro-batch like any batch join (broadcast here:
+    * customer is dim-sized), and late data cannot exist on a static side,
+    * so no watermark is involved. Per-segment event counts + exact value
+    * sums; Complete mode since the rollup is unwindowed. The spec asserts
+    * the drained table equals the batch join bit-for-bit. */
+  def segmentRollup(spark: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    events
+      .select(col("user_id"), col("value"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+  }
+
   /** Bounded-state streaming exact dedup — the streaming form of the d50
     * batch operator: `dropDuplicatesWithinWatermark` keeps a key's dedup
     * state only until the watermark passes its arrival horizon, so state is

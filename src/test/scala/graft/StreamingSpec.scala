@@ -699,6 +699,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join exactly (no state, no watermark)") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.segmentRollup(spark, StreamingOps.eventsStream(spark, dir), dir),
+      "segment_rollup", OutputMode.Complete)
+    try {
+      val streamed = spark.table("segment_rollup").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val batch = StreamingOps.segmentRollup(spark,
+          Tables.load(spark, dir, "events"), dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(streamed.nonEmpty, "no enriched rows — the dim join never matched")
+      // DECIMAL-exact sums: the streaming and batch rollups must agree
+      // bit-for-bit, not approximately
+      assert(streamed.sameElements(batch),
+        s"stream ${streamed.toSeq} vs batch ${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join: matches equal batch inner; nulls are exactly the closed unmatched clicks") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.clickPurchaseLeftOuter(StreamingOps.eventsStream(spark, dir)),
