@@ -257,7 +257,7 @@ object ScaleProbe {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
           "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72",
-          "d83", "d84_probe") &&
+          "d83", "d84_probe", "d86") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -297,6 +297,10 @@ object ScaleProbe {
       // so pairs and aligned runs replicate per shard — the linear
       // anchor-join regime the gaps-and-islands form claims
       run("d83", k, d)
+      // prefix-truncation dedup: suffixed replicas share zero first-8-token
+      // anchors, so candidates and verified prefix pairs replicate per
+      // shard — one anchor equi-join + per-candidate O(len) verify, linear
+      run("d86", k, d)
       // d81 kernel claims are doc-LENGTH scaling, probed at the base
       // corpus only (the ×16-token stress next to its control)
       if (k == 1) { run("d81_flat", k, d); run("d81_long", k, d) }
