@@ -561,6 +561,30 @@ object DedupOps {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Prefix-truncation pairs of an arbitrary (doc_id, text) frame: every
+    * (short, long) pair where short's ENTIRE token stream is a strict
+    * prefix of long's. Candidates via a first-`anchorW`-token anchor
+    * equi-join (complete whenever every doc carries ≥ anchorW tokens —
+    * callers on general corpora key it at min(anchorW, shortest doc)),
+    * then EXACT verification against the long doc's first n_short tokens.
+    * See the d86 map entry for the full scale story. */
+  private[graft] def prefixDupes(docs: DataFrame, anchorW: Int): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("anchor", concat_ws(" ", slice(col("t"), 1, anchorW)))
+    val a = d.select(col("doc_id").as("short_id"), col("t").as("ta"),
+      col("n").as("n_short"), col("anchor"))
+    val b = d.select(col("doc_id").as("long_id"), col("t").as("tb"),
+      col("n").as("n_long"), col("anchor"))
+    a.join(b, "anchor")
+      .filter(col("n_short") < col("n_long") &&
+        concat_ws(" ", slice(col("tb"), lit(1), col("n_short"))) ===
+          concat_ws(" ", col("ta")))
+      .select(col("short_id"), col("long_id"), col("n_short"), col("n_long"))
+      .orderBy(col("short_id"), col("long_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Word-level exact-substring (boilerplate) detection over 8-gram
     // windows; full DuckDB oracle (md5 window keys are engine-portable).
@@ -585,21 +609,28 @@ object DedupOps {
     // normalized so raw-whitespace differences can't fake a mismatch.
     // Candidate count is Σ_anchor shorts×longs — corpus-linear on natural
     // text where 8-token openings are near-unique.
-    "d86_prefix_dupes" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-        .withColumn("n", size(col("t")))
-        .withColumn("anchor", concat_ws(" ", slice(col("t"), 1, 8)))
-      val a = d.select(col("doc_id").as("short_id"), col("t").as("ta"),
-        col("n").as("n_short"), col("anchor"))
-      val b = d.select(col("doc_id").as("long_id"), col("t").as("tb"),
-        col("n").as("n_long"), col("anchor"))
-      a.join(b, "anchor")
-        .filter(col("n_short") < col("n_long") &&
-          concat_ws(" ", slice(col("tb"), lit(1), col("n_short"))) ===
-            concat_ws(" ", col("ta")))
-        .select(col("short_id"), col("long_id"), col("n_short"), col("n_long"))
-        .orderBy(col("short_id"), col("long_id"))
+    "d86_prefix_dupes" -> ((s, dir) =>
+      prefixDupes(Tables.load(s, dir, "documents"), anchorW = 8)),
+
+    // EXACT-count stratified sampling — "exactly n docs per language",
+    // the dataset-assembly op next to d55's fractional split and d74's
+    // fractional hash sample: deterministic md5-rank within each stratum,
+    // top-n by rank. No RNG, no reservoir, reproducible across
+    // runs/clusters/partitionings. Scale: the rank-<=n filter rewrites to
+    // WindowGroupLimit (plan-gated like t68), so each map task forwards at
+    // most n rows per stratum to the shuffle — state ∝ strata·n, never
+    // corpus-sized; the salt prefix decorrelates this sample from every
+    // other hash-keyed decision (d74's rule).
+    "d87_stratified_sample" -> ((s, dir) => {
+      val n = 20
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("d87:"), col("doc_id").cast(StringType))),
+          col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+        .orderBy(col("lang"), col("rk"))
     }),
 
     // The actual dedup decision: keep-list after near-dup removal. Rule:
@@ -1853,6 +1884,12 @@ object DedupOps {
         |FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "d87_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5('d87:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     // the anchor join mirrors the Spark candidate rule; with every doc
     // >= 10 tokens the 8-token anchor is IMPLIED by the prefix condition,
     // so this is the true prefix-pair spec, not just an algorithm mirror

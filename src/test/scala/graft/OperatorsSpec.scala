@@ -229,6 +229,11 @@ class OperatorsSpec extends AnyFunSuite {
     q86.collect()
     val p86 = q86.queryExecution.executedPlan.toString
     assert(p86.contains("LeftOuter"), s"q86 outer join was rewritten away:\n$p86")
+    // d87's rank-20 stratum filter must rewrite to a map-side group limit
+    // (state ∝ strata·n per task), never a full per-stratum sort+filter
+    val d87 = SparkEntry.queries("d87")(spark, dir)
+    assert(d87.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      s"d87 sample not pushed to WindowGroupLimit:\n${d87.queryExecution.executedPlan}")
   }
 
   test("Observation metrics ride the pipeline scan: quality counters without a second pass") {

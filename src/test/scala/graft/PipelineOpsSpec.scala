@@ -929,6 +929,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.sameElements(rows.map(_.toString)), "PCA output not deterministic")
   }
 
+  test("d86 prefix dupes equal brute-force prefix matching on a randomized planted corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // vocab small enough that anchors collide across unrelated docs (the
+    // hard case for the anchor join: candidates that must FAIL the verify)
+    def tok() = s"w${rnd.nextInt(6)}"
+    val docs: Seq[(Long, IndexedSeq[String])] = {
+      val base = (1L to 30L).map(id => id -> IndexedSeq.fill(8 + rnd.nextInt(20))(tok()))
+      // plant true prefix pairs: doc 100+i is a strict prefix of doc i
+      val planted = base.take(8).map { case (id, ts) =>
+        (100 + id) -> ts.take(8 + rnd.nextInt(math.max(1, ts.length - 8)))
+      }
+      base ++ planted
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = queries.DedupOps.prefixDupes(df, anchorW = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia != ib && ta.length < tb.length && tb.take(ta.length) == ta
+    } yield (ia, ib)).toSet
+    assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}:\n" +
+      s"missing ${exp.diff(got).take(5)}\nextra ${got.diff(exp).take(5)}")
+    assert(exp.nonEmpty, "planted corpus produced no prefix pairs — test is vacuous")
+  }
+
   test("d83 longest shared span equals brute-force token-level substring matching (planted spans)") {
     import spark.implicits._
     val W = 8
