@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Scalar kernels behind the custom Catalyst expressions. Static methods so
@@ -118,15 +119,23 @@ object Kernels {
   }
 
   /** Intersection size of two ascending-sorted long arrays (single merge
-    * pass — no per-row hash-set allocation like array_intersect). */
+    * pass — no per-row hash-set allocation like array_intersect). Null
+    * elements (possible via the public SQL surface; internal callers never
+    * produce them) are skipped — they are "not a value", so they can't
+    * match anything, and skipping keeps the merge's sortedness assumption
+    * over the remaining real values. */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -165,16 +174,31 @@ object Kernels {
     * Contract: throws on dimension mismatch (an upstream schema bug must
     * fail the job, not yield plausible-looking similarities over a silent
     * truncation — DuckDB's list_cosine_similarity errors the same way);
-    * returns NaN when either norm is zero (0/0), matching DuckDB. */
+    * returns NaN when either norm is zero (0/0), matching DuckDB. A null
+    * ELEMENT (reachable only via the public SQL surface) reads as 0.0 —
+    * the value UnsafeArrayData already yields for a null slot; the
+    * explicit branch makes GenericArrayData (which would otherwise NPE in
+    * the generic unbox) behave identically. */
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData]) {
+      // Unsafe layout zero-fills null slots, so the unguarded read IS the
+      // null-as-0 rule — no per-element bitmap probe in the O(|Q|·|C|·d)
+      // hot loop
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = gF(a, i); val y = gF(b, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -203,16 +227,24 @@ object Kernels {
     na
   }
 
-  /** Same contract as [[cosineFloat]]. */
+  /** Same contract as [[cosineFloat]] (incl. the null-element-as-0 rule
+    * and the Unsafe fast path). */
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
     val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData]) {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = gD(a, i); val y = gD(b, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -252,7 +284,8 @@ object Kernels {
       var dot = 0.0
       var i = 0
       while (i < d) {
-        dot += v.getFloat(i) * signs(j * d + i)
+        // null element reads as 0 (the cosineFloat rule — see its contract)
+        if (!v.isNullAt(i)) dot += v.getFloat(i) * signs(j * d + i)
         i += 1
       }
       if (dot > 0) bucket |= (1 << j)
@@ -355,6 +388,15 @@ object Kernels {
     * smaller than the float array: at 100 TB of embeddings this is the
     * difference between a vector store that fits the page cache and one
     * that doesn't. */
+  // null elements read as 0 across every numeric-array kernel (the
+  // cosineFloat contract): the value UnsafeArrayData already yields for a
+  // null slot, made explicit so GenericArrayData (SQL-literal inputs)
+  // cannot NPE in the generic unbox
+  @inline private def gF(a: ArrayData, i: Int): Double =
+    if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+  @inline private def gD(a: ArrayData, i: Int): Double =
+    if (a.isNullAt(i)) 0.0 else a.getDouble(i)
+
   def q8Encode(v: ArrayData, lo: ArrayData, hi: ArrayData): Array[Byte] = {
     val n = v.numElements()
     require(lo.numElements() == n && hi.numElements() == n,
@@ -362,11 +404,11 @@ object Kernels {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
-      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      val l = gD(lo, i); val h = gD(hi, i)
       val q =
         if (h == l) 0
         else {
-          val raw = math.floor((v.getFloat(i).toDouble - l) / (h - l) * 256.0).toInt
+          val raw = math.floor((gF(v, i) - l) / (h - l) * 256.0).toInt
           if (raw < 0) 0 else if (raw > 255) 255 else raw
         }
       out(i) = (q - 128).toByte
@@ -389,10 +431,10 @@ object Kernels {
     var dot = 0.0; var nq = 0.0; var nc = 0.0
     var i = 0
     while (i < n) {
-      val l = lo.getDouble(i); val h = hi.getDouble(i)
+      val l = gD(lo, i); val h = gD(hi, i)
       val qd = (code(i) + 128).toDouble // stored byte = q - 128; back to 0..255
       val v = if (h == l) l else l + (qd + 0.5) * (h - l) / 256.0
-      val x = q.getFloat(i).toDouble
+      val x = gF(q, i)
       dot += x * v; nq += x * x; nc += v * v
       i += 1
     }
@@ -428,7 +470,7 @@ object Kernels {
         var d2 = 0.0
         var j = 0
         while (j < ds) {
-          val diff = v.getFloat(sub * ds + j).toDouble - cb.getDouble(base + j)
+          val diff = gF(v, sub * ds + j) - gD(cb, base + j)
           d2 += diff * diff
           j += 1
         }
@@ -458,8 +500,8 @@ object Kernels {
       val base = (sub * k + (code(sub) & 0xff)) * ds
       var j = 0
       while (j < ds) {
-        val x = q.getFloat(sub * ds + j).toDouble
-        val v = cb.getDouble(base + j)
+        val x = gF(q, sub * ds + j)
+        val v = gD(cb, base + j)
         dot += x * v; nq += x * x; nc += v * v
         j += 1
       }

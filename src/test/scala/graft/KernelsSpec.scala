@@ -355,6 +355,36 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.wavStats8(crafted8) == null)
   }
 
+  test("numeric array kernels treat null elements as 0 / absent (public SQL surface hardening)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // GenericArrayData is what SQL array literals arrive as; before the
+    // guard, a null element NPE'd in the generic unbox (UnsafeArrayData
+    // silently read 0 — the guard makes both yield the SAME answer)
+    def fa(xs: Any*) = new GenericArrayData(xs.map {
+      case f: Float => Float.box(f); case x => x
+    }.toArray)
+    val a = fa(1.0f, null, 2.0f)
+    val b = fa(1.0f, 5.0f, 2.0f)
+    val aZero = fa(1.0f, 0.0f, 2.0f)
+    assert(Kernels.cosineFloat(a, b) == Kernels.cosineFloat(aZero, b))
+    val da = new GenericArrayData(Array[Any](1.0, null, 2.0))
+    val db = new GenericArrayData(Array[Any](1.0, 5.0, 2.0))
+    val dz = new GenericArrayData(Array[Any](1.0, 0.0, 2.0))
+    assert(Kernels.cosineDouble(da, db) == Kernels.cosineDouble(dz, db))
+    // sorted intersect: null elements are "not a value" and are skipped
+    val la = new GenericArrayData(Array[Any](1L, null, 3L, 7L))
+    val lb = new GenericArrayData(Array[Any](null, 3L, 5L, 7L))
+    assert(Kernels.sortedIntersectSize(la, lb) == 2)
+    // hyperplane: null dim contributes 0 — same bucket as an explicit 0
+    assert(Kernels.hyperplaneSig(a, 3, 4) == Kernels.hyperplaneSig(aZero, 3, 4))
+    // q8 round trip: null dim encodes like 0.0
+    val lo = new GenericArrayData(Array[Any](-1.0, -1.0, -1.0))
+    val hi = new GenericArrayData(Array[Any](1.0, 1.0, 1.0))
+    assert(Kernels.q8Encode(a, lo, hi).toSeq == Kernels.q8Encode(aZero, lo, hi).toSeq)
+    assert(Kernels.cosineQ8(a, Kernels.q8Encode(aZero, lo, hi), lo, hi) ==
+      Kernels.cosineQ8(aZero, Kernels.q8Encode(aZero, lo, hi), lo, hi))
+  }
+
   test("strip spans skips null start elements (public SQL surface hardening)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
