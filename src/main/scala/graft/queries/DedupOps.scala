@@ -612,6 +612,35 @@ object DedupOps {
     "d86_prefix_dupes" -> ((s, dir) =>
       prefixDupes(Tables.load(s, dir, "documents"), anchorW = 8)),
 
+    // Mergeable DISTINCT-count sketch partials (Datasketches HLL via Spark
+    // 4's hll_sketch_agg/hll_union_agg) — the incremental-distinct pattern
+    // d84 applies to algebraic counts, extended to the one aggregate that
+    // is NOT algebraic: store one sketch per source (a binary column), and
+    // any later rollup (whole-corpus distinct, day-2 merge with a new
+    // batch's sketch) is a union of stored partials — no rescan of history.
+    // At 100 TB this is the difference between "count distinct = full
+    // corpus pass" and "read k sketch rows". Output: per-source estimate
+    // next to the exact count, plus the union-of-partials row; estimates
+    // are deterministic (hash-based, associative merge) but
+    // engine-specific => rows/schema driver check, value-gated by the
+    // OperatorsSpec bounds (±2%, union associativity, two-batch merge ≡
+    // full) — the q13/q68 discipline.
+    "d88_hll_partials" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val parts = docs.groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(xxhash64(text), 14)").as("sk"),
+          countDistinct(col("text")).as("n_exact"))
+      val per = parts.select(col("source"),
+        expr("cast(hll_sketch_estimate(sk) as bigint)").as("est"),
+        col("n_exact"))
+      val total = parts
+        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as bigint)")
+          .as("est"))
+        .crossJoin(docs.agg(countDistinct(col("text")).as("n_exact")))
+        .select(lit("__all__").as("source"), col("est"), col("n_exact"))
+      per.unionByName(total).orderBy(col("source"))
+    }),
+
     // EXACT-count stratified sampling — "exactly n docs per language",
     // the dataset-assembly op next to d55's fractional split and d74's
     // fractional hash sample: deterministic md5-rank within each stratum,

@@ -236,6 +236,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"d87 sample not pushed to WindowGroupLimit:\n${d87.queryExecution.executedPlan}")
   }
 
+  test("d88 HLL sketch partials: estimates within 2% of exact; union associative; two-batch merge equals full") {
+    val rows = SparkEntry.queries("d88")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.exists(_._1 == "__all__"))
+    // value gate: every estimate (per-source AND the union row) within 2%
+    // of its exact count — lgK=14 keeps these cardinalities in the exact
+    // sparse regime, so the bound is loose on purpose
+    rows.foreach { case (src, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.02).toLong),
+        s"$src: estimate $est vs exact $exact breaches 2%")
+    }
+    // associativity / incremental claim: sketches built on two disjoint
+    // halves and UNIONED estimate the same as one sketch over everything —
+    // the stored-partials pattern cannot drift from the rescan
+    val docs = Tables.load(spark, dir, "documents")
+    val halves = docs.withColumn("h", pmod(col("doc_id"), lit(2)))
+      .groupBy(col("h")).agg(expr("hll_sketch_agg(xxhash64(text), 14)").as("sk"))
+    val merged = halves
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as bigint)"))
+      .collect().head.getLong(0)
+    val direct = docs
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(xxhash64(text), 14)) as bigint)"))
+      .collect().head.getLong(0)
+    assert(merged == direct,
+      s"union of half-sketches ($merged) != whole-corpus sketch ($direct)")
+  }
+
   test("Observation metrics ride the pipeline scan: quality counters without a second pass") {
     // the data-quality counters a production pipeline wants (rows seen,
     // rows kept, token volume) collected via df.observe DURING the one
