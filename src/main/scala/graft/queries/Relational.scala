@@ -512,6 +512,45 @@ object Relational {
         |          CAST(sum_qty_d AS DOUBLE) AS sum_qty, n_rows
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q8 shape: market share — the 7-table star with the nation
+    // dimension in TWO roles (customer's nation filters through region;
+    // supplier's nation is the share dimension) and a conditional-ratio
+    // aggregate. All dims broadcast; the fact flows through one join
+    // pipeline with no shuffle until the final year-keyed agg. Share =
+    // exact-decimal conditional sum / exact-decimal total, one IEEE
+    // divide (both sums' unscaled values sit far below 2^53, so the
+    // decimal→double narrowing is exact in both engines).
+    "q89_market_share" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val amer = broadcast(nat
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk")))
+      val supNat = broadcast(nat
+        .select(col("n_nationkey").as("snk"), col("n_name").as("sup_nation")))
+      val dvol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(amer, col("c_nationkey") === col("cnk"), "left_semi")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(supNat, col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          (sum(when(col("sup_nation") === "NATION_1", dvol)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) /
+            sum(dvol).cast(DoubleType)).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy(col("yr"))
+    }),
+
     // GROUP BY ALL + ORDER BY ALL + lateral column aliases — the modern
     // SQL-surface trio (Spark 3.4+/4): grouping keys inferred from the
     // non-aggregate select items, ordering over the whole output row, and
@@ -1489,6 +1528,24 @@ object Relational {
 
     // explicit grouping/ordering + repeated expressions: an independent
     // spelling of what GROUP BY ALL / ORDER BY ALL / lateral aliases infer
+    "q89_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+        | count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q88_group_by_all" ->
       """WITH a AS (
         | SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
