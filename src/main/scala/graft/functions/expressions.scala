@@ -179,6 +179,21 @@ case class BmpChanStats(child: Expression)
   override def prettyName: String = "graft_bmp_chanstats"
 }
 
+/** Perceptual average-hash through the real codec: binary -> 64-char
+  * '0'/'1' string (8×8 nearest-neighbor luma grid thresholded at its
+  * mean), null for invalid/non-24bpp — the image near-dup fingerprint. */
+case class BmpAHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.check(prettyName, child.dataType -> "binary")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.bmpAHash(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): BmpAHash = copy(child = c)
+  override def prettyName: String = "graft_bmp_ahash"
+}
+
 /** Nearest-neighbor 2× BMP downsample through the real codec (parse →
   * sample even pixels of even rows → re-encode): binary -> binary, null
   * for invalid/non-24bpp input — the resize stage of an image pipeline. */
@@ -494,6 +509,8 @@ object GraftFunctions {
       es => BmpChanStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bmp_downsample2x",
       es => BmpDownsample2x(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bmp_ahash",
+      es => BmpAHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_mg_topk",
       es => MisraGriesTopK(es.head, lit(es(1), "capacity").toInt)
         .toAggregateExpression(), "scala_udf")

@@ -682,6 +682,36 @@ object Kernels {
     (sum, (r1 - r0).toLong * rowBytes)
   }
 
+  /** Perceptual average-hash (aHash) of a 24bpp BMP through the parsed
+    * geometry — the classic image near-dup fingerprint: an 8×8
+    * nearest-neighbor grid of integer lumas (299·C0 + 587·C1 + 114·C2
+    * over the storage-order channels), each cell thresholded at the grid
+    * mean via the scale-free integer compare 64·l_k > Σl (no division,
+    * no float), packed row-major as a 64-char '0'/'1' string. The
+    * bit-string output keeps the SQL oracle free of 2^63 sign traps a
+    * BIGINT hash would hit. Reads LOGICAL pixels through rowOff, so a
+    * top-down re-layout of the same image hashes identically (spec'd).
+    * Null for invalid/non-24bpp payloads. */
+  def bmpAHash(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val m = bmpParse(b)
+    if (m == null || m.bpp != 24) return null
+    val l = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val x = (k % 8) * m.width / 8
+      val y = (k / 8) * m.height / 8
+      val o = m.rowOff(y) + x * 3
+      val lum = 299L * (b(o) & 0xff) + 587L * (b(o + 1) & 0xff) +
+        114L * (b(o + 2) & 0xff)
+      l(k) = lum; sum += lum; k += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    k = 0
+    while (k < 64) { sb.append(if (64L * l(k) > sum) '1' else '0'); k += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   // --- WAV (RIFF): the de-stubbed modality --------------------------------
   // A PCM WAV file is fixed-offset little-endian byte arithmetic — no media
   // library needed, so this modality gets a REAL encoder + parser instead of

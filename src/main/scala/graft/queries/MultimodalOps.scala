@@ -259,6 +259,27 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual near-dup fingerprint (average hash) through the REAL
+    // codec: build → parse → 8×8 nearest-neighbor luma grid → threshold
+    // at the grid mean (scale-free 64·l > Σl integer compare) → 64-bit
+    // row-major bit string. n_same counts hash collisions corpus-wide —
+    // the perceptual-dedup grouping an image pipeline runs before paying
+    // for embeddings. Scan-local kernel + one hash-keyed window; the
+    // oracle recomputes every grid sample byte-for-byte in SQL, so the
+    // whole decode+hash path is hash-matched, not just spec'd.
+    "m70_ahash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          expr("graft_bmp_ahash(graft_bmp_build(cast(text as binary), " +
+            "cast(16 + doc_id % 49 as int)))").as("ahash"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("ahash"))))
+        .orderBy(col("doc_id"))
+    }),
+
     "m64_wav_meta" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
@@ -372,6 +393,32 @@ object MultimodalOps {
         |    THEN ord(t[3 * (2 * (k // wo) * w + 2 * (k % wo)) + 3]) ELSE 0 END
         |   FOR k IN range(0, wo * ho)]), 0) AS DOUBLE) / (wo * ho) AS mean_c2
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // every grid sample recomputed byte-for-byte: logical pixel (x,y) of
+    // the built image carries payload bytes 3*(y*w+x).. (zero-filled past
+    // the text end, exactly like the builder)
+    "m70_ahash" ->
+      """WITH p AS (
+        | SELECT doc_id, text AS t, strlen(text) AS len, 16 + doc_id % 49 AS w
+        | FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |g AS (SELECT doc_id, t, len, w,
+        |  ((len + 2) // 3 + w - 1) // w AS h FROM p),
+        |l AS (SELECT doc_id,
+        |  [299 * (CASE WHEN 3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) < len
+        |     THEN ord(t[3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) + 1]) ELSE 0 END)
+        |   + 587 * (CASE WHEN 3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) + 1 < len
+        |     THEN ord(t[3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) + 2]) ELSE 0 END)
+        |   + 114 * (CASE WHEN 3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) + 2 < len
+        |     THEN ord(t[3 * (((k // 8) * h // 8) * w + (k % 8) * w // 8) + 3]) ELSE 0 END)
+        |   FOR k IN range(0, 64)] AS ls
+        | FROM g),
+        |hsh AS (SELECT doc_id, array_to_string(list_transform(ls,
+        |    x -> CASE WHEN 64 * x > list_sum(ls) THEN '1' ELSE '0' END), '')
+        |   AS ahash
+        | FROM l)
+        |SELECT doc_id, ahash,
+        | CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+        |FROM hsh ORDER BY doc_id""".stripMargin,
 
     "m62_audio_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

@@ -287,6 +287,32 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.bmpDownsample2x(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("bmp average hash: orientation-invariant, mean-threshold correct, rejects corrupt") {
+    // 2x2 image with one bright pixel: exactly that grid cell exceeds the
+    // mean, every 8x8 cell sampling pixel (>=1,>=1)... nearest-neighbor
+    // on a 2x2 source maps grid cell (kx,ky) -> pixel (kx*2/8, ky*2/8),
+    // so the grid quarters follow the four pixels
+    val pix = Array[Byte](0, 0, 0, -1, -1, -1, 0, 0, 0, 0, 0, 0) // (1,0) bright
+    val img = Kernels.bmpBuild(pix, 2)
+    val h = Kernels.bmpAHash(img).toString
+    assert(h.length == 64 && h.count(_ == '1') == 16,
+      s"expected exactly the bright quarter set: $h")
+    // the bright pixel is logical (1,0): grid columns 4-7 of rows 0-3
+    assert((0 until 64).forall { k =>
+      (h(k) == '1') == (k % 8 >= 4 && k / 8 < 4)
+    }, s"bright quarter misplaced: $h")
+    // a top-down re-layout of the same logical image hashes identically
+    val td = img.clone()
+    td(22) = -2; td(23) = -1; td(24) = -1; td(25) = -1
+    for (k <- 0 until 8) { td(54 + k) = img(62 + k); td(62 + k) = img(54 + k) }
+    assert(Kernels.bmpAHash(td).toString == h, "orientation changed the hash")
+    // flat image: no cell is strictly above the mean
+    val flat = Kernels.bmpBuild(Array.fill[Byte](12)(7), 2)
+    assert(Kernels.bmpAHash(flat).toString == "0" * 64)
+    assert(Kernels.bmpAHash(img.dropRight(1)) == null)
+    assert(Kernels.bmpAHash(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("bmp parse honors top-down storage and pixel-offset gaps; rejects corrupt payloads") {
     // width 1 => 2 rows of one pixel each, stride 4 (1 padding byte per row)
     val base = Kernels.bmpBuild(Array[Byte](10, 20, 30, 40, 50, 60), 1)
