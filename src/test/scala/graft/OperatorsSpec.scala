@@ -236,6 +236,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"d87 sample not pushed to WindowGroupLimit:\n${d87.queryExecution.executedPlan}")
   }
 
+  test("partitioning invariance: hash-keyed deterministic ops are bit-identical under different shuffle partitioning") {
+    // the repo-wide determinism rule (no RNG, no partial-order-dependent
+    // float accumulation) made falsifiable: the same query under 5 vs 32
+    // shuffle partitions — different partial aggregation groupings,
+    // different merge orders — must produce IDENTICAL rows. Covers the
+    // hash sample (d74), the stratified sample (d87), the global shuffle
+    // order (d67), feature hashing (t61), and the temperature weights
+    // whose quantized-normalizer discipline exists exactly for this (t60).
+    val names = Seq("d74", "d87", "d67", "t61", "t60")
+    def runAll(parts: Int): Map[String, Seq[String]] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try names.map(n =>
+        n -> SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at5 = runAll(5)
+    val at32 = runAll(32)
+    names.foreach { n =>
+      assert(at5(n) == at32(n),
+        s"$n diverged under repartitioning (first diff: " +
+          s"${at5(n).zip(at32(n)).find(p => p._1 != p._2).take(1)})")
+    }
+  }
+
   test("d88 HLL sketch partials: estimates within 2% of exact; union associative; two-batch merge equals full") {
     val rows = SparkEntry.queries("d88")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
