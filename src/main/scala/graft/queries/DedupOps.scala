@@ -612,6 +612,36 @@ object DedupOps {
     "d86_prefix_dupes" -> ((s, dir) =>
       prefixDupes(Tables.load(s, dir, "documents"), anchorW = 8)),
 
+    // Corpus snapshot diff — the dataset-versioning audit between two
+    // releases: FULL OUTER join on doc_id over content hashes classifies
+    // every doc as added / removed / changed / unchanged, rolled up with a
+    // sample id per class. The day-2 snapshot here is derived
+    // deterministically from the same table (drop %97, edit %11, add %13
+    // under offset ids) so the operator is self-contained and exactly
+    // oracle-able; on real data v2 is just the second table. Scale: one
+    // doc_id-keyed full-outer hash join on md5 digests (no text shuffled),
+    // then a 4-group agg — the join is the only corpus-sized exchange.
+    "d89_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(concat(lit("new "), col("text"))).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("sample_id"))
+        .orderBy(col("status"))
+    }),
+
     // Mergeable DISTINCT-count sketch partials (Datasketches HLL via Spark
     // 4's hll_sketch_agg/hll_union_agg) — the incremental-distinct pattern
     // d84 applies to algebraic counts, extended to the one aggregate that
@@ -1913,6 +1943,23 @@ object DedupOps {
         |FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin,
     "d50_dedup_exact" ->
       "SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "d89_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+        | FROM documents WHERE doc_id % 97 <> 0
+        | UNION ALL
+        | SELECT doc_id + 10000000, md5('new ' || text)
+        | FROM documents WHERE doc_id % 13 = 0)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |            WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        | count(*) AS n, min(doc_id) AS sample_id
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d87_stratified_sample" ->
       """SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
         | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
