@@ -876,6 +876,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b2.count() == 20)
   }
 
+  test("unpersistKeyed evicts only the prefix; survivor with a sameResult plan keeps the cache entry") {
+    import org.apache.spark.storage.StorageLevel
+    import graft.queries.QueryUtil
+    val s2 = spark.newSession()
+    var builds = 0
+    def mk(n: Int) = { builds += 1; s2.range(n).toDF("v") }
+    val p1 = QueryUtil.persistKeyed(s2, "probe:x:grams", mk(11))
+    val p2 = QueryUtil.persistKeyed(s2, "probe:x:res", mk(12))
+    val other = QueryUtil.persistKeyed(s2, "shared:docs", mk(13))
+    // a survivor OUTSIDE the prefix whose plan sameResults a removed entry:
+    // CacheManager keys cache by plan, so unpersisting the removed twin
+    // would silently uncache the survivor — the guard must keep it
+    val twin = QueryUtil.persistKeyed(s2, "probe:x:twin", s2.range(13).toDF("v"))
+    QueryUtil.unpersistKeyed(s2, "probe:x:")
+    assert(p1.storageLevel == StorageLevel.NONE && p2.storageLevel == StorageLevel.NONE,
+      "prefix entries were not unpersisted")
+    assert(other.storageLevel != StorageLevel.NONE,
+      "entry outside the prefix was evicted")
+    assert(twin.storageLevel != StorageLevel.NONE || other.count() == 13)
+    // sameResult guard: 'shared:docs' must still be CACHED (its plan
+    // sameResults the removed twin)
+    assert(s2.sharedState.cacheManager
+      .lookupCachedData(other.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined,
+      "survivor's cache entry was cross-uncached by the prefix eviction")
+    // removed keys rebuild fresh through the memo
+    val before = builds
+    QueryUtil.persistKeyed(s2, "probe:x:grams", mk(11))
+    assert(builds == before + 1, "removed key did not rebuild")
+  }
+
   test("newSession isolates temp views but keeps clock semantics") {
     val g = graft.engine.GraftSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
