@@ -545,11 +545,18 @@ object Kernels {
     * the minimal row count for the given width. Parseable by any image
     * tool (GIMP, PIL, MS Paint). */
   def bmpBuild(pixels: Array[Byte], width: Int): Array[Byte] = {
-    require(width > 0, s"bmpBuild: width must be positive, got $width")
+    // width bound + Long-computed size: a crafted SQL width near 2^31
+    // would overflow h/stride Int arithmetic into a negative allocation
+    // (NegativeArraySizeException) instead of a diagnosable reject
+    require(width > 0 && width <= (1 << 26),
+      s"bmpBuild: width must be in [1, 2^26], got $width")
     val nPix = math.max(1, (pixels.length + 2) / 3)
-    val h = (nPix + width - 1) / width
+    val h = ((nPix.toLong + width - 1) / width).toInt
     val stride = ((width * 3 + 3) / 4) * 4
-    val imgSize = stride * h
+    val imgSizeL = stride.toLong * h
+    require(imgSizeL <= Int.MaxValue - 54,
+      s"bmpBuild: image size $imgSizeL exceeds the array limit")
+    val imgSize = imgSizeL.toInt
     val out = new Array[Byte](54 + imgSize)
     out(0) = 'B'; out(1) = 'M'
     putLE32(out, 2, 54 + imgSize) // file size
@@ -738,9 +745,14 @@ object Kernels {
   /** Encode PCM bytes as a canonical 44-byte-header WAV file. */
   def wavBuild(pcm: Array[Byte], sampleRate: Int, channels: Int,
       bitsPerSample: Int): Array[Byte] = {
-    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0,
+    require(sampleRate > 0 && channels > 0 && bitsPerSample > 0 &&
+      bitsPerSample % 8 == 0,
       s"wavBuild: bad params ($sampleRate, $channels, $bitsPerSample)")
     val blockAlign = channels * bitsPerSample / 8
+    // the byte-rate header field is u32: crafted params that overflow it
+    // would write a silently-wrong header instead of failing loudly
+    require(blockAlign > 0 && sampleRate.toLong * blockAlign <= Int.MaxValue,
+      s"wavBuild: byte rate overflows ($sampleRate x $blockAlign)")
     val out = new Array[Byte](44 + pcm.length)
     "RIFF".getBytes.copyToArray(out, 0)
     putLE32(out, 4, 36 + pcm.length)

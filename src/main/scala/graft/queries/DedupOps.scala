@@ -563,16 +563,22 @@ object DedupOps {
 
   /** Prefix-truncation pairs of an arbitrary (doc_id, text) frame: every
     * (short, long) pair where short's ENTIRE token stream is a strict
-    * prefix of long's. Candidates via a first-`anchorW`-token anchor
-    * equi-join (complete whenever every doc carries ≥ anchorW tokens —
-    * callers on general corpora key it at min(anchorW, shortest doc)),
+    * prefix of long's. Candidates via a first-W-token anchor equi-join,
     * then EXACT verification against the long doc's first n_short tokens.
-    * See the d86 map entry for the full scale story. */
+    * Completeness requires W ≤ the shortest doc's token count (a shorter
+    * doc's anchor is its whole stream, which cannot equal a long doc's
+    * W-token anchor) — so W = min(anchorW, corpus min length), computed
+    * as a 1-row guard scalar. A smaller W only widens the candidate set;
+    * the verify keeps the output identical. See the d86 map entry for the
+    * full scale story. */
   private[graft] def prefixDupes(docs: DataFrame, anchorW: Int): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val minRow = toks.agg(min(size(col("t")))).first()
+    val w = math.max(1, math.min(anchorW,
+      if (minRow.isNullAt(0)) anchorW else minRow.getInt(0)))
+    val d = toks
       .withColumn("n", size(col("t")))
-      .withColumn("anchor", concat_ws(" ", slice(col("t"), 1, anchorW)))
+      .withColumn("anchor", concat_ws(" ", slice(col("t"), 1, w)))
     val a = d.select(col("doc_id").as("short_id"), col("t").as("ta"),
       col("n").as("n_short"), col("anchor"))
     val b = d.select(col("doc_id").as("long_id"), col("t").as("tb"),
@@ -601,9 +607,9 @@ object DedupOps {
     // of a strictly longer doc — the crawler-truncation / re-crawl artifact
     // the near-dup family systematically misses (Jaccard(prefix, full)
     // falls below any usable threshold once the long doc is 2×+ longer).
-    // Candidates via a first-8-token anchor equi-join (every prefix pair
-    // agrees on it — this corpus' min doc length is 10 tokens; a general
-    // corpus would key the anchor at min(8, shortest-doc) and carry d52's
+    // Candidates via a first-W-token anchor equi-join, W = min(8, corpus
+    // min doc length) so sub-8-token docs cannot be silently missed (this
+    // corpus' min is 10, so W = 8; at web scale the anchor carries d52's
     // hot-anchor salt), then EXACT verification: the long doc's first
     // n_short tokens equal the short doc's stream, compared tokenizer-
     // normalized so raw-whitespace differences can't fake a mismatch.

@@ -954,6 +954,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exp, s"got ${got.size} pairs, expected ${exp.size}:\n" +
       s"missing ${exp.diff(got).take(5)}\nextra ${got.diff(exp).take(5)}")
     assert(exp.nonEmpty, "planted corpus produced no prefix pairs — test is vacuous")
+    // sub-anchor docs: the anchor clamps to the corpus min length, so a
+    // 3-token doc that prefixes a 10-token doc is still found at anchorW=8
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c"),
+      (3L, "z z q")).toDF("doc_id", "text")
+    val tinyGot = queries.DedupOps.prefixDupes(tiny, anchorW = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyGot == Set((2L, 1L)),
+      s"sub-anchor prefix pair missed/spurious: $tinyGot")
   }
 
   test("d83 longest shared span equals brute-force token-level substring matching (planted spans)") {
