@@ -515,11 +515,12 @@ object Relational {
     // TPC-H Q8 shape: market share — the 7-table star with the nation
     // dimension in TWO roles (customer's nation filters through region;
     // supplier's nation is the share dimension) and a conditional-ratio
-    // aggregate. All dims broadcast; the fact flows through one join
-    // pipeline with no shuffle until the final year-keyed agg. Share =
-    // exact-decimal conditional sum / exact-decimal total, one IEEE
-    // divide (both sums' unscaled values sit far below 2^53, so the
-    // decimal→double narrowing is exact in both engines).
+    // aggregate. True dims (part filter, supplier, nation, region-semi)
+    // broadcast; at scale the lineitem⋈orders⋈customer chain shuffles on
+    // its keys (AQE broadcasts them at test SFs). Share = exact-decimal
+    // conditional sum / exact-decimal total, one IEEE divide (both sums'
+    // unscaled values sit far below 2^53, so the decimal→double narrowing
+    // is exact in both engines).
     "q89_market_share" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
       val amer = broadcast(nat
