@@ -377,6 +377,13 @@ object ScaleProbe {
       // broadcast offsets) + scan-local fragment arithmetic — output and
       // cost must track the token stream xK, shuffle ∝ corpus rows only
       run("d70", k, p)
+      // drop this factor's memo-persisted frames before the next one: the
+      // memo keys embed the corpus dir, so nothing carries over — but the
+      // CACHED DATA does, and a one-JVM all-factor run accumulates ×K
+      // corpora in storage memory until execution starves (hash-map OOM
+      // at 100×, observed). Targeted eviction keeps single-family runs
+      // and the one-shot full run equivalent.
+      graft.queries.QueryUtil.unpersistKeyed(spark, "")
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
@@ -391,6 +398,7 @@ object ScaleProbe {
       // both claim linear scan-bound growth, no corpus-sized shuffle
       run("s64", k, d)
       run("s65", k, d)
+      graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
     // agreement report (s66): needs BOTH tables in ONE dir with consistent
     // ids — synthDocs and synthEmb share the 100000000L per-replica offset,
@@ -404,6 +412,7 @@ object ScaleProbe {
         synthEmb(k, dir)
       }
       run("s66", k, if (k == 1) baseDir else dir)
+      graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
@@ -421,6 +430,7 @@ object ScaleProbe {
       // path mining: one user_id window + agg to the constant-size
       // trigram table — linear, shuffle ∝ events
       run("q67", k, e)
+      graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
 
     // SKEW STRESS (hot boilerplate group): ONE short template replicated
