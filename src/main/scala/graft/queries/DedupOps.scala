@@ -1312,6 +1312,50 @@ object DedupOps {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)
         .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget-constrained corpus selection — the data-selection final
+    // mile (DoReMi/DSIR-style "best docs under an N-token budget"): rank
+    // every doc by quality DENSITY (here lexical diversity per token —
+    // distinct-type count over length, all exact ints via the
+    // graft_ndistinct kernel and an integer-quantized ratio qd =
+    // types·1e6 DIV tokens), then greedily admit docs in (qd DESC, doc_id)
+    // order while the running token total stays within the budget (25% of
+    // corpus tokens — scale-proportional, never a fixed cutoff).
+    //
+    // Scale shape: the greedy cut needs a GLOBAL prefix sum over the
+    // density ordering — the d59 two-pass bucketed pattern, not one
+    // unpartitioned window: docs land in ~21 density BANDS (qd DIV 5e4,
+    // order-aligned with qd by construction), local running sums window
+    // per band, and band offsets compose on the 21-row band summary only.
+    // The budget is a broadcast 1-row agg of the same base frame. The
+    // oracle runs DuckDB's native single-window cumsum over the identical
+    // ordering, so the hash-match IS the two-pass ≡ one-window proof.
+    "d90_budget_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tok"),
+          expr("graft_ndistinct(toks)").as("n_types"))
+        .withColumn("qd", expr("CAST(n_types AS BIGINT) * 1000000 DIV n_tok"))
+        .withColumn("band", expr("qd DIV 50000"))
+      val wLoc = Window.partitionBy(col("band"))
+        .orderBy(col("qd").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val local = base.withColumn("cum_local", sum(col("n_tok")).over(wLoc))
+      val wOff = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("band")).agg(sum(col("n_tok")).as("band_tok"))
+        .withColumn("off", coalesce(sum(col("band_tok")).over(wOff), lit(0L)))
+        .select(col("band").as("ob"), col("off"))
+      val budget = base.agg(expr("sum(CAST(n_tok AS BIGINT)) DIV 4 AS budget"))
+      local.join(offsets, col("band") === col("ob"))
+        .withColumn("cum_tok", col("off") + col("cum_local"))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_tok") <= col("budget"))
+        .select(col("doc_id"), col("n_tok"), col("qd"), col("cum_tok"))
+        .orderBy(col("qd").desc, col("doc_id"))
     })
   )
 
@@ -2382,6 +2426,25 @@ object DedupOps {
         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
         |SELECT t.doc_id, count(DISTINCT e.eid) AS n_evals, min(e.eid) AS first_eval
         |FROM tr t JOIN ev e ON t.shingle = e.shingle AND t.doc_id != e.eid
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // native single-window cumsum over the same (qd DESC, doc_id) order —
+    // hash-matching it proves the banded two-pass prefix sum exact; //
+    // and DIV agree on the all-positive operands here
+    "d90_budget_select" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok,
+        |  (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks)
+        |    AS qd
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |       FROM documents)),
+        |c AS (SELECT doc_id, n_tok, qd,
+        |  CAST(sum(n_tok) OVER (ORDER BY qd DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tok
+        | FROM b)
+        |SELECT doc_id, n_tok, qd, cum_tok FROM c
+        |WHERE cum_tok <= (SELECT CAST(sum(n_tok) AS BIGINT) // 4 FROM b)
+        |ORDER BY qd DESC, doc_id""".stripMargin
   )
 }

@@ -1268,6 +1268,37 @@ object SimilarityOps {
         .agg((sum(floor(col("v").cast(DoubleType) * 1e9).cast(DecimalType(38, 0)))
           .cast(DoubleType) / (lit(1e9) * count(lit(1)))).as("centroid"))
         .orderBy(col("source"), col("dim"))
+    }),
+
+    // Label-separability audit — "do the embeddings actually encode the
+    // labels?": the exact cosine distribution over ALL unordered pairs,
+    // split same-label vs cross-label. A healthy encoder shows a positive
+    // mean gap (same-label pairs more similar); gap ≈ 0 means the labels
+    // carry no geometric signal (the s72 k-means finding, here measured
+    // directly instead of via cluster purity). Reuses s58's BLOCK-TILED
+    // pair machinery — the O(n²) compare work is tiled into B(B+1)/2
+    // equi-join tasks, memory two blocks per task, no broadcast of the
+    // corpus; labels attach by two narrow id-keyed joins (at test SF AQE
+    // broadcasts them; at 100 TB they shuffle on id like any fact-fact
+    // join). Sims quantize to floor(sim·1e6) BIGINTs before the sum —
+    // exact ints + one divide pair per group, bit-equal cross-engine.
+    "s76_label_separability" -> ((s, dir) => {
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      tiledPairSims(s, dir)
+        .select(col("ida"), col("idb"),
+          floor(col("sim") * lit(1e6)).cast(LongType).as("simq"))
+        .join(lab.select(col("vec_id").as("ida"), col("label").as("la")),
+          Seq("ida"))
+        .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")),
+          Seq("idb"))
+        .groupBy((col("la") === col("lb")).as("same_label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("simq")).as("sum_simq"),
+          min(col("simq")).as("min_simq"),
+          max(col("simq")).as("max_simq"))
+        .withColumn("mean_sim",
+          (col("sum_simq").cast(DoubleType) / col("n_pairs")) / lit(1e6))
+        .orderBy(col("same_label"))
     })
   )
 
@@ -1431,6 +1462,23 @@ object SimilarityOps {
         |rep AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src)
         |SELECT e.vec_id, coalesce(r.root, e.vec_id) AS rep
         |FROM embeddings e LEFT JOIN rep r ON e.vec_id = r.src
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // plain a.vec_id < b.vec_id all-pairs (the tile decomposition emits
+    // exactly this set); list_cosine_similarity over DOUBLE[] is
+    // bit-compatible with graft_cosine (established by s56/s58), and the
+    // floor(sim·1e6) quantization keeps the group sums exact ints
+    "s76_label_separability" ->
+      """WITH p AS (
+        | SELECT (a.label = b.label) AS same_label,
+        |  CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS simq
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
+        |SELECT same_label, count(*) AS n_pairs,
+        | CAST(sum(simq) AS BIGINT) AS sum_simq,
+        | min(simq) AS min_simq, max(simq) AS max_simq,
+        | CAST(sum(simq) AS DOUBLE) / count(*) / 1e6 AS mean_sim
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

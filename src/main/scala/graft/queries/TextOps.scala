@@ -551,6 +551,47 @@ object TextOps {
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       bpeMergesFrom(s, words, k = 5)
+    }),
+
+    // Corpus-LM quality scoring (the CCNet/Wikipedia-LM filter shape):
+    // score every document by the mean conditional probability of its
+    // word bigrams under t66's corpus bigram model — low scores mark
+    // incoherent/garbled text, high scores formulaic boilerplate; the
+    // published pipelines threshold on exactly this statistic (as
+    // perplexity, a monotone transform of it). Log-free on purpose: mean
+    // P(w2|w1) ranks like mean log P for filtering purposes and stays
+    // oracle-exact where ln() diverges per-libm. Each P is one IEEE
+    // divide of exact counts, quantized to floor(p·1e9) BIGINTs so the
+    // per-doc mean is an exact-int sum + one divide pair (the t60
+    // quantize-then-sum discipline). No smoothing needed: the model is
+    // trained on the scored corpus itself, so every doc bigram is in the
+    // table (the genuinely-held-out variant would left-join with a
+    // backoff constant).
+    //
+    // Scale shape: doc bigrams are a scan-local generator explode; ONE
+    // bigram-keyed partial/final count agg builds the model; the
+    // w1-marginal re-aggregates the MODEL table (vocab², never the
+    // corpus); the doc⋈model join shuffles both sides on the bigram
+    // string and the per-doc agg reuses nothing wider than doc_id —
+    // linear in corpus tokens at any SF.
+    "t71_lm_quality" -> ((s, dir) => {
+      val db = docs(s, dir).select(col("doc_id"),
+        explode(QueryUtil.wordNgrams(split(trim(col("text")), "\\s+"), 2))
+          .as("bg"))
+      val cnt = db.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val tot = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+      val lm = cnt.join(tot, "w1")
+        .select(col("bg"),
+          floor(col("cnt").cast(DoubleType) / col("tot") * lit(1e9))
+            .cast(LongType).as("pq"))
+      db.join(lm, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ((col("sum_pq").cast(DoubleType) / col("n_bigrams")) / lit(1e9))
+            .as("lm_score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1143,6 +1184,26 @@ object TextOps {
         |tf AS (SELECT term, count(*) AS f FROM toks GROUP BY 1)
         |SELECT f, count(*) AS n_terms,
         | CAST(length(bin(f)) AS INTEGER) AS f_bucket
-        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bigram construction mirrors t66's CTE; p is quantized to
+    // floor(p*1e9) BIGINTs before the per-doc sum so the mean is exact
+    // ints + the same two IEEE divides on both engines
+    "t71_lm_quality" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bg
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s
+        |       FROM documents)),
+        |c AS (SELECT bg, count(*) AS cnt,
+        |       string_split(bg, ' ')[1] AS w1 FROM sh GROUP BY 1),
+        |t AS (SELECT w1, sum(cnt) AS tot FROM c GROUP BY 1),
+        |lm AS (SELECT bg,
+        |  CAST(floor(CAST(cnt AS DOUBLE) / tot * 1e9) AS BIGINT) AS pq
+        | FROM c JOIN t USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(pq) AS DOUBLE) / count(*) / 1e9 AS lm_score
+        |FROM sh JOIN lm USING (bg)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }
