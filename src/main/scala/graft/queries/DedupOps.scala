@@ -1334,12 +1334,16 @@ object DedupOps {
     "d90_budget_select" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       GraftFunctions.register(s)
-      val base = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("n_tok"),
-          expr("graft_ndistinct(toks)").as("n_types"))
-        .withColumn("qd", expr("CAST(n_types AS BIGINT) * 1000000 DIV n_tok"))
-        .withColumn("band", expr("qd DIV 50000"))
+      // persisted: the tokenize+ndistinct base feeds all three consumers
+      // (local cumsums, band summary, budget) — without the memo the
+      // per-doc kernel work runs 3×; the frame is 4 narrow columns per doc
+      val base = QueryUtil.persistKeyed(s, s"d90base:$dir",
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tok"),
+            expr("graft_ndistinct(toks)").as("n_types"))
+          .withColumn("qd", expr("CAST(n_types AS BIGINT) * 1000000 DIV n_tok"))
+          .withColumn("band", expr("qd DIV 50000")))
       val wLoc = Window.partitionBy(col("band"))
         .orderBy(col("qd").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -573,7 +573,10 @@ object TextOps {
     // w1-marginal re-aggregates the MODEL table (vocab², never the
     // corpus); the doc⋈model join shuffles both sides on the bigram
     // string and the per-doc agg reuses nothing wider than doc_id —
-    // linear in corpus tokens at any SF.
+    // linear in corpus tokens at any SF. The corpus IS scanned twice
+    // (model-train pass + scoring pass) — the honest train-then-score
+    // shape; persisting the token-level bigram frame would cost corpus
+    //-sized storage to save one cheap generator re-run.
     "t71_lm_quality" -> ((s, dir) => {
       val db = docs(s, dir).select(col("doc_id"),
         explode(QueryUtil.wordNgrams(split(trim(col("text")), "\\s+"), 2))

@@ -236,6 +236,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"d87 sample not pushed to WindowGroupLimit:\n${d87.queryExecution.executedPlan}")
   }
 
+  test("r10 session-3 shapes: q90/q94 reuse the agg exchange, q97 anti join, no cartesian (plan gates)") {
+    // q90 (Q2) and q94 (Q11) both re-aggregate an already-aggregated
+    // frame (per-part min / global total) and join it back — the fact
+    // scan + first aggregation must be shared via ReusedExchange, never
+    // recomputed from the scan
+    for (q <- Seq("q90", "q94")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$q recomputes the shared aggregate subtree from the scan:\n$p")
+    }
+    // q97 (Q16): NOT IN over the non-nullable s_suppkey must lower to a
+    // plain LEFT ANTI hash join (no null-aware BNLJ fallback)
+    val q97 = SparkEntry.queries("q97")(spark, dir)
+    q97.collect()
+    val p97 = q97.queryExecution.executedPlan.toString
+    assert(p97.contains("LeftAnti"), s"q97 NOT IN not an anti join:\n$p97")
+    assert(!p97.toLowerCase.contains("cartesian"),
+      s"q97 fell off the equi-join path:\n$p97")
+    // q91 (Q7): the two-direction pair filter must not degrade the join
+    // chain to a nested loop anywhere
+    val q91 = SparkEntry.queries("q91")(spark, dir)
+    q91.collect()
+    val p91 = q91.queryExecution.executedPlan.toString
+    assert(!p91.contains("BroadcastNestedLoop") && !p91.toLowerCase.contains("cartesian"),
+      s"q91 degraded to a nested loop:\n$p91")
+  }
+
   test("partitioning invariance: hash-keyed deterministic ops are bit-identical under different shuffle partitioning") {
     // the repo-wide determinism rule (no RNG, no partial-order-dependent
     // float accumulation) made falsifiable: the same query under 5 vs 32
