@@ -82,6 +82,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Sliding (hopping) window counts — 2-hour windows advancing hourly,
+    * the q99 batch shape as a stream: every event contributes to exactly
+    * two open windows. window() emits the overlap copies scan-locally
+    * BEFORE the stateful aggregation, so state is 2× tumbling's (two open
+    * windows per event type) but still watermark-bounded — windows close
+    * and evict as event time passes ws + 2h + delay. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
   /** Trending terms over a document stream: per tumbling 10-minute window,
     * per-term occurrence counts — generator-EXPLODE feeding the watermarked
     * stateful aggregation (the one streaming shape the dedup/sessionize

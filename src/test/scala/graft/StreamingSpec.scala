@@ -36,6 +36,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window counts converge to batch q99 counts") {
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.slidingCounts(StreamingOps.eventsStream(spark, dir)),
+      "slide_counts", OutputMode.Complete)
+    try {
+      val streamed = spark.table("slide_counts")
+        .select(col("ws").cast("string"), col("event_type"), col("n"))
+        .collect().map(_.toString).sorted
+      val batch = SparkEntry.queries("q99")(spark, dir)
+        .select(col("ws"), col("event_type"), col("n"))
+        .collect().map(_.toString).sorted
+      assert(streamed.length == batch.length && streamed.sameElements(batch),
+        s"stream ${streamed.length} rows vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization converges to batch q45") {
     val q = StreamingOps.runToMemorySink(
       StreamingOps.sessionize(spark, StreamingOps.eventsStream(spark, dir)),
