@@ -216,7 +216,14 @@ object ScaleProbe {
       "d84_probe" -> ((s, d) =>
         graft.queries.DedupOps.reportDelta(
           s.table(s"scale_report_state_${tblSuffix(d)}"),
-          s.read.parquet(s"$baseDir/documents.parquet"))))
+          s.read.parquet(s"$baseDir/documents.parquet"))),
+      // d90 memo-persists its tokenize base keyed by dir — the d81-style
+      // per-pass unpersist makes every pass rebuild + re-persist like a
+      // fresh production run instead of reading the cached frame
+      "d90_probe" -> ((s, d) => {
+        graft.queries.QueryUtil.unpersistKeyed(s, "d90base:")
+        graft.SparkEntry.queries("d90")(s, d)
+      }))
 
     // max single-task seconds of the min-time warm pass, for skew probes
     var minRunMaxTaskSec = 0.0
@@ -257,11 +264,11 @@ object ScaleProbe {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
           "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72",
-          "d83", "d84_probe", "d86") &&
+          "d83", "d84_probe", "d86", "t71") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
-          "t57", "d70") &&
+          "t57", "d70", "d90_probe") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -301,6 +308,11 @@ object ScaleProbe {
       // anchors, so candidates and verified prefix pairs replicate per
       // shard — one anchor equi-join + per-candidate O(len) verify, linear
       run("d86", k, d)
+      // LM quality scoring: suffixed replicas share zero bigrams, so the
+      // model (×K vocab), the marginal, and the doc⋈model join matches all
+      // replicate per shard — two corpus scans + bigram-keyed aggs/join,
+      // the claimed linear train-then-score regime
+      run("t71", k, d)
       // d81 kernel claims are doc-LENGTH scaling, probed at the base
       // corpus only (the ×16-token stress next to its control)
       if (k == 1) { run("d81_flat", k, d); run("d81_long", k, d) }
@@ -377,6 +389,12 @@ object ScaleProbe {
       // broadcast offsets) + scan-local fragment arithmetic — output and
       // cost must track the token stream xK, shuffle ∝ corpus rows only
       run("d70", k, p)
+      // budget selection: PLAIN replicas keep the density distribution —
+      // the budget (25% of tokens) and the admitted set replicate per
+      // shard; the banded two-pass keeps bands fixed (~21) with ×K rows
+      // each, so window parallelism and shuffle stay ∝ rows, no
+      // single-task global sort to break
+      run("d90_probe", k, p)
       // drop this factor's memo-persisted frames before the next one: the
       // memo keys embed the corpus dir, so nothing carries over — but the
       // CACHED DATA does, and a one-JVM all-factor run accumulates ×K
