@@ -141,6 +141,33 @@ object UdfOps {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("bigram"))
         .limit(50)
+    }),
+
+    // SQL scripting (Spark 4 SQL/PSM: BEGIN/DECLARE/WHILE/SET): an
+    // iterative doubling search for the smallest power-of-2 price cutoff
+    // that leaves at most 100 orders above it — procedural control flow
+    // the reference facade has no analogue for. Each iteration is one
+    // distributed pushdown-count; the LOOP is driver-side and runs
+    // log2(price domain) ≈ 20 times regardless of corpus size (the t58
+    // BPE pattern: driver control flow around distributed statements,
+    // never driver DATA). Powers of two are exact doubles, so the
+    // count compare and the final row are bit-deterministic; the oracle
+    // spells the search closed-form over the k = 0..40 cutoff grid
+    // (exact 1<<k integers, no libm pow).
+    "u68_sql_scripting" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE cut DOUBLE DEFAULT 1.0;
+          |  DECLARE n BIGINT DEFAULT -1;
+          |  SET n = (SELECT count(*) FROM orders WHERE o_totalprice > cut);
+          |  WHILE n > 100 DO
+          |    SET cut = cut * 2.0;
+          |    SET n = (SELECT count(*) FROM orders WHERE o_totalprice > cut);
+          |  END WHILE;
+          |  SELECT cut, n AS n_above;
+          |END""".stripMargin)
     })
   )
 
@@ -187,6 +214,18 @@ object UdfOps {
       """SELECT bigram, count(*) AS freq FROM (
         | SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bigram
         | FROM (SELECT string_split_regex(trim(text), '\s+') AS s FROM documents))
-        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50""".stripMargin,
+
+    // closed-form spelling of the doubling search: smallest 2^k (k from 0,
+    // count monotone nonincreasing in the cutoff) with <= 100 above it
+    "u68_sql_scripting" ->
+      """WITH c AS (
+        | SELECT CAST(CAST(1 AS BIGINT) << k AS DOUBLE) AS cut
+        | FROM range(0, 41) t(k)),
+        |n AS (SELECT cut,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > cut) AS n_above
+        | FROM c)
+        |SELECT cut, n_above FROM n WHERE n_above <= 100
+        |ORDER BY cut LIMIT 1""".stripMargin
   )
 }
