@@ -595,6 +595,48 @@ object TextOps {
           ((col("sum_pq").cast(DoubleType) / col("n_bigrams")) / lit(1e9))
             .as("lm_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Source-vs-corpus distribution drift (mixture monitoring): per source,
+    // the TOTAL-VARIATION distance between its unigram distribution and
+    // the whole-corpus distribution — the domain-shift audit behind
+    // mixture reweighting (which sources are outliers; which batch of a
+    // crawl changed character). TV instead of KL on purpose: KL needs
+    // ln() (libm-divergent, and infinite on disjoint support); TV =
+    // ½·Σ|p−q| is a true metric, bounded [0,1], and computes EXACTLY in
+    // quantized integer arithmetic: p = tf·1e9 DIV n (all-int, no
+    // doubles anywhere until the final display divide).
+    //
+    // The absent-term mass never materializes a source×vocab grid:
+    // Σ_all |p−q| = Σ_present |p−q| + (Qtot − Σ_present q), with Qtot the
+    // corpus-side quantized mass — one broadcast scalar. Scale shape: ONE
+    // corpus scan → (source,term) partial/final agg; the corpus table
+    // RE-AGGREGATES that frame (never a second scan); one term-keyed
+    // join + a |sources|-sized final agg; totals are broadcast 1-rows.
+    "t72_source_drift" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("stf"))
+      val ct = st.groupBy(col("term")).agg(sum(col("stf")).as("ctf"))
+      val sTot = st.groupBy(col("source")).agg(sum(col("stf")).as("sn"))
+      val cTot = ct.agg(sum(col("ctf")).as("cn"))
+      val qt = ct.crossJoin(broadcast(cTot))
+        .select(col("term"), expr("ctf * 1000000000 DIV cn").as("q"))
+      val qTot = qt.agg(sum(col("q")).as("q_tot"))
+      st.join(qt, "term")
+        .join(broadcast(sTot), "source")
+        .select(col("source"), col("q"),
+          expr("stf * 1000000000 DIV sn").as("p"), col("sn"))
+        .groupBy(col("source"), col("sn"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(abs(col("p") - col("q"))).as("sum_abs"),
+          sum(col("q")).as("sum_q_present"))
+        .crossJoin(broadcast(qTot))
+        .select(col("source"), col("sn"), col("n_types"),
+          (col("sum_abs") + (col("q_tot") - col("sum_q_present"))).as("tvd_q"))
+        .withColumn("tvd", col("tvd_q").cast(DoubleType) / lit(2e9))
+        .orderBy(col("source"))
     })
   )
 
@@ -1207,6 +1249,30 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | CAST(sum(pq) AS DOUBLE) / count(*) / 1e9 AS lm_score
         |FROM sh JOIN lm USING (bg)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same quantized-integer TV identity: Σ_all |p−q| = Σ_present |p−q|
+    // + (Qtot − Σ_present q); // and DIV agree on the positive operands
+    "t72_source_drift" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |st AS (SELECT source, term, count(*) AS stf FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(stf) AS BIGINT) AS ctf FROM st GROUP BY 1),
+        |stot AS (SELECT source, CAST(sum(stf) AS BIGINT) AS sn
+        |         FROM st GROUP BY 1),
+        |ctot AS (SELECT CAST(sum(ctf) AS BIGINT) AS cn FROM ct),
+        |qt AS (SELECT term, (ctf * 1000000000) // cn AS q FROM ct, ctot),
+        |qtot AS (SELECT CAST(sum(q) AS BIGINT) AS q_tot FROM qt),
+        |ag AS (
+        | SELECT st.source, sn, count(*) AS n_types,
+        |  CAST(sum(abs((stf * 1000000000) // sn - q)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(q) AS BIGINT) AS sum_q_present
+        | FROM st JOIN qt USING (term) JOIN stot ON stot.source = st.source
+        | GROUP BY 1, 2)
+        |SELECT source, sn, n_types,
+        | sum_abs + (q_tot - sum_q_present) AS tvd_q,
+        | CAST(sum_abs + (q_tot - sum_q_present) AS DOUBLE) / 2e9 AS tvd
+        |FROM ag, qtot ORDER BY source""".stripMargin
   )
 }
