@@ -273,7 +273,10 @@ class OperatorsSpec extends AnyFunSuite {
     // hash sample (d74), the stratified sample (d87), the global shuffle
     // order (d67), feature hashing (t61), and the temperature weights
     // whose quantized-normalizer discipline exists exactly for this (t60).
-    val names = Seq("d74", "d87", "d67", "t61", "t60")
+    // r10 session 3 adds the three new exact-int pipeline ops: LM quality
+    // (t71, quantized p sums), TV drift (t72, all-integer arithmetic),
+    // and the budget selection's banded prefix sum (d90).
+    val names = Seq("d74", "d87", "d67", "t61", "t60", "t71", "t72", "d90")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
