@@ -762,6 +762,25 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-cluster size spectrum — the dedup audit that tells you
+    // WHAT KIND of duplication a corpus carries: many tiny clusters
+    // (mirror pairs) vs a few giant ones (template farms) drive opposite
+    // remedies (pairwise keep-one vs boilerplate stripping). Rows:
+    // (cluster size, number of clusters, docs covered) over the J>=0.8
+    // near-dup components INCLUDING singletons — the spectrum sums to the
+    // corpus, so it doubles as a coverage check. Scale shape: reuses the
+    // memoized d56/d77 component labels (pointer-jumping CC, O(log
+    // diameter) rounds); then ONE component-keyed count + ONE
+    // spectrum-sized count — the frequency-of-frequencies pattern (t70)
+    // on cluster ids.
+    "d91_cluster_spectrum" -> ((s, dir) => {
+      val sizes = ccLabels(s, dir)
+        .groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("csize") * col("n_clusters"))
+        .orderBy(col("csize"))
+    }),
+
     // Deterministic corpus rebalancing — the mixture-weighting step of
     // dataset assembly: downsample the majority language (en keeps 1 doc in
     // 4 by id residue, others keep all) with NO RNG, so the sample is
@@ -2088,6 +2107,22 @@ object DedupOps {
          |SELECT l.doc_id, l.rep, b.canonical, b.canon_ntok
          |FROM lab l JOIN best b ON b.rep = l.rep AND b.rn = 1
          |ORDER BY l.doc_id""".stripMargin,
+
+    "d91_cluster_spectrum" ->
+      s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
+         |edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION ALL SELECT idb, ida FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |repr AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN repr r ON d.doc_id = r.src),
+         |cs AS (SELECT rep, count(*) AS csize FROM lab GROUP BY 1)
+         |SELECT csize, count(*) AS n_clusters, csize * count(*) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d63_corpus_report" ->
       s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,
