@@ -1299,6 +1299,37 @@ object SimilarityOps {
         .withColumn("mean_sim",
           (col("sum_simq").cast(DoubleType) / col("n_pairs")) / lit(1e6))
         .orderBy(col("same_label"))
+    }),
+
+    // Snapshot centroid drift — the encoder-regression audit: per label,
+    // the L1 distance between the class centroid of snapshot A (even
+    // vec_ids) and snapshot B (odd) — the day-2 "did the embedding space
+    // move?" check before a re-encoded batch enters a shared index. All
+    // arithmetic EXACT: per-(label,dim) quantized sums, and the
+    // mean-difference goes to the common denominator — |sqA·nB − sqB·nA|
+    // is an integer, summed over dims as integers; one double divide pair
+    // per label at the end (the s59/t60 discipline, extended to a
+    // DIFFERENCE of means so no per-dim float subtraction ever happens).
+    // Scale: one scan, (label,dim) partial/final agg, label-sized finale.
+    "s77_centroid_drift" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("snap_a"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("snap_a"), col("dim"),
+          floor(col("v").cast(DoubleType) * 1e9).cast(LongType).as("vq"))
+      e.groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("snap_a"), col("vq"))).as("sq_a"),
+          count(when(col("snap_a"), 1)).as("n_a"),
+          sum(when(!col("snap_a"), col("vq"))).as("sq_b"),
+          count(when(!col("snap_a"), 1)).as("n_b"))
+        .groupBy(col("label"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(abs(col("sq_a") * col("n_b") - col("sq_b") * col("n_a")))
+            .as("drift_q"))
+        .withColumn("l1_drift",
+          col("drift_q").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType) / lit(1e9))
+        .orderBy(col("label"))
     })
   )
 
@@ -1479,6 +1510,27 @@ object SimilarityOps {
         | CAST(sum(simq) AS BIGINT) AS sum_simq,
         | min(simq) AS min_simq, max(simq) AS max_simq,
         | CAST(sum(simq) AS DOUBLE) / count(*) / 1e6 AS mean_sim
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the common-denominator identity keeps every per-dim term an exact
+    // integer; only the final per-label divide pair is floating point
+    "s77_centroid_drift" ->
+      """WITH x AS (
+        | SELECT label, (vec_id % 2 = 0) AS snap_a,
+        |  generate_subscripts(embedding, 1) AS gs,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT) AS vq
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |per AS (
+        | SELECT label, gs,
+        |  CAST(sum(CASE WHEN snap_a THEN vq END) AS BIGINT) AS sq_a,
+        |  CAST(count(CASE WHEN snap_a THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT snap_a THEN vq END) AS BIGINT) AS sq_b,
+        |  CAST(count(CASE WHEN NOT snap_a THEN 1 END) AS BIGINT) AS n_b
+        | FROM x GROUP BY 1, 2)
+        |SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+        | CAST(sum(abs(sq_a * n_b - sq_b * n_a)) AS BIGINT) AS drift_q,
+        | CAST(sum(abs(sq_a * n_b - sq_b * n_a)) AS DOUBLE)
+        |   / CAST(max(n_a) * max(n_b) AS DOUBLE) / 1e9 AS l1_drift
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
