@@ -265,6 +265,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"q91 degraded to a nested loop:\n$p91")
   }
 
+  test("join strategy hints steer the planner: BROADCAST / SHUFFLE_HASH / MERGE each produce their join operator") {
+    // the escape hatch for when AQE's choice is wrong at scale (a build
+    // side whose size estimate lies, a sort the cluster can't afford):
+    // each hint must actually flip the physical operator, same results
+    import spark.implicits._
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("h_orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("h_cust")
+    def planOf(hint: String): (String, Long) = {
+      val df = spark.sql(
+        s"SELECT /*+ $hint(c) */ count(*) FROM h_orders o JOIN h_cust c ON o_custkey = c_custkey")
+      val n = df.collect().head.getLong(0)
+      (df.queryExecution.executedPlan.toString, n)
+    }
+    val (pb, nb) = planOf("BROADCAST")
+    assert(pb.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n$pb")
+    val (ph, nh) = planOf("SHUFFLE_HASH")
+    assert(ph.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint ignored:\n$ph")
+    val (pm, nm) = planOf("MERGE")
+    assert(pm.contains("SortMergeJoin"), s"MERGE hint ignored:\n$pm")
+    assert(nb == nh && nh == nm, s"hinted joins disagree: $nb/$nh/$nm")
+  }
+
   test("partitioning invariance: hash-keyed deterministic ops are bit-identical under different shuffle partitioning") {
     // the repo-wide determinism rule (no RNG, no partial-order-dependent
     // float accumulation) made falsifiable: the same query under 5 vs 32
