@@ -405,12 +405,19 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
-      if (k > 1 && wanted("s58", "s61", "s64", "s65") &&
+      if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
       run("s58", k, d)
       run("s61", k, d)
+      // label separability rides the same tiled pair machinery as s58 —
+      // time ∝ pair count at two-block memory; the ±-flip replicas keep
+      // intra-replica label structure while cross-replica sims collapse
+      run("s76", k, d)
+      // centroid drift is the family's LINEAR member: one scan,
+      // (label,dim) agg — the contrast row to the O(n²) pair audits
+      run("s77", k, d)
       // sampling/quantization: k*n broadcast-join sims reduced map-side
       // (s64) and a scan-local coding pass against broadcast stats (s65) —
       // both claim linear scan-bound growth, no corpus-sized shuffle
