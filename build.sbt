@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default logger prefixes
+// every forked line with "[info] ", which turns Bench's final metric JSON
+// line into non-JSON for any tail parser (the driver tail-captures stdout
+// and json-parses candidate lines). StdoutOutput pipes the child's stdout
+// straight through, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -210,16 +210,18 @@ object Bench {
     // short line → [success]`, and any parser that scans the tail for a
     // complete `{"metric"…}` JSON line finds the short one (the clipped full
     // copy cannot shadow it — its head, and thus its opening brace, is gone).
-    // The short line carries a schema-complete `queries` map too — per-
-    // FAMILY warm totals (6 entries: relational q, dedup d, similarity s,
-    // text t, multimodal m, udf u) — in case the parser requires the key;
-    // per-query detail stays on the full line above and in BENCH.json.
+    // The short line carries per-FAMILY warm totals (6 entries: relational
+    // q, dedup d, similarity s, text t, multimodal m, udf u) under an
+    // UNAMBIGUOUS key — "query_family_totals", NOT "queries" — so a
+    // schema-unaware consumer can never mistake family sums for per-query
+    // timings; "queries" stays exclusively per-query (the full line above
+    // and BENCH.json carry it).
     val famTotals = ok.groupBy(_.take(1)).view
       .mapValues(ns => ns.map(warm.getOrElse(_, 0.0)).sum).toMap
     val famJs = famTotals.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$famJs,"sf":"$sfDir","n_ok":${ok.size},"queries_are_family_totals":true,"per_query_detail":"BENCH.json","failed":$failedJs}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","query_family_totals":$famJs,"sf":"$sfDir","n_ok":${ok.size},"per_query_detail":"BENCH.json","failed":$failedJs}"""
     println(shortLine)
     System.out.flush()
     System.err.println(shortLine)

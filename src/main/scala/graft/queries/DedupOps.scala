@@ -2039,15 +2039,20 @@ object DedupOps {
         |   ORDER BY md5('d87:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
-    // the anchor join mirrors the Spark candidate rule; with every doc
-    // >= 10 tokens the 8-token anchor is IMPLIED by the prefix condition,
-    // so this is the true prefix-pair spec, not just an algorithm mirror
+    // the anchor width is computed the same way as the Spark side —
+    // greatest(1, least(8, corpus min token count)) — so the oracle stays
+    // complete on ANY corpus (a doc shorter than 8 tokens shrinks W for
+    // both engines identically); with that clamp the anchor is IMPLIED by
+    // the prefix condition, so this is the true prefix-pair spec, not
+    // just an algorithm mirror
     "d86_prefix_dupes" ->
       """WITH d AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         | FROM documents),
+        |wv AS (SELECT greatest(1, least(8, min(len(t)))) AS w FROM d),
         |n AS (SELECT doc_id, t, len(t) AS n,
-        |        array_to_string(t[1:8], ' ') AS anchor FROM d)
+        |        array_to_string(list_slice(t, 1, w), ' ') AS anchor
+        |      FROM d, wv)
         |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
         | CAST(a.n AS INTEGER) AS n_short, CAST(b.n AS INTEGER) AS n_long
         |FROM n a JOIN n b ON a.anchor = b.anchor AND a.n < b.n

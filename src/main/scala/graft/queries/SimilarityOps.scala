@@ -1285,6 +1285,12 @@ object SimilarityOps {
     "s76_label_separability" -> ((s, dir) => {
       val lab = emb(s, dir).select(col("vec_id"), col("label"))
       tiledPairSims(s, dir)
+        // a zero-norm vector yields sim = NaN; unlike s58 (whose threshold
+        // filter drops NaN pairs) this aggregates ALL pairs, and
+        // floor(NaN).cast(Long) is silently 0 in Spark while DuckDB raises
+        // on the cast — drop NaN pairs explicitly, mirrored by NOT isnan
+        // in the oracle, so both engines apply the same rule on any corpus
+        .filter(!isnan(col("sim")))
         .select(col("ida"), col("idb"),
           floor(col("sim") * lit(1e6)).cast(LongType).as("simq"))
         .join(lab.select(col("vec_id").as("ida"), col("label").as("la")),
@@ -1498,14 +1504,17 @@ object SimilarityOps {
     // plain a.vec_id < b.vec_id all-pairs (the tile decomposition emits
     // exactly this set); list_cosine_similarity over DOUBLE[] is
     // bit-compatible with graft_cosine (established by s56/s58), and the
-    // floor(sim·1e6) quantization keeps the group sums exact ints
+    // floor(sim·1e6) quantization keeps the group sums exact ints;
+    // NOT isnan mirrors the Spark side's zero-norm pair drop
     "s76_label_separability" ->
       """WITH p AS (
         | SELECT (a.label = b.label) AS same_label,
         |  CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS simq
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        | WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
+        | WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+        |   AND NOT isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[]))))
         |SELECT same_label, count(*) AS n_pairs,
         | CAST(sum(simq) AS BIGINT) AS sum_simq,
         | min(simq) AS min_simq, max(simq) AS max_simq,

@@ -621,13 +621,20 @@ object TextOps {
       val ct = st.groupBy(col("term")).agg(sum(col("stf")).as("ctf"))
       val sTot = st.groupBy(col("source")).agg(sum(col("stf")).as("sn"))
       val cTot = ct.agg(sum(col("ctf")).as("cn"))
+      // the tf*1e9 product is widened to DECIMAL(38,0) BEFORE the multiply:
+      // a stopword's corpus tf can exceed ~9.2e9 at 100 TB, where a raw
+      // Long product would silently wrap in Spark (and raise in DuckDB) —
+      // DIV on the decimal product returns Long again, and the quotient
+      // itself is ≤ 1e9 so the downstream arithmetic stays 64-bit
       val qt = ct.crossJoin(broadcast(cTot))
-        .select(col("term"), expr("ctf * 1000000000 DIV cn").as("q"))
+        .select(col("term"),
+          expr("CAST(ctf AS DECIMAL(38,0)) * 1000000000 DIV cn").as("q"))
       val qTot = qt.agg(sum(col("q")).as("q_tot"))
       st.join(qt, "term")
         .join(broadcast(sTot), "source")
         .select(col("source"), col("q"),
-          expr("stf * 1000000000 DIV sn").as("p"), col("sn"))
+          expr("CAST(stf AS DECIMAL(38,0)) * 1000000000 DIV sn").as("p"),
+          col("sn"))
         .groupBy(col("source"), col("sn"))
         .agg(count(lit(1)).as("n_types"),
           sum(abs(col("p") - col("q"))).as("sum_abs"),
@@ -1262,11 +1269,14 @@ object TextOps {
         |stot AS (SELECT source, CAST(sum(stf) AS BIGINT) AS sn
         |         FROM st GROUP BY 1),
         |ctot AS (SELECT CAST(sum(ctf) AS BIGINT) AS cn FROM ct),
-        |qt AS (SELECT term, (ctf * 1000000000) // cn AS q FROM ct, ctot),
+        |qt AS (SELECT term,
+        |  CAST((CAST(ctf AS HUGEINT) * 1000000000) // cn AS BIGINT) AS q
+        |  FROM ct, ctot),
         |qtot AS (SELECT CAST(sum(q) AS BIGINT) AS q_tot FROM qt),
         |ag AS (
         | SELECT st.source, sn, count(*) AS n_types,
-        |  CAST(sum(abs((stf * 1000000000) // sn - q)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(abs(CAST((CAST(stf AS HUGEINT) * 1000000000) // sn
+        |    AS BIGINT) - q)) AS BIGINT) AS sum_abs,
         |  CAST(sum(q) AS BIGINT) AS sum_q_present
         | FROM st JOIN qt USING (term) JOIN stot ON stot.source = st.source
         | GROUP BY 1, 2)

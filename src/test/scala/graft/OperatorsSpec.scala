@@ -300,6 +300,12 @@ class OperatorsSpec extends AnyFunSuite {
     // and the budget selection's banded prefix sum (d90).
     val names = Seq("d74", "d87", "d67", "t61", "t60", "t71", "t72", "d90")
     def runAll(parts: Int): Map[String, Seq[String]] = {
+      // d90 memo-persists its tokenize base keyed by dir; without this
+      // reset the 32-partition run would silently reuse the frame cached
+      // under 5 partitions and the invariance of d90's kernel/agg stage
+      // would never actually be exercised (the same reset ScaleProbe's
+      // d90_probe uses)
+      graft.queries.QueryUtil.unpersistKeyed(spark, "d90base:")
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       try names.map(n =>
