@@ -35,7 +35,14 @@ object SimilarityOps {
     * the (min,max) block tile; same-block pairs are halved on id), in
     * arbitrary orientation — `graft_cosine` is bit-symmetric in its
     * arguments (IEEE multiply commutes), so orientation cannot perturb sim. */
-  private def tiledPairSims(s: SparkSession, dir: String): DataFrame = {
+  private def tiledPairSims(s: SparkSession, dir: String): DataFrame =
+    tiledPairsOf(s, emb(s, dir))
+
+  /** The tiled all-pairs machinery over an ARBITRARY (vec_id, embedding)
+    * frame — shared by the whole-corpus audits (via `tiledPairSims`) and
+    * their budget-bounded sampled variants (s78/s79), which pass the
+    * hash-ranked sample instead of the corpus. */
+  private def tiledPairsOf(s: SparkSession, vecs: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val nBlocks = math.max(2,
       math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
@@ -43,7 +50,7 @@ object SimilarityOps {
     // null embedding would otherwise produce null sims that the window
     // ranks last but the bounded aggregate skips — keep both engines on
     // the same explicit rule instead of relying on corpus luck
-    val e = emb(s, dir).filter(col("embedding").isNotNull)
+    val e = vecs.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
@@ -58,6 +65,35 @@ object SimilarityOps {
         greatest(col("ida"), col("idb")).as("idb"),
         expr("graft_cosine(va, vb)").as("sim"))
   }
+
+  /** Largest m with m·(m−1)/2 ≤ pairBudget — the sample size that keeps an
+    * exact all-pairs audit under a HARD pair budget regardless of corpus
+    * size (the engine rule for the pair-bound family: an exact O(n²) op may
+    * only run whole-corpus as a small-n calibration; at scale it runs on a
+    * budgeted sample). */
+  private[graft] def pairSampleSize(pairBudget: Long): Int = {
+    val m = math.floor((1.0 + math.sqrt(1.0 + 8.0 * pairBudget)) / 2.0).toInt
+    if (m.toLong * (m - 1) / 2 > pairBudget) m - 1 else m
+  }
+
+  /** Deterministic hash-ranked sample of (at most) m vectors: rank by
+    * md5(tag‖vec_id) — the d74/d87 uniform-hash idiom — and keep the GLOBAL
+    * top-m. RNG-free, rerun- and partitioning-invariant, and identical in
+    * both engines (`ORDER BY md5(...), vec_id LIMIT m` in DuckDB). Plan
+    * shape: orderBy+limit lowers to TakeOrderedAndProject — every task keeps
+    * its local top-m and the merge handles k·m rows, bounded by the BUDGET,
+    * never the corpus; the corpus-sized work is one linear scan. The tiny
+    * result is memo-persisted so the audits' self-joins don't rescan the
+    * corpus per branch. */
+  private def hashSampleVecs(s: SparkSession, dir: String, tag: String,
+      m: Int): DataFrame =
+    QueryUtil.persistKeyed(s, s"svec:$tag$dir:$m",
+      emb(s, dir).filter(col("embedding").isNotNull)
+        .withColumn("h", md5(concat(lit(tag),
+          col("vec_id").cast(StringType)).cast(BinaryType)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(m)
+        .drop("h"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-5 per query vector (vec_id < 10 are the
@@ -1336,6 +1372,85 @@ object SimilarityOps {
           col("drift_q").cast(DoubleType) /
             (col("n_a") * col("n_b")).cast(DoubleType) / lit(1e9))
         .orderBy(col("label"))
+    }),
+
+    // SAMPLED label-separability audit — the budget-bounded form of s76, so
+    // the "do embeddings encode the labels?" check runs on ANY corpus: rank
+    // vectors by a deterministic hash, keep the global top-m with
+    // m(m−1)/2 ≤ the 20 000-pair budget (m = 200 → 19 900 pairs), then run
+    // the EXACT tiled all-pairs aggregation on the sample. Compare work is
+    // budget-bounded no matter the corpus; the only corpus-sized step is
+    // the linear hash-rank scan. Same output schema as s76, so the sampled
+    // and exact audits diff directly; sampling error vs s76 is spec-gated
+    // (OperatorsSpec: sampled means within ±0.05 of exact at sf0.1).
+    "s78_sampled_separability" -> ((s, dir) => {
+      val sv = hashSampleVecs(s, dir, "s78:", pairSampleSize(20000L))
+      val lab = sv.select(col("vec_id"), col("label"))
+      tiledPairsOf(s, sv)
+        .filter(!isnan(col("sim")))
+        .select(col("ida"), col("idb"),
+          floor(col("sim") * lit(1e6)).cast(LongType).as("simq"))
+        .join(lab.select(col("vec_id").as("ida"), col("label").as("la")),
+          Seq("ida"))
+        .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")),
+          Seq("idb"))
+        .groupBy((col("la") === col("lb")).as("same_label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("simq")).as("sum_simq"),
+          min(col("simq")).as("min_simq"),
+          max(col("simq")).as("max_simq"))
+        .withColumn("mean_sim",
+          (col("sum_simq").cast(DoubleType) / col("n_pairs")) / lit(1e6))
+        .orderBy(col("same_label"))
+    }),
+
+    // SAMPLED near-dup-rate audit — the budget-bounded form of s58's role:
+    // "what fraction of pairs are near-dups at cosine ≥ 0.45?" measured
+    // exactly on a hash-ranked sample (same 20 000-pair budget as s78,
+    // independent hash tag so the two samples don't correlate). One summary
+    // row: sample size, pairs compared, pairs over threshold, and the rate
+    // quantized to an exact integer (rate·1e9 DIV) so the row is bit-stable
+    // cross-engine. NaN (zero-norm) pairs are excluded from BOTH counts —
+    // they are unmeasurable, not dissimilar.
+    "s79_sampled_dup_rate" -> ((s, dir) => {
+      val sv = hashSampleVecs(s, dir, "s79:", pairSampleSize(20000L))
+      tiledPairsOf(s, sv)
+        .filter(!isnan(col("sim")))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("n_dup"))
+        .select(lit(pairSampleSize(20000L)).as("m_budget"), col("n_pairs"),
+          col("n_dup"),
+          expr("CAST(n_dup AS DECIMAL(38,0)) * 1000000000 DIV n_pairs")
+            .as("dup_rate_q"))
+    }),
+
+    // SAMPLED-QUERY exact k-NN ground truth — the budget-bounded form of
+    // s61: instead of the full n×n graph, take m = 50 hash-ranked query
+    // vectors and compute their EXACT top-3 over the WHOLE corpus. Work is
+    // m·n — linear in the corpus with a budget-bounded multiplier — which
+    // is precisely the ground-truth set the ANN recall gates (s57/s60/
+    // s68–s71) need: recall is estimated on sampled queries against exact
+    // answers, so the audit scales to any corpus while staying exact per
+    // query. The m vectors broadcast (budget-bounded, never corpus-sized);
+    // the corpus side streams through one scan; top-3 via the bounded
+    // graft_topk_pairs aggregate (no per-partition sort).
+    "s80_sampled_knn" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val q = broadcast(hashSampleVecs(s, dir, "s80:", 50)
+        .select(col("vec_id").as("src"), col("embedding").as("qv")))
+      val c = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("nbr"), col("embedding").as("cv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      q.crossJoin(c)
+        .filter(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          expr("graft_cosine(qv, cv)").as("sim"))
+        .groupBy(col("src"))
+        .agg(expr("graft_topk_pairs(sim, nbr, 3)").as("top"))
+        .select(col("src"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("src"), col("p.id").as("nbr"),
+          (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy(col("src"), col("rnk"))
     })
   )
 
@@ -1540,6 +1655,59 @@ object SimilarityOps {
         | CAST(sum(abs(sq_a * n_b - sq_b * n_a)) AS BIGINT) AS drift_q,
         | CAST(sum(abs(sq_a * n_b - sq_b * n_a)) AS DOUBLE)
         |   / CAST(max(n_a) * max(n_b) AS DOUBLE) / 1e9 AS l1_drift
-        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sampled audits' sample is the TRUE spec, not an approximation:
+    // ORDER BY md5(tag‖vec_id) LIMIT m is the same deterministic global
+    // top-m both engines compute (md5 string parity established by d74);
+    // LIMIT 200 here == pairSampleSize(20000) on the Scala side
+    "s78_sampled_separability" ->
+      """WITH sv AS (
+        | SELECT vec_id, label, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL
+        | ORDER BY md5('s78:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+        |p AS (
+        | SELECT (a.label = b.label) AS same_label,
+        |  CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS simq
+        | FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+        | WHERE NOT isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[]))))
+        |SELECT same_label, count(*) AS n_pairs,
+        | CAST(sum(simq) AS BIGINT) AS sum_simq,
+        | min(simq) AS min_simq, max(simq) AS max_simq,
+        | CAST(sum(simq) AS DOUBLE) / count(*) / 1e6 AS mean_sim
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s79_sampled_dup_rate" ->
+      """WITH sv AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL
+        | ORDER BY md5('s79:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+        |f AS (
+        | SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) AS sim
+        | FROM sv a JOIN sv b ON a.vec_id < b.vec_id)
+        |SELECT 200 AS m_budget, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST((CAST(sum(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS HUGEINT)
+        |   * 1000000000) // count(*) AS BIGINT) AS dup_rate_q
+        |FROM f WHERE NOT isnan(sim)""".stripMargin,
+
+    // s61's oracle restricted to the 50 hash-ranked query vectors — exact
+    // top-3 per sampled query over the WHOLE corpus
+    "s80_sampled_knn" ->
+      """WITH sv AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | WHERE embedding IS NOT NULL
+        | ORDER BY md5('s80:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50)
+        |SELECT src, nbr, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                          CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rnk
+        | FROM sv a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  AND b.embedding IS NOT NULL)
+        |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
   )
 }

@@ -223,6 +223,20 @@ object ScaleProbe {
       "d90_probe" -> ((s, d) => {
         graft.queries.QueryUtil.unpersistKeyed(s, "d90base:")
         graft.SparkEntry.queries("d90")(s, d)
+      }),
+      // sampled pair-bound audits: evict the memoized sample so every pass
+      // pays the real hash-rank scan of the ×K corpus (the production cost)
+      "s78_probe" -> ((s, d) => {
+        graft.queries.QueryUtil.unpersistKeyed(s, "svec:s78:")
+        graft.SparkEntry.queries("s78")(s, d)
+      }),
+      "s79_probe" -> ((s, d) => {
+        graft.queries.QueryUtil.unpersistKeyed(s, "svec:s79:")
+        graft.SparkEntry.queries("s79")(s, d)
+      }),
+      "s80_probe" -> ((s, d) => {
+        graft.queries.QueryUtil.unpersistKeyed(s, "svec:s80:")
+        graft.SparkEntry.queries("s80")(s, d)
       }))
 
     // max single-task seconds of the min-time warm pass, for skew probes
@@ -405,7 +419,8 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
-      if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77") &&
+      if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77",
+          "s78", "s79", "s80") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
@@ -415,6 +430,14 @@ object ScaleProbe {
       // time ∝ pair count at two-block memory; the ±-flip replicas keep
       // intra-replica label structure while cross-replica sims collapse
       run("s76", k, d)
+      // the BUDGETED members of the pair-bound family: compare work is
+      // fixed by the pair budget (s78/s79: 19 900 pairs; s80: 50 queries
+      // × n), so wall must stay FLAT (s78/s79) / LINEAR (s80) while the
+      // exact audits above grow ∝ n² — the per-pass unpersist makes each
+      // pass re-rank the ×K corpus instead of reading the cached sample
+      run("s78_probe", k, d)
+      run("s79_probe", k, d)
+      run("s80_probe", k, d)
       // centroid drift is the family's LINEAR member: one scan,
       // (label,dim) agg — the contrast row to the O(n²) pair audits
       run("s77", k, d)

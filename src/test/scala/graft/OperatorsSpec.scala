@@ -321,6 +321,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s78/s79/s80 sampled audits: pairs bounded by budget; sampled means within ±0.01 of exact s76; s80 equals s61 on sampled sources") {
+    // the engine rule for the pair-bound exact family (s58/s61/s76): at
+    // scale the audit runs on a deterministic hash-ranked sample under a
+    // HARD pair budget. This spec pins the three claims that make the
+    // sampled variants trustworthy: (1) compare work is bounded by the
+    // budget, (2) the sampled estimate tracks the exact audit (±0.01 ≈
+    // 3.5 standard errors at ~2000 same-label pairs), (3) the sampled-query
+    // k-NN ground truth is EXACTLY the full graph restricted to the
+    // sampled sources (it is not an approximation per query).
+    val s78 = SparkEntry.queries("s78")(spark, dir).collect()
+      .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(5))).toMap
+    assert(s78.values.map(_._1).sum <= 20000L,
+      s"s78 pair count ${s78.values.map(_._1).sum} breaches the 20k budget")
+    val s76 = SparkEntry.queries("s76")(spark, dir).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(5)).toMap
+    s76.foreach { case (grp, exactMean) =>
+      assert(math.abs(s78(grp)._2 - exactMean) <= 0.01,
+        s"s78 sampled mean ${s78(grp)._2} vs exact $exactMean (group $grp)")
+    }
+    val s79 = SparkEntry.queries("s79")(spark, dir).collect().head
+    assert(s79.getLong(1) <= 20000L, s"s79 pairs ${s79.getLong(1)} > budget")
+    val s80 = SparkEntry.queries("s80")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val srcs = s80.map(_._1)
+    assert(srcs.size == 50 && s80.size == 150)
+    val s61OnSrcs = SparkEntry.queries("s61")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .filter(t => srcs.contains(t._1))
+    assert(s80 == s61OnSrcs,
+      s"s80 is not the s61 graph restricted to sampled sources " +
+        s"(diff ${(s80 diff s61OnSrcs).take(3)} / ${(s61OnSrcs diff s80).take(3)})")
+  }
+
   test("d88 HLL sketch partials: estimates within 2% of exact; union associative; two-batch merge equals full") {
     val rows = SparkEntry.queries("d88")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
