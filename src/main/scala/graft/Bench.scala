@@ -63,7 +63,12 @@ object Bench {
     // JSON line (warm would stay empty and the total would throw)
     val warmPasses = math.max(1,
       sys.env.get("SPARK_GRAFT_WARM_PASSES").flatMap(_.toIntOption).getOrElse(3))
+    // optional csv subset for local A/B iteration (the driver never sets
+    // this; the contract run always times the full inventory)
+    val onlyQ = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyQ.forall(_.contains(n)))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -156,11 +156,14 @@ object Relational {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      val supAsia = broadcast(t(s, dir, "supplier")
+      // bcast audit: supplier is SF-proportional (1/5 of it survives the
+      // region cut) — no hard hint; AQE broadcasts the joined side at
+      // runtime while it fits and shuffles it once it doesn't
+      val supAsia = t(s, dir, "supplier")
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       l.join(supAsia, col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey") &&
@@ -335,8 +338,10 @@ object Relational {
     // fractional; decimal-sum / count is one IEEE divide, order-independent
     // and bit-equal in both engines.
     "q73_small_qty_revenue" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#1")
-        .select(col("p_partkey")))
+      // bcast audit: part is SF-proportional (brand cut is a fixed ~1/50
+      // ratio, not a constant bound) — no hard hint, AQE decides
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
       val l = t(s, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey"))
       val thr = l.groupBy(col("l_partkey").as("tk"))
@@ -352,8 +357,10 @@ object Relational {
     // second semi-join against supplier. No correlated execution anywhere:
     // both INs become one-pass hash semi-joins.
     "q74_excess_stock" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part").filter(col("p_size") <= 5)
-        .select(col("p_partkey")))
+      // bcast audit: part is SF-proportional (size cut = fixed ~1/10
+      // ratio) — no hard hint, AQE decides
+      val p = t(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
       val heavy = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType))
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
@@ -382,6 +389,7 @@ object Relational {
           count(lit(1))).as("ab"))
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
         .select(col("o_custkey"))
+      // bcast audit: BOUNDED — avgBal is a 1-row global aggregate
       c.join(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
         .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
@@ -401,6 +409,7 @@ object Relational {
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 4))).as("rev_d"))
       val mx = rev.agg(max(col("rev_d")).as("mx"))
+      // bcast audit: BOUNDED — mx is a 1-row aggregate
       rev.join(broadcast(mx), col("rev_d") === col("mx"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
@@ -415,8 +424,11 @@ object Relational {
     // disjunction as the join's residual condition; part is dim-sized and
     // broadcast. Revenue through DECIMAL so the one-row answer is bit-equal.
     "q83_disjunctive_join" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      // bcast audit: part is SF-proportional (and UNfiltered here) — no
+      // hard hint; the plan gate below only requires the equi hash join,
+      // which AQE/static stats deliver while the side fits
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
       t(s, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey") && (
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
@@ -453,8 +465,9 @@ object Relational {
         .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
           col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
           "left_anti")
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
+        // bcast audit: supplier is SF-proportional — no hard hint
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("numwait"))
@@ -464,14 +477,18 @@ object Relational {
     // TPC-H Q18 shape: large-volume orders — IN over a grouped-HAVING
     // subquery. Spark-first: the HAVING aggregate IS the quantity the
     // outer query re-computes in classic Q18, so compute it once and JOIN
-    // (bit-identical, one lineitem pass instead of two); the >300 survivor
-    // set is tiny at any SF (top ~0.3% of orders) so it broadcasts into
-    // orders, then AQE broadcasts the result into customer.
+    // (bit-identical, one lineitem pass instead of two). The >300 survivor
+    // set is ~0.3% OF ORDERS — small at test SF but SF-PROPORTIONAL, so it
+    // carries NO hard broadcast hint (the engine rule: a hint is only
+    // legal on constant-bounded sides — at SF ~1e5 this set is a
+    // multi-100-MB driver-side build). AQE sees the actual post-agg size
+    // at runtime and broadcasts while small, degrading to a shuffle join
+    // once it is not (plan-gated in OperatorsSpec).
     "q85_big_orders" -> ((s, dir) => {
       val q = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qd"))
         .filter(col("qd") > 300)
-      t(s, dir, "orders").join(broadcast(q), col("o_orderkey") === col("l_orderkey"))
+      t(s, dir, "orders").join(q, col("o_orderkey") === col("l_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
@@ -515,32 +532,37 @@ object Relational {
     // TPC-H Q8 shape: market share — the 7-table star with the nation
     // dimension in TWO roles (customer's nation filters through region;
     // supplier's nation is the share dimension) and a conditional-ratio
-    // aggregate. True dims (part filter, supplier, nation, region-semi)
-    // broadcast; at scale the lineitem⋈orders⋈customer chain shuffles on
-    // its keys (AQE broadcasts them at test SFs). Share = exact-decimal
+    // aggregate. Only the constant-bounded dims (nation, region-semi)
+    // carry hard broadcast hints; the SF-proportional sides (part filter,
+    // supplier) and the lineitem⋈orders⋈customer chain shuffle on their
+    // keys at scale (AQE broadcasts them at test SFs). Share = exact-decimal
     // conditional sum / exact-decimal total, one IEEE divide (both sums'
     // unscaled values sit far below 2^53, so the decimal→double narrowing
     // is exact in both engines).
     "q89_market_share" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
+      // bcast audit: BOUNDED — nation⋈region, ≤25 rows at any SF
       val amer = broadcast(nat
         .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").as("cnk")))
+      // bcast audit: BOUNDED — nation, ≤25 rows at any SF
       val supNat = broadcast(nat
         .select(col("n_nationkey").as("snk"), col("n_name").as("sup_nation")))
       val dvol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(DecimalType(18, 4))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
-          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        // bcast audit: part is SF-proportional — no hard hint, AQE decides
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(amer, col("c_nationkey") === col("cnk"), "left_semi")
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
+        // bcast audit: supplier is SF-proportional — no hard hint
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(supNat, col("s_nationkey") === col("snk"))
         .groupBy(year(col("o_orderdate")).as("yr"))
@@ -586,14 +608,17 @@ object Relational {
     // grouping keys. The oracle keeps the genuinely CORRELATED spelling,
     // so the hash-match proves the decorrelation, not just the arithmetic.
     "q90_min_cost_supplier" -> ((s, dir) => {
-      val eur = broadcast(t(s, dir, "supplier")
+      // bcast audit: supplier and part are SF-proportional (the region /
+      // size+type cuts are fixed ratios, not constant bounds) — no hard
+      // hints; AQE broadcasts both at runtime while they fit
+      val eur = t(s, dir, "supplier")
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
-      val parts = broadcast(t(s, dir, "part")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = t(s, dir, "part")
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
-        .select(col("p_partkey"), col("p_name")))
+        .select(col("p_partkey"), col("p_name"))
       val offers = t(s, dir, "lineitem")
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(eur, col("l_suppkey") === col("s_suppkey"))
@@ -620,10 +645,13 @@ object Relational {
     "q91_volume_shipping" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
         .filter(col("n_name").isin("NATION_1", "NATION_2"))
-      val sup = broadcast(t(s, dir, "supplier")
+      // bcast audit: supplier side SF-proportional — no hard hint; the
+      // nation side of the customer join is BOUNDED (≤25 rows) and keeps
+      // its hint
+      val sup = t(s, dir, "supplier")
         .join(nat.select(col("n_nationkey").as("snk"),
           col("n_name").as("supp_nation")), col("s_nationkey") === col("snk"))
-        .select(col("s_suppkey"), col("supp_nation")))
+        .select(col("s_suppkey"), col("supp_nation"))
       val cust = t(s, dir, "customer")
         .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
           col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
@@ -652,11 +680,13 @@ object Relational {
     // Q9's distinctive non-prefix predicate — it can't prune parquet row
     // groups, but it still broadcasts as a dim filter before the fact scan.
     "q92_product_profit" -> ((s, dir) => {
-      val p = broadcast(t(s, dir, "part")
-        .filter(col("p_name").contains("bolt")).select(col("p_partkey")))
-      val sup = broadcast(t(s, dir, "supplier")
+      // bcast audit: part and supplier are SF-proportional — no hard
+      // hints, AQE decides
+      val p = t(s, dir, "part")
+        .filter(col("p_name").contains("bolt")).select(col("p_partkey"))
+      val sup = t(s, dir, "supplier")
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name")))
+        .select(col("s_suppkey"), col("n_name"))
       t(s, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
@@ -681,6 +711,7 @@ object Relational {
       t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        // bcast audit: BOUNDED — nation, ≤25 rows at any SF
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))
@@ -699,17 +730,19 @@ object Relational {
     // one multiply, mirrored exactly. Value = price·qty is 2-decimal
     // exact.
     "q94_important_stock" -> ((s, dir) => {
-      val sup = broadcast(t(s, dir, "supplier")
+      // bcast audit: supplier side SF-proportional — no hard hint
+      val sup = t(s, dir, "supplier")
         .join(t(s, dir, "nation")
           .filter(col("n_name").isin("NATION_3", "NATION_8")),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey")))
+        .select(col("s_suppkey"))
       val per = t(s, dir, "lineitem")
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum((col("l_extendedprice") * col("l_quantity"))
           .cast(DecimalType(18, 2))).as("value_d"))
       val tot = per.agg(sum(col("value_d")).as("total_d"))
+      // bcast audit: BOUNDED — tot is a 1-row aggregate
       per.crossJoin(broadcast(tot))
         .filter(col("value_d").cast(DoubleType) >
           col("total_d").cast(DoubleType) * 0.0001)
@@ -745,8 +778,9 @@ object Relational {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-03-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_type"))),
+        // bcast audit: part is SF-proportional — no hard hint
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
           (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
@@ -766,11 +800,12 @@ object Relational {
       val excl = t(s, dir, "supplier")
         .filter(col("s_name").like("%77%"))
         .select(col("s_suppkey").as("xk"))
-      val p = broadcast(t(s, dir, "part")
+      // bcast audit: part is SF-proportional — no hard hint, AQE decides
+      val p = t(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#9" &&
           !col("p_type").startsWith("MEDIUM") &&
           col("p_size").isin(1, 9, 19, 29, 39, 49))
-        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
       t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
         .join(p, col("l_partkey") === col("p_partkey"))
         .join(excl, col("l_suppkey") === col("xk"), "left_anti")
@@ -1357,6 +1392,7 @@ object Relational {
     "q56_market_share" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // bcast audit: BOUNDED — nation, ≤25 rows at any SF
       val n = broadcast(t(s, dir, "nation"))
       val perOrder = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))

@@ -263,6 +263,21 @@ class OperatorsSpec extends AnyFunSuite {
     val p91 = q91.queryExecution.executedPlan.toString
     assert(!p91.contains("BroadcastNestedLoop") && !p91.toLowerCase.contains("cartesian"),
       s"q91 degraded to a nested loop:\n$p91")
+    // q85 (Q18): the >300 survivor set is SF-proportional, so it must NOT
+    // carry a hard broadcast hint — AQE broadcasts it at runtime while it
+    // is small (what this gate sees at test SF) and falls back to a
+    // shuffle join once it is not; either way the joins stay equi hash
+    // joins with no nested-loop/cartesian fallback and no driver-side
+    // build forced by a hint
+    val q85 = SparkEntry.queries("q85")(spark, dir)
+    q85.collect()
+    val p85 = q85.queryExecution.executedPlan.toString
+    assert(p85.contains("BroadcastHashJoin") || p85.contains("ShuffledHashJoin") ||
+      p85.contains("SortMergeJoin"), s"q85 lost its hash/merge joins:\n$p85")
+    assert(!p85.contains("BroadcastNestedLoop") && !p85.toLowerCase.contains("cartesian"),
+      s"q85 degraded to a nested loop:\n$p85")
+    assert(!q85.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q85 still carries a join hint")
   }
 
   test("join strategy hints steer the planner: BROADCAST / SHUFFLE_HASH / MERGE each produce their join operator") {
