@@ -107,6 +107,54 @@ object DataTable {
         case b: Array[Byte] => b
         case s => s.toString.getBytes("UTF-8")
       }
+      // Nested types, coerced RECURSIVELY so a Java List<Map<String,Object>>
+      // tree ingests in one call. The reference's ingest was scalar-only
+      // (reference JavaTypeConverter.scala:183-201) — this is a declared
+      // superset, matching its RESULT-side nested handling
+      // (GenerateSafeProjection.scala:44-146). External row format: arrays
+      // as Seq, maps as Map, structs as Row — exactly what
+      // createDataFrame(rows, schema) expects back.
+      case ArrayType(et, _) => v match {
+        case l: java.util.List[_] =>
+          l.asScala.map(e => coerce(e.asInstanceOf[Object], et)).toSeq
+        case a: Array[_] =>
+          a.toSeq.map(e => coerce(e.asInstanceOf[Object], et))
+        case s: Seq[_] =>
+          s.map(e => coerce(e.asInstanceOf[Object], et))
+        case other =>
+          throw new IllegalArgumentException(
+            s"cannot coerce ${other.getClass.getName} to array<$et>")
+      }
+      case MapType(kt, vt, _) => v match {
+        case m: java.util.Map[_, _] =>
+          m.asScala.map { case (k, mv) =>
+            coerce(k.asInstanceOf[Object], kt) ->
+              coerce(mv.asInstanceOf[Object], vt)
+          }.toMap
+        case m: scala.collection.Map[_, _] =>
+          m.map { case (k, mv) =>
+            coerce(k.asInstanceOf[Object], kt) ->
+              coerce(mv.asInstanceOf[Object], vt)
+          }.toMap
+        case other =>
+          throw new IllegalArgumentException(
+            s"cannot coerce ${other.getClass.getName} to map<$kt,$vt>")
+      }
+      case st: StructType => v match {
+        case m: java.util.Map[_, _] =>
+          val mm = m.asInstanceOf[java.util.Map[String, Object]]
+          Row.fromSeq(st.fields.toSeq.map(f =>
+            coerce(if (mm.containsKey(f.name)) mm.get(f.name) else null,
+              f.dataType)))
+        case r: Row =>
+          Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            coerce(if (i < r.length) r.get(i).asInstanceOf[Object] else null,
+              f.dataType)
+          })
+        case other =>
+          throw new IllegalArgumentException(
+            s"cannot coerce ${other.getClass.getName} to $st")
+      }
       case other =>
         throw new IllegalArgumentException(s"unsupported ingest type $other for value $v")
     }

@@ -399,4 +399,87 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), "absent key must be null")
     assert(r2.getString(10) == "strtest")
   }
+
+  test("java map-list ingest coerces NESTED types recursively (array/map/struct)") {
+    // the reference's ingest was scalar-only (JavaTypeConverter.scala:
+    // 183-201); this is the declared superset: a Java List/Map tree lands
+    // as Spark array/map/struct with element-level coercion (strings to
+    // ints, numbers narrowed) applied at every depth
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("xs", ArrayType(IntegerType)),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("st", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("tags", ArrayType(StringType)))))))
+    val row = Map[String, Object](
+      "id" -> "7",
+      "xs" -> Seq[Object]("1", Integer.valueOf(2), java.lang.Long.valueOf(3L)).asJava,
+      "kv" -> Map[String, Object]("x" -> "10", "y" -> Integer.valueOf(20)).asJava,
+      "st" -> Map[String, Object](
+        "a" -> java.lang.Double.valueOf(5.0),
+        "tags" -> Seq[Object]("t1", Integer.valueOf(9)).asJava).asJava).asJava
+    val dt = DataTable.fromJavaMapList(schema, Seq(row).asJava)
+    g.registerTable("nested_ingest", dt)
+    // drive it through a real query so the coerced values survive Catalyst,
+    // not just the DataTable container
+    val got = g.sql(
+      "SELECT id, xs[2] AS x2, kv['y'] AS y, st.a AS sa, st.tags[1] AS t2 " +
+        "FROM nested_ingest").rows
+    assert(got.size == 1)
+    val r = got.head
+    assert(r.getInt(0) == 7 && r.getInt(1) == 3 && r.getLong(2) == 20L)
+    assert(r.getInt(3) == 5 && r.getString(4) == "9")
+    // absent nested key -> null inside the struct
+    val row2 = Map[String, Object]("id" -> "8",
+      "st" -> Map[String, Object]("a" -> "1").asJava).asJava
+    val dt2 = DataTable.fromJavaMapList(schema, Seq(row2).asJava)
+    val st = dt2.rows.head.getStruct(3)
+    assert(st.getInt(0) == 1 && st.isNullAt(1))
+  }
+
+  test("sustained concurrency soak: one cached plan under 8 threads for a bounded duration, plus newSession isolation (reference DirectExecSuite:227-299)") {
+    // the reference's 10-thread x 30 s sustained stress, scaled to the test
+    // budget: duration-bounded (~6 s) rather than iteration-bounded, so the
+    // soak exercises whatever iteration count the box sustains (asserted
+    // >= a floor to prove it actually looped), all on ONE cached plan so
+    // the plan-cache's concurrent reuse is what is being soaked. A sibling
+    // newSession() runs the SAME query text against DIFFERENT data
+    // throughout, proving cached-plan isolation under sustained load.
+    val q = "SELECT t1.age, count(*) AS n FROM people t1 JOIN people2 t2 ON t1.name = t2.name GROUP BY t1.age"
+    val expected = g.spark.sql(q).collect().map(_.toString).sorted.mkString("|")
+    val iso = g.newSession()
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("age", IntegerType), StructField("genda", IntegerType)))
+    iso.registerTable("people", DataTable(schema, Seq(Row("z", 99, 0))))
+    iso.registerTable("people2", DataTable(schema, Seq(Row("z", 1, 1))))
+    val isoExpected = iso.spark.sql(q).collect().map(_.toString).sorted.mkString("|")
+    assert(isoExpected != expected, "isolation fixture must differ")
+    val deadline = System.nanoTime() + 6L * 1000 * 1000 * 1000
+    val iters = new java.util.concurrent.atomic.AtomicLong
+    val bad = new java.util.concurrent.atomic.AtomicLong
+    val pool = Executors.newFixedThreadPool(9)
+    val tasks = (1 to 8).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          while (System.nanoTime() < deadline) {
+            if (g.sql(q).rows.map(_.toString).sorted.mkString("|") != expected)
+              bad.incrementAndGet()
+            iters.incrementAndGet()
+          }
+      })
+    } :+ pool.submit(new Runnable {
+      override def run(): Unit =
+        while (System.nanoTime() < deadline) {
+          if (iso.sql(q).rows.map(_.toString).sorted.mkString("|") != isoExpected)
+            bad.incrementAndGet()
+          iters.incrementAndGet()
+        }
+    })
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(bad.get() == 0, s"${bad.get()} soak iterations diverged")
+    assert(iters.get() >= 50,
+      s"soak only completed ${iters.get()} iterations — did it run?")
+  }
 }
