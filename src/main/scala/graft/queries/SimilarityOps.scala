@@ -1454,6 +1454,130 @@ object SimilarityOps {
     })
   )
 
+  /** Shared IVF-oracle prelude (s60/s68/s70): Spark's murmur3 long hash in
+    * 32-bit wrapping UBIGINT arithmetic picks the 16 seeds (smallest
+    * pmod(hash(vec_id), 2^30), vec_id tiebreak), three unrolled Lloyd
+    * iterations (assign = argmax cosine with the score-DESC/cell-ASC tie
+    * rule; update = fixed-point decimal-exact per-dim mean cast to FLOAT),
+    * the final corpus cell assignment (`ccells`), and each query's top-8
+    * probe cells (`probes`). Validated bit-equal against trainCentroids'
+    * output at both SFs. */
+  private val ivfOraclePrefix: String =
+    """WITH mm0 AS (SELECT vec_id,
+      |   CAST(vec_id AS UBIGINT) & 4294967295::UBIGINT AS lo,
+      |   (CAST(vec_id AS UBIGINT) >> 32) & 4294967295::UBIGINT AS hi
+      | FROM embeddings WHERE vec_id >= 10),
+      |mk1 AS (SELECT vec_id, hi, ((lo * 3432918353::UBIGINT) & 4294967295::UBIGINT) AS k FROM mm0),
+      |mk2 AS (SELECT vec_id, hi, (((k << 15) | (k >> 17)) & 4294967295::UBIGINT) AS k FROM mk1),
+      |mk3 AS (SELECT vec_id, hi, ((k * 461845907::UBIGINT) & 4294967295::UBIGINT) AS k FROM mk2),
+      |mh1 AS (SELECT vec_id, hi, xor(42::UBIGINT, k) AS h FROM mk3),
+      |mh2 AS (SELECT vec_id, hi, (((h << 13) | (h >> 19)) & 4294967295::UBIGINT) AS h FROM mh1),
+      |mh3 AS (SELECT vec_id, hi, ((h * 5 + 3864292196::UBIGINT) & 4294967295::UBIGINT) AS h FROM mh2),
+      |nk1 AS (SELECT vec_id, h, ((hi * 3432918353::UBIGINT) & 4294967295::UBIGINT) AS k FROM mh3),
+      |nk2 AS (SELECT vec_id, h, (((k << 15) | (k >> 17)) & 4294967295::UBIGINT) AS k FROM nk1),
+      |nk3 AS (SELECT vec_id, h, ((k * 461845907::UBIGINT) & 4294967295::UBIGINT) AS k FROM nk2),
+      |nh1 AS (SELECT vec_id, xor(h, k) AS h FROM nk3),
+      |nh2 AS (SELECT vec_id, (((h << 13) | (h >> 19)) & 4294967295::UBIGINT) AS h FROM nh1),
+      |nh3 AS (SELECT vec_id, ((h * 5 + 3864292196::UBIGINT) & 4294967295::UBIGINT) AS h FROM nh2),
+      |f1 AS (SELECT vec_id, xor(h, 8::UBIGINT) AS h FROM nh3),
+      |f2 AS (SELECT vec_id, xor(h, h >> 16) AS h FROM f1),
+      |f3 AS (SELECT vec_id, ((h * 2246822507::UBIGINT) & 4294967295::UBIGINT) AS h FROM f2),
+      |f4 AS (SELECT vec_id, xor(h, h >> 13) AS h FROM f3),
+      |f5 AS (SELECT vec_id, ((h * 3266489909::UBIGINT) & 4294967295::UBIGINT) AS h FROM f4),
+      |f6 AS (SELECT vec_id, xor(h, h >> 16) AS h FROM f5),
+      |hs AS (SELECT vec_id,
+      |   CASE WHEN h >= 2147483648::UBIGINT THEN CAST(h AS BIGINT) - 4294967296
+      |        ELSE CAST(h AS BIGINT) END AS sh FROM f6),
+      |pm AS (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+      |seeds AS (
+      | SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS INTEGER) AS cell,
+      |        e.embedding AS cv
+      | FROM (SELECT vec_id FROM pm ORDER BY pm, vec_id LIMIT 16) s
+      | JOIN embeddings e ON e.vec_id = s.vec_id),
+      |a1 AS (SELECT vec_id, embedding, cell FROM (
+      | SELECT e.vec_id, e.embedding, c.cell,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+      | FROM corpus e, seeds c) WHERE rk = 1),
+      |it1 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
+      | SELECT cell, dim,
+      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / (1e9 * count(*)) AS m
+      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
+      |              unnest(embedding) AS v FROM a1)
+      | GROUP BY cell, dim) GROUP BY cell),
+      |a2 AS (SELECT vec_id, embedding, cell FROM (
+      | SELECT e.vec_id, e.embedding, c.cell,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+      | FROM corpus e, it1 c) WHERE rk = 1),
+      |it2 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
+      | SELECT cell, dim,
+      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / (1e9 * count(*)) AS m
+      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
+      |              unnest(embedding) AS v FROM a2)
+      | GROUP BY cell, dim) GROUP BY cell),
+      |a3 AS (SELECT vec_id, embedding, cell FROM (
+      | SELECT e.vec_id, e.embedding, c.cell,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+      | FROM corpus e, it2 c) WHERE rk = 1),
+      |it3 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
+      | SELECT cell, dim,
+      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / (1e9 * count(*)) AS m
+      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
+      |              unnest(embedding) AS v FROM a3)
+      | GROUP BY cell, dim) GROUP BY cell),
+      |ccells AS (SELECT vec_id, embedding, cell FROM (
+      | SELECT e.vec_id, e.embedding, c.cell,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+      | FROM corpus e, it3 c) WHERE rk = 1),
+      |probes AS (
+      | SELECT qid, cell FROM (
+      |  SELECT q.vec_id AS qid, c.cell,
+      |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+      |  FROM embeddings q, it3 c WHERE q.vec_id < 10) WHERE rk <= 8)""".stripMargin
+
+  /** Shared q8 asymmetric-sim CTE (s68/s70): the (lo,hi) grid, closed-form
+    * encode+midpoint-dequant, and the graft_cosine_q8 accumulation per
+    * (query, probed candidate). */
+  private val q8SimSql: String =
+    """stats AS (
+      | SELECT dim, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
+      | FROM (SELECT generate_subscripts(embedding,1) AS dim,
+      |              unnest(embedding) AS v
+      |       FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL)
+      | GROUP BY dim),
+      |q8sim AS (
+      | SELECT qid, nid, sum(x*vq) / (sqrt(sum(x*x)) * sqrt(sum(vq*vq))) AS sim
+      | FROM (
+      |  SELECT probes.qid, cc.vec_id AS nid, s.dim,
+      |   CAST(qe.v AS DOUBLE) AS x,
+      |   CASE WHEN s.hi = s.lo THEN s.lo
+      |        ELSE s.lo + (LEAST(255, GREATEST(0,
+      |          CAST(floor((CAST(ce.v AS DOUBLE) - s.lo) / (s.hi - s.lo) * 256.0) AS BIGINT)))
+      |          + 0.5) * (s.hi - s.lo) / 256.0 END AS vq
+      |  FROM probes
+      |  JOIN ccells cc USING (cell)
+      |  JOIN (SELECT vec_id, generate_subscripts(embedding,1) AS dim,
+      |               unnest(embedding) AS v FROM embeddings) ce
+      |    ON ce.vec_id = cc.vec_id
+      |  JOIN (SELECT vec_id, generate_subscripts(embedding,1) AS dim,
+      |               unnest(embedding) AS v FROM embeddings) qe
+      |    ON qe.vec_id = probes.qid AND qe.dim = ce.dim
+      |  JOIN stats s ON s.dim = ce.dim)
+      | GROUP BY qid, nid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // per-element floor(x·1000) in DOUBLE then BIGINT squares/sums — the
     // t60 quantize-to-exact-integers discipline, so no float accumulation
@@ -1693,6 +1817,135 @@ object SimilarityOps {
         | CAST((CAST(sum(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS HUGEINT)
         |   * 1000000000) // count(*) AS BIGINT) AS dup_rate_q
         |FROM f WHERE NOT isnan(sim)""".stripMargin,
+
+    // s57's EXACT algorithm mirror (the d53 discipline applied to LSH): the
+    // hyperplane sign matrix is re-derived in SQL — fmix64 emulated with
+    // UBIGINT xor/shift + UHUGEINT multiply mod 2^64 (validated bit-equal),
+    // signs from bit0, per-(table,bit) dots over DOUBLE-cast floats (±1
+    // multiply is exact; the sign of a ~O(1) dot cannot flip on sub-ulp
+    // accumulation-order differences), bucket = the sign bits — then the
+    // same candidate rule (distinct same-(table,bucket) pairs) and exact
+    // cosine rerank. The approximation is the ALGORITHM's, not the
+    // engine's, so a full hash-match oracle applies.
+    "s57_ann_lsh" ->
+      """WITH dims AS (SELECT unnest(range(0,
+        |   (SELECT max(len(embedding)) FROM embeddings))) AS i),
+        |tj AS (SELECT r1.range AS t, r2.range AS j
+        |       FROM range(0,16) r1, range(0,4) r2),
+        |hx AS (SELECT t, j, i,
+        |   CAST(t*1000003 + j*131 + i AS UBIGINT) AS x FROM tj, dims),
+        |h1 AS (SELECT t, j, i, xor(x, x>>33) AS a FROM hx),
+        |h2 AS (SELECT t, j, i, CAST((CAST(a AS UHUGEINT)*18397679294719823053)
+        |   %18446744073709551616 AS UBIGINT) AS b FROM h1),
+        |h3 AS (SELECT t, j, i, xor(b,b>>33) AS c FROM h2),
+        |h4 AS (SELECT t, j, i, CAST((CAST(c AS UHUGEINT)*14181476777654086739)
+        |   %18446744073709551616 AS UBIGINT) AS d FROM h3),
+        |hp AS (SELECT t, j, i,
+        |   CASE WHEN xor(d,d>>33) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |   FROM h4),
+        |ve AS (SELECT vec_id, generate_subscripts(embedding,1)-1 AS i,
+        |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (SELECT vec_id, t, j, sum(v*sgn) AS dot
+        |   FROM ve JOIN hp USING (i) GROUP BY 1,2,3),
+        |sig AS (SELECT vec_id, t,
+        |   CAST(sum(CASE WHEN dot > 0 THEN 1<<j ELSE 0 END) AS INTEGER)
+        |     AS bucket
+        |   FROM dots GROUP BY 1,2),
+        |cand AS (
+        | SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS nid
+        | FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+        | WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+        |rer AS (
+        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
+        | FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+        |   JOIN embeddings b ON b.vec_id = cand.nid)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // s60's EXACT algorithm mirror — the whole IVF pipeline re-derived in
+    // SQL: Spark's murmur3 long hash (32-bit wrapping arithmetic over
+    // UBIGINT, validated bit-equal) picks the 16 seed vectors; THREE Lloyd
+    // iterations run unrolled (assign = argmax list_cosine_similarity with
+    // the score-DESC/cell-ASC tie rule of graft_topk_pairs; update = the
+    // s59 fixed-point decimal-exact mean, cast to FLOAT exactly like the
+    // engine); then corpus cell assignment, per-query top-8 probe cells,
+    // and the exact in-cell rerank. Every float op is the bit-compatible
+    // list_cosine_similarity; every mean is integer-quantized — so the
+    // k-means trajectory, the cells, and the final top-5 all hash-match.
+    // The approximation is the ALGORITHM's (nprobe/16 of the corpus
+    // scanned), not the engine's. The training/probe prefix is shared
+    // verbatim with the s68/s70 oracles (ivfOraclePrefix below).
+    "s60_ann_ivf" -> (ivfOraclePrefix +
+      """,
+        |rer AS (
+        | SELECT qid, cc.vec_id AS nid, row_number() OVER (PARTITION BY qid
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                          CAST(cc.embedding AS DOUBLE[])) DESC, cc.vec_id) AS rnk
+        | FROM probes JOIN ccells cc USING (cell)
+        | JOIN embeddings q ON q.vec_id = probes.qid)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s68's EXACT mirror: the s60 training/probe prefix + the int8 path in
+    // closed form — per-dim corpus (lo,hi) grid, code = clamp(floor((v−lo)/
+    // (hi−lo)·256)), midpoint dequant v̂ = lo + (code+0.5)(hi−lo)/256, and
+    // the asymmetric cosine accumulated per (query, candidate) exactly as
+    // graft_cosine_q8 computes it. Quantization is deterministic closed-form
+    // arithmetic, so the full hash-match oracle applies to the QUANTIZED
+    // ranking itself.
+    "s68_ann_ivf_q8" -> (ivfOraclePrefix + "," + q8SimSql +
+      """,
+        |rer AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |  FROM q8sim)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s70's EXACT mirror: stage-1 shortlist (top-25 by the same q8 sims,
+    // ties on smaller nid = graft_topk_pairs' rule), stage-2 exact
+    // full-float rerank of just the shortlist
+    "s70_ann_two_stage" -> (ivfOraclePrefix + "," + q8SimSql +
+      """,
+        |short AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS srnk
+        |  FROM q8sim) WHERE srnk <= 25),
+        |rer AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
+        |  FROM short JOIN embeddings q ON q.vec_id = short.qid
+        |  JOIN embeddings b ON b.vec_id = short.nid)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s71's EXACT mirror: the truncated-dim shortlist (first 32 dims,
+    // top-100 per query, ties on smaller nid — identical to
+    // graft_topk_pairs) then the exact full-dim rerank; every float op is
+    // bit-compatible list_cosine_similarity, so the full hash-match oracle
+    // applies here too
+    "s71_ann_truncated" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+        |   list_slice(embedding,1,32) AS qt
+        | FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS cv,
+        |   list_slice(embedding,1,32) AS ct
+        | FROM embeddings WHERE vec_id >= 10),
+        |short AS (
+        | SELECT qid, qv, nid, cv,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |   list_cosine_similarity(CAST(qt AS DOUBLE[]),
+        |     CAST(ct AS DOUBLE[])) DESC, nid) AS srnk
+        | FROM q, c),
+        |rer AS (
+        | SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |   list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |     CAST(cv AS DOUBLE[])) DESC, nid) AS rnk
+        | FROM short WHERE srnk <= 100)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // s61's oracle restricted to the 50 hash-ranked query vectors — exact
     // top-3 per sampled query over the WHOLE corpus
