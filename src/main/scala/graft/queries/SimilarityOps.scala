@@ -1462,7 +1462,11 @@ object SimilarityOps {
     * the final corpus cell assignment (`ccells`), and each query's top-8
     * probe cells (`probes`). Validated bit-equal against trainCentroids'
     * output at both SFs. */
-  private val ivfOraclePrefix: String =
+  /** Spark murmur3-long-hash mirror (mm0..pm): pm = pmod(hash(vec_id),
+    * 2^30) for every corpus vector, in 32-bit wrapping UBIGINT arithmetic.
+    * Shared seed-selection prelude of the IVF (s60/s68/s70) and PQ (s69)
+    * oracles. */
+  private val murmurPmSql: String =
     """WITH mm0 AS (SELECT vec_id,
       |   CAST(vec_id AS UBIGINT) & 4294967295::UBIGINT AS lo,
       |   (CAST(vec_id AS UBIGINT) >> 32) & 4294967295::UBIGINT AS hi
@@ -1488,7 +1492,10 @@ object SimilarityOps {
       |hs AS (SELECT vec_id,
       |   CASE WHEN h >= 2147483648::UBIGINT THEN CAST(h AS BIGINT) - 4294967296
       |        ELSE CAST(h AS BIGINT) END AS sh FROM f6),
-      |pm AS (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs),
+      |pm AS (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs)""".stripMargin
+
+  private val ivfOraclePrefix: String = murmurPmSql +
+    """,
       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
       |seeds AS (
       | SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS INTEGER) AS cell,
@@ -1547,6 +1554,37 @@ object SimilarityOps {
       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                           CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
       |  FROM embeddings q, it3 c WHERE q.vec_id < 10) WHERE rk <= 8)""".stripMargin
+
+  /** One PQ assignment round in SQL: per (vector, subspace), the argmin-L2
+    * centroid of `cent` (ties on smaller cid — graft_topk_pairs(-d2) order);
+    * d2 via an in-list-order double fold exactly like the engine's
+    * zip_with/aggregate expression. */
+  private def pqAssignSql(cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, sub, sv, cid FROM (
+       |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        list_sum(list_transform(range(1, 1 + len(s.sv)),
+       |          j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+       |             * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) ASC,
+       |        c.cid) AS rk
+       |    FROM subv s JOIN $cent c USING (sub)) WHERE rk = 1)""".stripMargin
+
+  /** One PQ update round in SQL: per (sub, cid, dim) fixed-point decimal-
+    * exact mean; empty clusters keep their previous centroid (the engine's
+    * left-join + coalesce rule). */
+  private def pqUpdateSql(asg: String, prev: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT sub, cid, list(mu ORDER BY dim) AS ncv FROM (
+       |    SELECT sub, cid, dim,
+       |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+       |        / (1e9 * count(*)) AS mu
+       |    FROM (SELECT sub, cid, generate_subscripts(sv,1) AS dim,
+       |                 unnest(sv) AS x FROM $asg)
+       |    GROUP BY sub, cid, dim) GROUP BY sub, cid),
+       |$out AS (
+       |  SELECT p.sub, p.cid, coalesce(m.ncv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${out}_m m ON m.sub = p.sub AND m.cid = p.cid)""".stripMargin
 
   /** Shared q8 asymmetric-sim CTE (s68/s70): the (lo,hi) grid, closed-form
     * encode+midpoint-dequant, and the graft_cosine_q8 accumulation per
@@ -1900,6 +1938,75 @@ object SimilarityOps {
         |rer AS (SELECT qid, nid,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
         |  FROM q8sim)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s69's EXACT mirror — product quantization re-derived end-to-end: the
+    // murmur-ranked per-subspace init (top-64 hash-ranked subvectors),
+    // three Lloyd rounds per subspace (argmin-L2 with the engine's tie
+    // rule; fixed-point means; empty cells keep their centroid), corpus
+    // encode = final argmin per (vector, subspace), the asymmetric PQ
+    // cosine per (query, candidate) from the selected centroids, top-50
+    // shortlist, exact float rerank. The psim fold groups per-sub partial
+    // sums where the kernel interleaves dims — a different but
+    // deterministic double-accumulation order; equality holds because
+    // shortlist-boundary psims differ by far more than accumulated ulps
+    // (validated at both SFs), and the exact rerank decides the final
+    // top-5 either way.
+    "s69_ann_pq" -> (murmurPmSql +
+      """,
+        |subv AS (
+        |  SELECT vec_id, r.range AS sub,
+        |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS sv
+        |  FROM embeddings, range(0,8) r
+        |  WHERE vec_id >= 10 AND embedding IS NOT NULL),
+        |init AS (
+        |  SELECT sub, CAST(rn - 1 AS INTEGER) AS cid,
+        |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv FROM (
+        |    SELECT sub, sv, row_number() OVER (PARTITION BY sub
+        |      ORDER BY pm.pm, s.vec_id) AS rn
+        |    FROM subv s JOIN pm ON pm.vec_id = s.vec_id) WHERE rn <= 64),
+        |""".stripMargin +
+      pqAssignSql("init", "a1") + ",\n" + pqUpdateSql("a1", "init", "c1") + ",\n" +
+      pqAssignSql("c1", "a2") + ",\n" + pqUpdateSql("a2", "c1", "c2") + ",\n" +
+      pqAssignSql("c2", "a3") + ",\n" + pqUpdateSql("a3", "c2", "c3") +
+      """,
+        |codes AS (
+        |  SELECT vec_id AS nid, sub, cid FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |        list_sum(list_transform(range(1, 1 + len(s.sv)),
+        |          j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+        |             * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) ASC,
+        |        c.cid) AS rk
+        |    FROM subv s JOIN c3 c USING (sub)) WHERE rk = 1),
+        |qsub AS (
+        |  SELECT vec_id AS qid, r.range AS sub,
+        |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS qs
+        |  FROM embeddings, range(0,8) r WHERE vec_id < 10),
+        |psim AS (
+        |  SELECT qid, nid,
+        |    sum(dot_p) / (sqrt(sum(nq_p)) * sqrt(sum(nc_p))) AS psim
+        |  FROM (
+        |    SELECT q.qid, codes.nid, q.sub,
+        |      list_sum(list_transform(range(1, 1 + len(q.qs)),
+        |        j -> CAST(q.qs[j] AS DOUBLE) * c.cv[j])) AS dot_p,
+        |      list_sum(list_transform(q.qs,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq_p,
+        |      list_sum(list_transform(c.cv, v -> v * v)) AS nc_p
+        |    FROM qsub q
+        |    JOIN codes ON codes.sub = q.sub
+        |    JOIN c3 c ON c.sub = codes.sub AND c.cid = codes.cid)
+        |  GROUP BY qid, nid),
+        |short AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY psim DESC, nid) AS prnk
+        |  FROM psim) WHERE prnk <= 50),
+        |rer AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
+        |  FROM short JOIN embeddings q ON q.vec_id = short.qid
+        |  JOIN embeddings b ON b.vec_id = short.nid)
         |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
 
