@@ -1494,53 +1494,48 @@ object SimilarityOps {
       |        ELSE CAST(h AS BIGINT) END AS sh FROM f6),
       |pm AS (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs)""".stripMargin
 
-  private val ivfOraclePrefix: String = murmurPmSql +
+  /** One spherical-k-means assignment round in SQL: each corpus vector's
+    * argmax-cosine cell under centroid CTE `cent` (ties on smaller cell —
+    * graft_topk_pairs' rule). */
+  private def ivfAssignSql(cent: String, out: String): String =
+    s"""$out AS (SELECT vec_id, embedding, cell FROM (
+       | SELECT e.vec_id, e.embedding, c.cell,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+       | FROM corpus e, $cent c) WHERE rk = 1)""".stripMargin
+
+  /** One centroid-update round in SQL: per-(cell, dim) fixed-point
+    * decimal-exact mean, cast to FLOAT exactly like trainCentroids. */
+  private def ivfUpdateSql(asg: String, out: String): String =
+    s"""$out AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
+       | SELECT cell, dim,
+       |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+       |    / (1e9 * count(*)) AS m
+       | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
+       |              unnest(embedding) AS v FROM $asg)
+       | GROUP BY cell, dim) GROUP BY cell)""".stripMargin
+
+  /** The trainCentroids mirror at arbitrary (c, iters): murmur/pm prelude,
+    * hash-ranked seeds, `iters` unrolled Lloyd rounds. Final centroids land
+    * in CTE `it$iters`. */
+  private def ivfTrainSql(c: Int, iters: Int): String =
+    murmurPmSql +
+      s""",
+         |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |seeds AS (
+         | SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS INTEGER) AS cell,
+         |        e.embedding AS cv
+         | FROM (SELECT vec_id FROM pm ORDER BY pm, vec_id LIMIT $c) s
+         | JOIN embeddings e ON e.vec_id = s.vec_id),
+         |""".stripMargin +
+      (1 to iters).map { i =>
+        ivfAssignSql(if (i == 1) "seeds" else s"it${i - 1}", s"a$i") + ",\n" +
+          ivfUpdateSql(s"a$i", s"it$i")
+      }.mkString(",\n")
+
+  private val ivfOraclePrefix: String = ivfTrainSql(16, 3) +
     """,
-      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
-      |seeds AS (
-      | SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS INTEGER) AS cell,
-      |        e.embedding AS cv
-      | FROM (SELECT vec_id FROM pm ORDER BY pm, vec_id LIMIT 16) s
-      | JOIN embeddings e ON e.vec_id = s.vec_id),
-      |a1 AS (SELECT vec_id, embedding, cell FROM (
-      | SELECT e.vec_id, e.embedding, c.cell,
-      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
-      | FROM corpus e, seeds c) WHERE rk = 1),
-      |it1 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
-      | SELECT cell, dim,
-      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
-      |    / (1e9 * count(*)) AS m
-      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
-      |              unnest(embedding) AS v FROM a1)
-      | GROUP BY cell, dim) GROUP BY cell),
-      |a2 AS (SELECT vec_id, embedding, cell FROM (
-      | SELECT e.vec_id, e.embedding, c.cell,
-      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
-      | FROM corpus e, it1 c) WHERE rk = 1),
-      |it2 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
-      | SELECT cell, dim,
-      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
-      |    / (1e9 * count(*)) AS m
-      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
-      |              unnest(embedding) AS v FROM a2)
-      | GROUP BY cell, dim) GROUP BY cell),
-      |a3 AS (SELECT vec_id, embedding, cell FROM (
-      | SELECT e.vec_id, e.embedding, c.cell,
-      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-      |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
-      | FROM corpus e, it2 c) WHERE rk = 1),
-      |it3 AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
-      | SELECT cell, dim,
-      |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
-      |    / (1e9 * count(*)) AS m
-      | FROM (SELECT cell, generate_subscripts(embedding,1) AS dim,
-      |              unnest(embedding) AS v FROM a3)
-      | GROUP BY cell, dim) GROUP BY cell),
       |ccells AS (SELECT vec_id, embedding, cell FROM (
       | SELECT e.vec_id, e.embedding, c.cell,
       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1940,6 +1935,33 @@ object SimilarityOps {
         |  FROM q8sim)
         |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s72's EXACT mirror: the same trainCentroids machinery at the
+    // cluster-report operating point (c=10, 5 Lloyd rounds), final cell
+    // assignment joined back to labels, majority label per cell with the
+    // engine's tie rule (largest n, then smaller label id), purity = one
+    // IEEE divide — so the whole k-means clustering REPORT hash-matches
+    "s72_cluster_report" -> (ivfTrainSql(10, 5) +
+      """,
+        |fin AS (SELECT vec_id, embedding, cell FROM (
+        | SELECT e.vec_id, e.embedding, c.cell,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
+        | FROM corpus e, it5 c) WHERE rk = 1),
+        |bycell AS (
+        | SELECT f.cell, e.label, count(*) AS n
+        | FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id
+        | GROUP BY 1, 2),
+        |rep AS (
+        | SELECT cell, CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs,
+        |        label, CAST(n AS BIGINT) AS n,
+        |        row_number() OVER (PARTITION BY cell
+        |          ORDER BY n DESC, label ASC) AS rk
+        | FROM bycell)
+        |SELECT cell, n_vecs, label AS top_label, n AS n_top,
+        | CAST(n AS DOUBLE) / n_vecs AS purity
+        |FROM rep WHERE rk = 1 ORDER BY cell""".stripMargin),
 
     // s69's EXACT mirror — product quantization re-derived end-to-end: the
     // murmur-ranked per-subspace init (top-64 hash-ranked subvectors),
