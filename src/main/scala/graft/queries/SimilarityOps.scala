@@ -1581,6 +1581,29 @@ object SimilarityOps {
        |  SELECT p.sub, p.cid, coalesce(m.ncv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN ${out}_m m ON m.sub = p.sub AND m.cid = p.cid)""".stripMargin
 
+  /** One MMR greedy round in SQL (round k ≥ 2): among candidates not yet
+    * picked, argmax of λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) with the
+    * engine's tie rule (smaller nid); NaN candidate-candidate sims are
+    * excluded from the max (0 when none survive), exactly like the
+    * mapGroups loop. */
+  private def mmrRoundSql(k: Int): String = {
+    val picked = (1 until k).map(i => s"SELECT qid, nid FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""p$k AS (
+       | SELECT qid, nid FROM (
+       |  SELECT c.qid, c.nid,
+       |   row_number() OVER (PARTITION BY c.qid ORDER BY
+       |     0.5*c.simq - 0.5*coalesce(ms.m, 0.0) DESC, c.nid ASC) AS rk
+       |  FROM cands c
+       |  LEFT JOIN (SELECT cs.qid, cs.i AS nid,
+       |               max(CASE WHEN isnan(cs.s) THEN NULL ELSE cs.s END) AS m
+       |             FROM csims cs JOIN ($picked) p
+       |               ON p.qid = cs.qid AND p.nid = cs.j
+       |             GROUP BY 1,2) ms ON ms.qid = c.qid AND ms.nid = c.nid
+       |  LEFT JOIN ($picked) ex ON ex.qid = c.qid AND ex.nid = c.nid
+       |  WHERE ex.nid IS NULL) WHERE rk = 1)""".stripMargin
+  }
+
   /** Shared q8 asymmetric-sim CTE (s68/s70): the (lo,hi) grid, closed-form
     * encode+midpoint-dequant, and the graft_cosine_q8 accumulation per
     * (query, probed candidate). */
@@ -1935,6 +1958,137 @@ object SimilarityOps {
         |  FROM q8sim)
         |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s73's EXACT mirror — the MMR greedy unrolled to its 5 rounds: top-20
+    // exact-cosine shortlist (NaN-filtered, graft_topk_pairs tie rule),
+    // candidate-candidate cosines, then each round's argmax of
+    // 0.5·sim(q,d) − 0.5·max_{picked} sim(d,s) with smaller-nid ties and
+    // NaN diversity terms excluded from the max — term-for-term the
+    // mapGroups loop's arithmetic (both halvings exact, the max
+    // order-free), so the greedy trajectory hash-matches
+    "s73_mmr_rerank" ->
+      ("""WITH sims AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |cands AS (
+        |  SELECT qid, nid, sim AS simq FROM (
+        |    SELECT qid, nid, sim,
+        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |    FROM sims WHERE NOT isnan(sim)) WHERE rk <= 20),
+        |csims AS (
+        |  SELECT a.qid, a.nid AS i, b.nid AS j,
+        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                           CAST(eb.embedding AS DOUBLE[])) AS s
+        |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid != b.nid
+        |  JOIN embeddings ea ON ea.vec_id = a.nid
+        |  JOIN embeddings eb ON eb.vec_id = b.nid),
+        |p1 AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+        |    0.5*simq DESC, nid ASC) AS rk FROM cands) WHERE rk = 1),
+        |""".stripMargin +
+        (2 to 5).map(mmrRoundSql).mkString(",\n") +
+        """
+          |SELECT qid, nid, rnk FROM (
+          |  SELECT qid, nid, 1 AS rnk FROM p1
+          |  UNION ALL SELECT qid, nid, 2 FROM p2
+          |  UNION ALL SELECT qid, nid, 3 FROM p3
+          |  UNION ALL SELECT qid, nid, 4 FROM p4
+          |  UNION ALL SELECT qid, nid, 5 FROM p5)
+          |ORDER BY qid, rnk""".stripMargin),
+
+    // s74's EXACT mirror — distributed PCA re-derived: the 1e6-quantized
+    // per-dim means, the EXACT-INTEGER centered gram (order-free long
+    // sums, the property that makes this mirrorable at all), then BOTH
+    // 300-step power iterations as recursive CTEs over a 1-row list state
+    // (matvec folds and norms in index order — bit-matched against the
+    // driver loop), sign canonicalization, Hotelling deflation, and the
+    // trace fractions. AS MATERIALIZED on the gram/eigen CTEs is load-
+    // bearing: DuckDB inlines CTEs by default, which would re-run the
+    // corpus gram inside every one of the 300 recursive steps.
+    "s74_pca_top2" ->
+      """WITH RECURSIVE
+        |ve AS (SELECT vec_id, generate_subscripts(embedding,1) AS i,
+        |        CAST(unnest(embedding) AS DOUBLE) AS v
+        |       FROM embeddings WHERE embedding IS NOT NULL),
+        |cnt AS (SELECT count(DISTINCT vec_id) AS n FROM ve),
+        |mu AS MATERIALIZED (SELECT i,
+        |   (CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+        |     / (SELECT n FROM cnt) AS m
+        | FROM ve GROUP BY i),
+        |cen AS (SELECT ve.vec_id, ve.i, ve.v - mu.m AS c
+        |        FROM ve JOIN mu USING (i)),
+        |gramq AS (SELECT a.i, b.i AS j,
+        |    CAST(sum(CAST(floor((a.c * b.c) * 1e6) AS BIGINT)) AS DOUBLE)
+        |      / 1e6 AS g
+        |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+        |  GROUP BY a.i, b.i),
+        |gmat AS MATERIALIZED (SELECT list(grow ORDER BY i) AS g FROM
+        |  (SELECT i, list(g ORDER BY j) AS grow FROM gramq GROUP BY i)),
+        |pow1 AS (
+        |  SELECT 0 AS step,
+        |    list_transform(range(1,65), x -> CAST(0.125 AS DOUBLE)) AS ev,
+        |    CAST(0.0 AS DOUBLE) AS lam
+        |  UNION ALL
+        |  SELECT t.step + 1, list_transform(t.w, x -> x / t.nrm), t.nrm
+        |  FROM (
+        |    SELECT step, w, sqrt(list_sum(list_transform(w, x -> x*x))) AS nrm
+        |    FROM (
+        |      SELECT p.step, list_transform(range(1,65),
+        |        i -> list_sum(list_transform(range(1,65),
+        |          j -> g[i][j] * ev[j]))) AS w
+        |      FROM pow1 p, gmat WHERE p.step < 300) u) t),
+        |e1raw AS MATERIALIZED (SELECT ev, lam FROM pow1 WHERE step = 300),
+        |k01 AS (SELECT min(i) AS k FROM
+        |  (SELECT generate_subscripts(ev,1) AS i, unnest(ev) AS x FROM e1raw)
+        |  WHERE abs(x) > 1e-12),
+        |e1 AS MATERIALIZED (SELECT
+        |   CASE WHEN (SELECT k FROM k01) IS NOT NULL
+        |         AND ev[(SELECT k FROM k01)] < 0
+        |        THEN list_transform(ev, x -> -x) ELSE ev END AS v1,
+        |   lam AS l1
+        | FROM e1raw),
+        |g2mat AS MATERIALIZED (SELECT list_transform(range(1,65), i ->
+        |    list_transform(range(1,65), j ->
+        |      gmat.g[i][j] - (e1.l1 * e1.v1[i]) * e1.v1[j])) AS g
+        |  FROM gmat, e1),
+        |pow2 AS (
+        |  SELECT 0 AS step,
+        |    list_transform(range(1,65), x -> CAST(0.125 AS DOUBLE)) AS ev,
+        |    CAST(0.0 AS DOUBLE) AS lam
+        |  UNION ALL
+        |  SELECT t.step + 1, list_transform(t.w, x -> x / t.nrm), t.nrm
+        |  FROM (
+        |    SELECT step, w, sqrt(list_sum(list_transform(w, x -> x*x))) AS nrm
+        |    FROM (
+        |      SELECT p.step, list_transform(range(1,65),
+        |        i -> list_sum(list_transform(range(1,65),
+        |          j -> g[i][j] * ev[j]))) AS w
+        |      FROM pow2 p, g2mat WHERE p.step < 300) u) t),
+        |e2raw AS MATERIALIZED (SELECT ev, lam FROM pow2 WHERE step = 300),
+        |k02 AS (SELECT min(i) AS k FROM
+        |  (SELECT generate_subscripts(ev,1) AS i, unnest(ev) AS x FROM e2raw)
+        |  WHERE abs(x) > 1e-12),
+        |e2 AS MATERIALIZED (SELECT
+        |   CASE WHEN (SELECT k FROM k02) IS NOT NULL
+        |         AND ev[(SELECT k FROM k02)] < 0
+        |        THEN list_transform(ev, x -> -x) ELSE ev END AS v2,
+        |   lam AS l2
+        | FROM e2raw),
+        |tr AS MATERIALIZED (SELECT
+        |   list_sum(list_transform(range(1,65), i -> gmat.g[i][i])) AS trace
+        | FROM gmat)
+        |SELECT CAST(d.range AS INTEGER) AS dim,
+        |  mu.m AS mean, e1.v1[d.range + 1] AS v1, e2.v2[d.range + 1] AS v2,
+        |  e1.l1 AS eigenvalue1, e2.l2 AS eigenvalue2,
+        |  e1.l1 / tr.trace AS explained_frac1,
+        |  e2.l2 / tr.trace AS explained_frac2
+        |FROM range(0,64) d
+        |JOIN mu ON mu.i = d.range + 1, e1, e2, tr
+        |ORDER BY dim""".stripMargin,
 
     // s72's EXACT mirror: the same trainCentroids machinery at the
     // cluster-report operating point (c=10, 5 Lloyd rounds), final cell
