@@ -348,6 +348,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-stream kill + restart from checkpoint: sessionization is exactly-once and session state survives the failure") {
+    // failure-recovery, not just state-sharing: run 1 commits batch 0
+    // (first half of events), then an injected exception kills the query
+    // INSIDE batch 1 before its commit. The restart replays batch 1 from
+    // the checkpointed offsets against the recovered state. Asserted:
+    // (a) exactly-once — no session is emitted in two batches, and batch 0
+    //     is NOT re-emitted on restart;
+    // (b) output equivalence — the combined emission passes the same
+    //     watermark-bounded equivalence to the batch session_window mirror
+    //     as an uninterrupted run;
+    // (c) state recovery — the stream is split at the midpoint of the
+    //     longest batch session, so ONE session has events on both sides
+    //     of the kill; its correct (smin, smax, n) can only be emitted if
+    //     batch 0's open-session state survived into the restarted run.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-kill-")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kill-ckpt-")
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"), col("ts"))
+    val batch = ev
+      .groupBy(col("user_id"),
+        session_window(col("ts"), graft.queries.QueryUtil.sessionGapStr))
+      .agg(min(unix_micros(col("ts"))).as("smin"),
+        max(unix_micros(col("ts"))).as("smax"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("smin"), col("smax"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val longest = batch.maxBy(s => (s._3 - s._2, s._1))
+    val split = (longest._2 + longest._3) / 2
+    val base = System.currentTimeMillis() - 600000
+    writeOneFile(ev.filter(unix_micros(col("ts")) <= split),
+      streamDir.resolve("h1.parquet"), base)
+    writeOneFile(ev.filter(unix_micros(col("ts")) > split),
+      streamDir.resolve("h2.parquet"), base + 60000)
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, Long, Long, Long)]]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = StreamingOps.sessionizeWithTimeout(spark, stream)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: java.lang.Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          if (id == 1L && !killed.getAndSet(true))
+            throw new RuntimeException("injected mid-stream kill")
+          got(id.toLong) = rows
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    assert(killed.get && ex.toString.contains("injected mid-stream kill"),
+      s"run 1 did not die on the injected failure: $ex")
+    assert(got.contains(0L) && !got.contains(1L),
+      "batch 0 must have committed before the kill, batch 1 must not have")
+    runOnce() // restart from the checkpoint; batch 1 replays, then closes
+    // (a) exactly-once across the failure boundary
+    val perBatch = got.toSeq.flatMap { case (id, rows) => rows.map(_ -> id) }
+    val dupes = perBatch.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+    assert(dupes.isEmpty, s"sessions emitted in two batches: ${dupes.keys.take(3)}")
+    val emitted = perBatch.map(_._1).toSet
+    assert(perBatch.size == emitted.size, "a session was emitted twice")
+    // (b) same watermark-bounded equivalence as the uninterrupted run
+    val maxTsMs = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0) / 1000
+    val watermarkMs = maxTsMs - 10 * 60 * 1000
+    val gapMs = graft.queries.QueryUtil.sessionGapMicros / 1000
+    val mustEmit = batch.filter(s => s._3 / 1000 + gapMs < watermarkMs).toSet
+    val mayEmit = batch.filter(s => s._3 / 1000 + gapMs <= watermarkMs).toSet
+    assert(mustEmit.subsetOf(emitted), s"missing ${mustEmit.diff(emitted).take(3)}")
+    assert(emitted.subsetOf(mayEmit),
+      s"emitted a session the watermark hasn't closed: ${emitted.diff(mayEmit).take(3)}")
+    // (c) the split-spanning session came out whole — state crossed the kill
+    assert(emitted.contains(longest),
+      s"the session spanning the kill point was not emitted intact: $longest")
+  }
+
   /** Write `df` as ONE parquet file at `dest` with an explicit modification
     * time — the file source orders batches by (modTime, path), so ascending
     * stamps give deterministic multi-batch arrival order. */
