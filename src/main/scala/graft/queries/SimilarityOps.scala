@@ -1374,6 +1374,41 @@ object SimilarityOps {
         .orderBy(col("label"))
     }),
 
+    // ANN RECALL AUDIT — the quality loop closed as a query: per-query
+    // recall@5 of the LSH serving path (s57's exact operating point)
+    // against the exact brute-force top-5. This is what the RecallProbe
+    // tool measures offline, promoted to a first-class contract query so
+    // production recall monitoring is just another scheduled query over
+    // the same engine — and fully oracle-able, because both sides are
+    // deterministic (the exact rerank and the hash-derived buckets).
+    // Scale: the exact side is the s56 broadcast-query scan (at 100 TB
+    // one would feed s80's sampled-query ground truth instead — same
+    // join shape); the audit join is |Q|·5 rows.
+    "s81_recall_audit" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val exact5 = {
+        val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        val c = emb(s, dir).filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))
+        q.crossJoin(c)
+          .select(col("qid"), col("nid"),
+            expr("graft_cosine(qv, cv)").as("sim"))
+          .select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("nid"))
+      }
+      val ann5 = annLsh(s, dir, LshTables, LshBits).select(col("qid"), col("nid"))
+      exact5.join(ann5.withColumn("hit", lit(1)), Seq("qid", "nid"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")).cast(DoubleType) / count(lit(1))).as("recall_q"))
+        .orderBy(col("qid"))
+    }),
+
     // SAMPLED label-separability audit — the budget-bounded form of s76, so
     // the "do embeddings encode the labels?" check runs on ANY corpus: rank
     // vectors by a deterministic hash, keep the global top-m with
@@ -1634,6 +1669,44 @@ object SimilarityOps {
       |  JOIN stats s ON s.dim = ce.dim)
       | GROUP BY qid, nid)""".stripMargin
 
+  /** s57 LSH mirror through the exact rerank — everything up to CTE
+    * `rer` (qid, nid, rnk over all candidates); shared by the s57
+    * oracle and the s81 recall audit. */
+  private val lshOracleCore: String =
+    """WITH dims AS (SELECT unnest(range(0,
+        |   (SELECT max(len(embedding)) FROM embeddings))) AS i),
+        |tj AS (SELECT r1.range AS t, r2.range AS j
+        |       FROM range(0,16) r1, range(0,4) r2),
+        |hx AS (SELECT t, j, i,
+        |   CAST(t*1000003 + j*131 + i AS UBIGINT) AS x FROM tj, dims),
+        |h1 AS (SELECT t, j, i, xor(x, x>>33) AS a FROM hx),
+        |h2 AS (SELECT t, j, i, CAST((CAST(a AS UHUGEINT)*18397679294719823053)
+        |   %18446744073709551616 AS UBIGINT) AS b FROM h1),
+        |h3 AS (SELECT t, j, i, xor(b,b>>33) AS c FROM h2),
+        |h4 AS (SELECT t, j, i, CAST((CAST(c AS UHUGEINT)*14181476777654086739)
+        |   %18446744073709551616 AS UBIGINT) AS d FROM h3),
+        |hp AS (SELECT t, j, i,
+        |   CASE WHEN xor(d,d>>33) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |   FROM h4),
+        |ve AS (SELECT vec_id, generate_subscripts(embedding,1)-1 AS i,
+        |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (SELECT vec_id, t, j, sum(v*sgn) AS dot
+        |   FROM ve JOIN hp USING (i) GROUP BY 1,2,3),
+        |sig AS (SELECT vec_id, t,
+        |   CAST(sum(CASE WHEN dot > 0 THEN 1<<j ELSE 0 END) AS INTEGER)
+        |     AS bucket
+        |   FROM dots GROUP BY 1,2),
+        |cand AS (
+        | SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS nid
+        | FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+        | WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
+        |rer AS (
+        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
+        | FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+        |   JOIN embeddings b ON b.vec_id = cand.nid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // per-element floor(x·1000) in DOUBLE then BIGINT squares/sums — the
     // t60 quantize-to-exact-integers discipline, so no float accumulation
@@ -1883,42 +1956,32 @@ object SimilarityOps {
     // same candidate rule (distinct same-(table,bucket) pairs) and exact
     // cosine rerank. The approximation is the ALGORITHM's, not the
     // engine's, so a full hash-match oracle applies.
-    "s57_ann_lsh" ->
-      """WITH dims AS (SELECT unnest(range(0,
-        |   (SELECT max(len(embedding)) FROM embeddings))) AS i),
-        |tj AS (SELECT r1.range AS t, r2.range AS j
-        |       FROM range(0,16) r1, range(0,4) r2),
-        |hx AS (SELECT t, j, i,
-        |   CAST(t*1000003 + j*131 + i AS UBIGINT) AS x FROM tj, dims),
-        |h1 AS (SELECT t, j, i, xor(x, x>>33) AS a FROM hx),
-        |h2 AS (SELECT t, j, i, CAST((CAST(a AS UHUGEINT)*18397679294719823053)
-        |   %18446744073709551616 AS UBIGINT) AS b FROM h1),
-        |h3 AS (SELECT t, j, i, xor(b,b>>33) AS c FROM h2),
-        |h4 AS (SELECT t, j, i, CAST((CAST(c AS UHUGEINT)*14181476777654086739)
-        |   %18446744073709551616 AS UBIGINT) AS d FROM h3),
-        |hp AS (SELECT t, j, i,
-        |   CASE WHEN xor(d,d>>33) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
-        |   FROM h4),
-        |ve AS (SELECT vec_id, generate_subscripts(embedding,1)-1 AS i,
-        |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |dots AS (SELECT vec_id, t, j, sum(v*sgn) AS dot
-        |   FROM ve JOIN hp USING (i) GROUP BY 1,2,3),
-        |sig AS (SELECT vec_id, t,
-        |   CAST(sum(CASE WHEN dot > 0 THEN 1<<j ELSE 0 END) AS INTEGER)
-        |     AS bucket
-        |   FROM dots GROUP BY 1,2),
-        |cand AS (
-        | SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS nid
-        | FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
-        | WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
-        |rer AS (
-        | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
-        |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |     CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
-        | FROM cand JOIN embeddings a ON a.vec_id = cand.qid
-        |   JOIN embeddings b ON b.vec_id = cand.nid)
+    "s57_ann_lsh" -> (lshOracleCore +
+      """
         |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // the ANN quality loop CLOSED as a query: per-query recall@5 of the
+    // LSH path against the exact brute-force top-5 — production recall
+    // monitoring as data, fully hash-match oracled because BOTH sides are
+    // (the s56 exact mirror and the s57 algorithm mirror compose)
+    "s81_recall_audit" -> (lshOracleCore +
+      """,
+        |ann5 AS (SELECT qid, nid FROM rer WHERE rnk <= 5),
+        |exact5 AS (
+        | SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id >= 10) WHERE rnk <= 5)
+        |SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS n_hits,
+        |  CAST(count(a.nid) AS DOUBLE) / count(*) AS recall_q
+        |FROM exact5 e LEFT JOIN ann5 a ON a.qid = e.qid AND a.nid = e.nid
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin),
+
+    
 
     // s60's EXACT algorithm mirror — the whole IVF pipeline re-derived in
     // SQL: Spark's murmur3 long hash (32-bit wrapping arithmetic over
