@@ -1527,13 +1527,13 @@ object SimilarityOps {
       |hs AS (SELECT vec_id,
       |   CASE WHEN h >= 2147483648::UBIGINT THEN CAST(h AS BIGINT) - 4294967296
       |        ELSE CAST(h AS BIGINT) END AS sh FROM f6),
-      |pm AS (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs)""".stripMargin
+      |pm AS MATERIALIZED (SELECT vec_id, ((sh % 1073741824) + 1073741824) % 1073741824 AS pm FROM hs)""".stripMargin
 
   /** One spherical-k-means assignment round in SQL: each corpus vector's
     * argmax-cosine cell under centroid CTE `cent` (ties on smaller cell —
     * graft_topk_pairs' rule). */
   private def ivfAssignSql(cent: String, out: String): String =
-    s"""$out AS (SELECT vec_id, embedding, cell FROM (
+    s"""$out AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
        | SELECT e.vec_id, e.embedding, c.cell,
        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -1543,7 +1543,7 @@ object SimilarityOps {
   /** One centroid-update round in SQL: per-(cell, dim) fixed-point
     * decimal-exact mean, cast to FLOAT exactly like trainCentroids. */
   private def ivfUpdateSql(asg: String, out: String): String =
-    s"""$out AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
+    s"""$out AS MATERIALIZED (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM (
        | SELECT cell, dim,
        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
        |    / (1e9 * count(*)) AS m
@@ -1558,7 +1558,7 @@ object SimilarityOps {
     murmurPmSql +
       s""",
          |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
-         |seeds AS (
+         |seeds AS MATERIALIZED (
          | SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS INTEGER) AS cell,
          |        e.embedding AS cv
          | FROM (SELECT vec_id FROM pm ORDER BY pm, vec_id LIMIT $c) s
@@ -1571,13 +1571,13 @@ object SimilarityOps {
 
   private val ivfOraclePrefix: String = ivfTrainSql(16, 3) +
     """,
-      |ccells AS (SELECT vec_id, embedding, cell FROM (
+      |ccells AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
       | SELECT e.vec_id, e.embedding, c.cell,
       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |                          CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
       | FROM corpus e, it3 c) WHERE rk = 1),
-      |probes AS (
+      |probes AS MATERIALIZED (
       | SELECT qid, cell FROM (
       |  SELECT q.vec_id AS qid, c.cell,
       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1590,7 +1590,7 @@ object SimilarityOps {
     * d2 via an in-list-order double fold exactly like the engine's
     * zip_with/aggregate expression. */
   private def pqAssignSql(cent: String, out: String): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
        |  SELECT vec_id, sub, sv, cid FROM (
        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
@@ -1604,7 +1604,7 @@ object SimilarityOps {
     * exact mean; empty clusters keep their previous centroid (the engine's
     * left-join + coalesce rule). */
   private def pqUpdateSql(asg: String, prev: String, out: String): String =
-    s"""${out}_m AS (
+    s"""${out}_m AS MATERIALIZED (
        |  SELECT sub, cid, list(mu ORDER BY dim) AS ncv FROM (
        |    SELECT sub, cid, dim,
        |      CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
@@ -1612,7 +1612,7 @@ object SimilarityOps {
        |    FROM (SELECT sub, cid, generate_subscripts(sv,1) AS dim,
        |                 unnest(sv) AS x FROM $asg)
        |    GROUP BY sub, cid, dim) GROUP BY sub, cid),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT p.sub, p.cid, coalesce(m.ncv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN ${out}_m m ON m.sub = p.sub AND m.cid = p.cid)""".stripMargin
 
@@ -1643,13 +1643,13 @@ object SimilarityOps {
     * encode+midpoint-dequant, and the graft_cosine_q8 accumulation per
     * (query, probed candidate). */
   private val q8SimSql: String =
-    """stats AS (
+    """stats AS MATERIALIZED (
       | SELECT dim, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
       | FROM (SELECT generate_subscripts(embedding,1) AS dim,
       |              unnest(embedding) AS v
       |       FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL)
       | GROUP BY dim),
-      |q8sim AS (
+      |q8sim AS MATERIALIZED (
       | SELECT qid, nid, sum(x*vq) / (sqrt(sum(x*x)) * sqrt(sum(vq*vq))) AS sim
       | FROM (
       |  SELECT probes.qid, cc.vec_id AS nid, s.dim,
@@ -1685,22 +1685,22 @@ object SimilarityOps {
         |h3 AS (SELECT t, j, i, xor(b,b>>33) AS c FROM h2),
         |h4 AS (SELECT t, j, i, CAST((CAST(c AS UHUGEINT)*14181476777654086739)
         |   %18446744073709551616 AS UBIGINT) AS d FROM h3),
-        |hp AS (SELECT t, j, i,
+        |hp AS MATERIALIZED (SELECT t, j, i,
         |   CASE WHEN xor(d,d>>33) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
         |   FROM h4),
         |ve AS (SELECT vec_id, generate_subscripts(embedding,1)-1 AS i,
         |   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |dots AS (SELECT vec_id, t, j, sum(v*sgn) AS dot
+        |dots AS MATERIALIZED (SELECT vec_id, t, j, sum(v*sgn) AS dot
         |   FROM ve JOIN hp USING (i) GROUP BY 1,2,3),
-        |sig AS (SELECT vec_id, t,
+        |sig AS MATERIALIZED (SELECT vec_id, t,
         |   CAST(sum(CASE WHEN dot > 0 THEN 1<<j ELSE 0 END) AS INTEGER)
         |     AS bucket
         |   FROM dots GROUP BY 1,2),
-        |cand AS (
+        |cand AS MATERIALIZED (
         | SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS nid
         | FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.bucket = cs.bucket
         | WHERE qs.vec_id < 10 AND cs.vec_id >= 10),
-        |rer AS (
+        |rer AS MATERIALIZED (
         | SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
         |   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |     CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
@@ -2036,12 +2036,12 @@ object SimilarityOps {
         |                           CAST(c.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
-        |cands AS (
+        |cands AS MATERIALIZED (
         |  SELECT qid, nid, sim AS simq FROM (
         |    SELECT qid, nid, sim,
         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
         |    FROM sims WHERE NOT isnan(sim)) WHERE rk <= 20),
-        |csims AS (
+        |csims AS MATERIALIZED (
         |  SELECT a.qid, a.nid AS i, b.nid AS j,
         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
         |                           CAST(eb.embedding AS DOUBLE[])) AS s
@@ -2160,7 +2160,7 @@ object SimilarityOps {
     // IEEE divide — so the whole k-means clustering REPORT hash-matches
     "s72_cluster_report" -> (ivfTrainSql(10, 5) +
       """,
-        |fin AS (SELECT vec_id, embedding, cell FROM (
+        |fin AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
         | SELECT e.vec_id, e.embedding, c.cell,
         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -2194,12 +2194,12 @@ object SimilarityOps {
     // top-5 either way.
     "s69_ann_pq" -> (murmurPmSql +
       """,
-        |subv AS (
+        |subv AS MATERIALIZED (
         |  SELECT vec_id, r.range AS sub,
         |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS sv
         |  FROM embeddings, range(0,8) r
         |  WHERE vec_id >= 10 AND embedding IS NOT NULL),
-        |init AS (
+        |init AS MATERIALIZED (
         |  SELECT sub, CAST(rn - 1 AS INTEGER) AS cid,
         |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv FROM (
         |    SELECT sub, sv, row_number() OVER (PARTITION BY sub
@@ -2210,7 +2210,7 @@ object SimilarityOps {
       pqAssignSql("c1", "a2") + ",\n" + pqUpdateSql("a2", "c1", "c2") + ",\n" +
       pqAssignSql("c2", "a3") + ",\n" + pqUpdateSql("a3", "c2", "c3") +
       """,
-        |codes AS (
+        |codes AS MATERIALIZED (
         |  SELECT vec_id AS nid, sub, cid FROM (
         |    SELECT s.vec_id, s.sub, c.cid,
         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
@@ -2219,11 +2219,11 @@ object SimilarityOps {
         |             * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) ASC,
         |        c.cid) AS rk
         |    FROM subv s JOIN c3 c USING (sub)) WHERE rk = 1),
-        |qsub AS (
+        |qsub AS MATERIALIZED (
         |  SELECT vec_id AS qid, r.range AS sub,
         |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS qs
         |  FROM embeddings, range(0,8) r WHERE vec_id < 10),
-        |psim AS (
+        |psim AS MATERIALIZED (
         |  SELECT qid, nid,
         |    sum(dot_p) / (sqrt(sum(nq_p)) * sqrt(sum(nc_p))) AS psim
         |  FROM (
