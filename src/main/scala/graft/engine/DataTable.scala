@@ -107,6 +107,20 @@ object DataTable {
         case b: Array[Byte] => b
         case s => s.toString.getBytes("UTF-8")
       }
+      // interval ingest (reference had no branch here either — superset):
+      // accepts a CalendarInterval or any "1 months 2 days 3 hours" /
+      // "INTERVAL '...'" string via Catalyst's own parser, so ingested
+      // intervals behave exactly like SQL-literal ones downstream
+      case CalendarIntervalType => v match {
+        case c: org.apache.spark.unsafe.types.CalendarInterval => c
+        case s =>
+          val parsed = org.apache.spark.sql.catalyst.util.IntervalUtils
+            .stringToInterval(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.toString))
+          if (parsed == null) throw new IllegalArgumentException(
+            s"cannot parse '$s' as a calendar interval")
+          parsed
+      }
       // Nested types, coerced RECURSIVELY so a Java List<Map<String,Object>>
       // tree ingests in one call. The reference's ingest was scalar-only
       // (reference JavaTypeConverter.scala:183-201) — this is a declared

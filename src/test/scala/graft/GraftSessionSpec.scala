@@ -438,6 +438,29 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(st.getInt(0) == 1 && st.isNullAt(1))
   }
 
+  test("java map-list ingest coerces calendar intervals (string and native)") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("iv", CalendarIntervalType)))
+    val row1 = Map[String, Object]("id" -> "1",
+      "iv" -> "1 months 2 days 3 hours").asJava
+    val row2 = Map[String, Object]("id" -> "2",
+      "iv" -> new org.apache.spark.unsafe.types.CalendarInterval(0, 1, 0L)).asJava
+    val dt = DataTable.fromJavaMapList(schema, Seq(row1, row2).asJava)
+    g.registerTable("iv_ingest", dt)
+    // intervals behave like SQL-literal ones: arithmetic against a ts
+    val got = g.sql(
+      "SELECT id, CAST(TIMESTAMP '2020-01-01 00:00:00' + iv AS STRING) AS t " +
+        "FROM iv_ingest ORDER BY id").rows
+    assert(got.size == 2)
+    assert(got.head.getString(1) == "2020-02-03 03:00:00")
+    assert(got(1).getString(1) == "2020-01-02 00:00:00")
+    intercept[IllegalArgumentException] {
+      DataTable.fromJavaMapList(schema,
+        Seq(Map[String, Object]("id" -> "3", "iv" -> "not an interval").asJava).asJava)
+    }
+  }
+
   test("sustained concurrency soak: one cached plan under 8 threads for a bounded duration, plus newSession isolation (reference DirectExecSuite:227-299)") {
     // the reference's 10-thread x 30 s sustained stress, scaled to the test
     // budget: duration-bounded (~6 s) rather than iteration-bounded, so the
