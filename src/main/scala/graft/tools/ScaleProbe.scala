@@ -420,7 +420,7 @@ object ScaleProbe {
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
       if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77",
-          "s78", "s79", "s80") &&
+          "s78", "s79", "s80", "s81") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
@@ -438,6 +438,9 @@ object ScaleProbe {
       run("s78_probe", k, d)
       run("s79_probe", k, d)
       run("s80_probe", k, d)
+      // recall audit: both sides linear (fixed 10-query exact scan + the
+      // LSH signature/bucket join) — the audit must stay scan-bound
+      run("s81", k, d)
       // centroid drift is the family's LINEAR member: one scan,
       // (label,dim) agg — the contrast row to the O(n²) pair audits
       run("s77", k, d)
