@@ -313,14 +313,20 @@ class OperatorsSpec extends AnyFunSuite {
     // r10 session 3 adds the three new exact-int pipeline ops: LM quality
     // (t71, quantized p sums), TV drift (t72, all-integer arithmetic),
     // and the budget selection's banded prefix sum (d90).
-    val names = Seq("d74", "d87", "d67", "t61", "t60", "t71", "t72", "d90")
+    // r11 adds the budget-sampled audits (s78/s79: hash-ranked top-m via
+    // TakeOrderedAndProject — the global rank must not depend on how the
+    // scan parallelizes) and the recall audit (s81: LSH buckets + two
+    // rank windows)
+    val names = Seq("d74", "d87", "d67", "t61", "t60", "t71", "t72", "d90",
+      "s78", "s79", "s81")
     def runAll(parts: Int): Map[String, Seq[String]] = {
-      // d90 memo-persists its tokenize base keyed by dir; without this
-      // reset the 32-partition run would silently reuse the frame cached
-      // under 5 partitions and the invariance of d90's kernel/agg stage
-      // would never actually be exercised (the same reset ScaleProbe's
-      // d90_probe uses)
+      // d90 memo-persists its tokenize base keyed by dir, and the sampled
+      // audits memo-persist their hash-ranked sample; without these resets
+      // the 32-partition run would silently reuse frames cached under 5
+      // partitions and the invariance of the kernel/agg stages would never
+      // actually be exercised (the same reset ScaleProbe uses)
       graft.queries.QueryUtil.unpersistKeyed(spark, "d90base:")
+      graft.queries.QueryUtil.unpersistKeyed(spark, "svec:")
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       try names.map(n =>
