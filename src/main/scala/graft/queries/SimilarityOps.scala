@@ -1374,6 +1374,26 @@ object SimilarityOps {
         .orderBy(col("label"))
     }),
 
+    // IVF INDEX-HEALTH AUDIT — the cell-balance check a vector store runs
+    // before serving an index: per-cell inverted-list sizes under the
+    // production quantizer (s60's trained centroids), with each cell's
+    // corpus fraction quantized to an exact integer. A skewed cell means
+    // probe latency varies wildly with the query (hot cells dominate
+    // nprobe scans) and is the operational signal to retrain or split.
+    // Scale: cell assignment is the one corpus-sized step (scan + argmax
+    // against C broadcast centroids); the report is C rows.
+    "s82_index_health" -> ((s, dir) => {
+      val cells = corpusWithCells(s, dir, IvfCells, iters = 3)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum(col("n_vecs")).as("n_total"))
+      // bcast audit: BOUNDED — tot is a 1-row aggregate
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("CAST(n_vecs AS DECIMAL(38,0)) * 1000000000 DIV n_total")
+            .as("frac_q"))
+        .orderBy(col("cell"))
+    }),
+
     // ANN RECALL AUDIT — the quality loop closed as a query: per-query
     // recall@5 of the LSH serving path (s57's exact operating point)
     // against the exact brute-force top-5. This is what the RecallProbe
@@ -2265,6 +2285,17 @@ object SimilarityOps {
         |  JOIN embeddings b ON b.vec_id = short.nid)
         |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s82 rides the same mirrored quantizer: per-cell list sizes from the
+    // ccells CTE, fractions as exact integers
+    "s82_index_health" -> (ivfOraclePrefix +
+      """,
+        |cellsz AS (SELECT cell, count(*) AS n_vecs FROM ccells GROUP BY cell),
+        |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM cellsz)
+        |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST((CAST(n_vecs AS HUGEINT) * 1000000000) // n_total AS BIGINT)
+        |    AS frac_q
+        |FROM cellsz, tot ORDER BY cell""".stripMargin),
 
     // s71's EXACT mirror: the truncated-dim shortlist (first 32 dims,
     // top-100 per query, ties on smaller nid — identical to
