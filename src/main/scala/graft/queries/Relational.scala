@@ -181,7 +181,11 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // §2.4 HLL++ approx distinct — engine-specific sketch, rows-only check.
+    // §2.4 HLL++ approx distinct. Engine-specific sketch, but deterministic
+    // and order-independent (per-register max over xxHash64(value, 42)), so
+    // it is exactly oracle-able via the HllMirror register mirror in DuckDB
+    // (r12; the fmix64/murmur3 technique from r11). rsd defaults to 0.05 →
+    // p=9, m=512 registers.
     "q13_hll" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1615,6 +1619,16 @@ object Relational {
     "q12_agg_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact register mirror of Spark's HLL++ (xxHash64 + bias-kNN estimator)
+    // in DuckDB UBIGINT arithmetic — see HllMirror.scala. p=9 is what
+    // approx_count_distinct's default rsd 0.05 resolves to.
+    "q13_hll" -> {
+      val est = HllMirror.estimateSql(
+        "SELECT l_returnflag AS g, l_partkey AS v FROM lineitem", p = 9)
+      s"""SELECT g AS l_returnflag, est AS approx_parts FROM ($est)
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "q14_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
