@@ -220,7 +220,8 @@ object Bench {
     // UNAMBIGUOUS key — "query_family_totals", NOT "queries" — so a
     // schema-unaware consumer can never mistake family sums for per-query
     // timings; "queries" stays exclusively per-query (the full line above
-    // and BENCH.json carry it).
+    // and BENCH.json carry it). Confirmed compatible: the r11 driver parsed
+    // this exact key set (BENCH_r11.json `parsed` is non-null).
     val famTotals = ok.groupBy(_.take(1)).view
       .mapValues(ns => ns.map(warm.getOrElse(_, 0.0)).sum).toMap
     val famJs = famTotals.toSeq.sorted

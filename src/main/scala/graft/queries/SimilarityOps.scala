@@ -1194,11 +1194,16 @@ object SimilarityOps {
         .select(col("vec_id").as("nid"), col("embedding").as("cv"))
         .repartition(s.sparkContext.defaultParallelism)
       val short = q.crossJoin(c)
-        .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim"))
-        // NaN sims (zero-norm vectors) must go BEFORE the top-R aggregate:
-        // graft_topk_pairs ranks NaN as largest, so an unrankable candidate
-        // would otherwise occupy a shortlist slot and evict a real one
-        .filter(!isnan(col("sim")))
+        // NaN sims (zero-norm vectors) must be dropped BEFORE the top-R
+        // aggregate: graft_topk_pairs ranks NaN as largest, so an
+        // unrankable candidate would otherwise occupy a shortlist slot and
+        // evict a real one. The drop is nanvl→null INSIDE the projection
+        // (TopKPairs.update skips null scores), never a .filter over sim —
+        // Catalyst would push that into the BNLJ condition and evaluate
+        // the cosine kernel twice per (query, candidate) (s76's rule).
+        .select(col("qid"), col("nid"),
+          nanvl(expr("graft_cosine(qv, cv)"),
+            lit(null).cast(DoubleType)).as("sim"))
         .groupBy(col("qid"))
         .agg(expr("graft_topk_pairs(sim, nid, 20)").as("top"))
         .select(col("qid"), explode(col("top")).as("p"))
@@ -1324,17 +1329,26 @@ object SimilarityOps {
         // a zero-norm vector yields sim = NaN; unlike s58 (whose threshold
         // filter drops NaN pairs) this aggregates ALL pairs, and
         // floor(NaN).cast(Long) is silently 0 in Spark while DuckDB raises
-        // on the cast — drop NaN pairs explicitly, mirrored by NOT isnan
-        // in the oracle, so both engines apply the same rule on any corpus
-        .filter(!isnan(col("sim")))
+        // on the cast — drop NaN pairs via nanvl→null INSIDE the simq
+        // projection + null-skipping aggregates (count(simq), not
+        // count(1)), mirrored by NOT isnan in the oracle. NOT a
+        // .filter(!isnan(sim)): Catalyst pushes that predicate through the
+        // pair projection into the tile-join condition, where the cosine
+        // kernel is then evaluated a SECOND time per pair — measured 2.0 s
+        // → 1.3 s at sf0.1 when folded (the r11→r12 s76 regression). The
+        // null-skip form differs from the filter form only if EVERY pair
+        // of a label-parity group is NaN (the group would emit n_pairs=0
+        // instead of vanishing) — impossible unless the whole corpus is
+        // zero-norm. See SCALE.md "NaN drops on expensive projections".
         .select(col("ida"), col("idb"),
-          floor(col("sim") * lit(1e6)).cast(LongType).as("simq"))
+          floor(nanvl(col("sim"), lit(null).cast(DoubleType)) * lit(1e6))
+            .cast(LongType).as("simq"))
         .join(lab.select(col("vec_id").as("ida"), col("label").as("la")),
           Seq("ida"))
         .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")),
           Seq("idb"))
         .groupBy((col("la") === col("lb")).as("same_label"))
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(count(col("simq")).as("n_pairs"),
           sum(col("simq")).as("sum_simq"),
           min(col("simq")).as("min_simq"),
           max(col("simq")).as("max_simq"))
@@ -1437,20 +1451,22 @@ object SimilarityOps {
     // budget-bounded no matter the corpus; the only corpus-sized step is
     // the linear hash-rank scan. Same output schema as s76, so the sampled
     // and exact audits diff directly; sampling error vs s76 is spec-gated
-    // (OperatorsSpec: sampled means within ±0.05 of exact at sf0.1).
+    // (OperatorsSpec: sampled means within ±0.01 of exact at sf0.1).
     "s78_sampled_separability" -> ((s, dir) => {
       val sv = hashSampleVecs(s, dir, "s78:", pairSampleSize(20000L))
       val lab = sv.select(col("vec_id"), col("label"))
       tiledPairsOf(s, sv)
-        .filter(!isnan(col("sim")))
+        // NaN drop folded into the projection (nanvl→null + count(simq)),
+        // never a .filter over sim — s76's double-eval rule
         .select(col("ida"), col("idb"),
-          floor(col("sim") * lit(1e6)).cast(LongType).as("simq"))
+          floor(nanvl(col("sim"), lit(null).cast(DoubleType)) * lit(1e6))
+            .cast(LongType).as("simq"))
         .join(lab.select(col("vec_id").as("ida"), col("label").as("la")),
           Seq("ida"))
         .join(lab.select(col("vec_id").as("idb"), col("label").as("lb")),
           Seq("idb"))
         .groupBy((col("la") === col("lb")).as("same_label"))
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(count(col("simq")).as("n_pairs"),
           sum(col("simq")).as("sum_simq"),
           min(col("simq")).as("min_simq"),
           max(col("simq")).as("max_simq"))
@@ -1470,8 +1486,11 @@ object SimilarityOps {
     "s79_sampled_dup_rate" -> ((s, dir) => {
       val sv = hashSampleVecs(s, dir, "s79:", pairSampleSize(20000L))
       tiledPairsOf(s, sv)
-        .filter(!isnan(col("sim")))
-        .agg(count(lit(1)).as("n_pairs"),
+        // NaN drop folded into the aggregate inputs (NaN ≥ 0.45 is already
+        // false, and n_pairs counts only non-NaN sims) — never a .filter
+        // over sim, which Catalyst would push into the tile-join condition
+        // and re-evaluate the cosine kernel per pair (s76's rule)
+        .agg(count(when(!isnan(col("sim")), lit(1))).as("n_pairs"),
           sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("n_dup"))
         .select(lit(pairSampleSize(20000L)).as("m_budget"), col("n_pairs"),
           col("n_dup"),
@@ -1933,12 +1952,13 @@ object SimilarityOps {
     // the sampled audits' sample is the TRUE spec, not an approximation:
     // ORDER BY md5(tag‖vec_id) LIMIT m is the same deterministic global
     // top-m both engines compute (md5 string parity established by d74);
-    // LIMIT 200 here == pairSampleSize(20000) on the Scala side
+    // the budget constant is interpolated from the SAME pairSampleSize
+    // call the Scala side uses, so query and oracle cannot desynchronize
     "s78_sampled_separability" ->
-      """WITH sv AS (
+      s"""WITH sv AS (
         | SELECT vec_id, label, embedding FROM embeddings
         | WHERE embedding IS NOT NULL
-        | ORDER BY md5('s78:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+        | ORDER BY md5('s78:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT ${pairSampleSize(20000L)}),
         |p AS (
         | SELECT (a.label = b.label) AS same_label,
         |  CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1953,15 +1973,15 @@ object SimilarityOps {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s79_sampled_dup_rate" ->
-      """WITH sv AS (
+      s"""WITH sv AS (
         | SELECT vec_id, embedding FROM embeddings
         | WHERE embedding IS NOT NULL
-        | ORDER BY md5('s79:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+        | ORDER BY md5('s79:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT ${pairSampleSize(20000L)}),
         |f AS (
         | SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) AS sim
         | FROM sv a JOIN sv b ON a.vec_id < b.vec_id)
-        |SELECT 200 AS m_budget, count(*) AS n_pairs,
+        |SELECT ${pairSampleSize(20000L)} AS m_budget, count(*) AS n_pairs,
         | CAST(sum(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         | CAST((CAST(sum(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS HUGEINT)
         |   * 1000000000) // count(*) AS BIGINT) AS dup_rate_q

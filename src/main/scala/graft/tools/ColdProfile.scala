@@ -30,9 +30,9 @@ object ColdProfile {
 
     def codegenSnap(): (Long, Long) = (
       CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
-      // Histogram keeps a decaying reservoir; the COUNT is exact and the
-      // TOTAL here is tracked exactly by summing deltas per query below
-      // via the timer metric's count * snapshot mean as an estimate only.
+      // Histogram keeps a decaying reservoir; only the COUNT is exact. The
+      // "est total" printed at the end multiplies that exact count by the
+      // reservoir mean — an estimate, labeled as such in the output.
       CodegenMetrics.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount)
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted

@@ -420,7 +420,11 @@ object ScaleProbe {
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
       if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77",
-          "s78", "s79", "s80", "s81") &&
+          "s78", "s79", "s80", "s81",
+          // the budgeted members run under their _probe names (the
+          // d64_probe/d90_probe convention) — SCALE_QUERIES set to a probe
+          // name must still synthesize the ×K embeddings dir
+          "s78_probe", "s79_probe", "s80_probe") &&
           !new java.io.File(s"$dir/embeddings.parquet").exists())
         synthEmb(k, dir)
       val d = if (k == 1) baseDir else dir
