@@ -112,7 +112,7 @@ object Bench {
     // mean ms over 30 runs after warmup, vs re-planning each call.
     // Guarded: a failure here (e.g. bad SPARK_GRAFT_SF_DIR) must never cost
     // the round its bench JSON.
-    val (cachedMs, uncachedMs, localAggMs, localSortMs) =
+    val (cachedMs, uncachedMs, localAggMs, localSortMs, soakQps) =
       try {
         val g = graftSession
         graft.Tables.registerAll(spark, sfDir)
@@ -141,11 +141,35 @@ object Bench {
           "SELECT k, count(*) AS n FROM bench_mem GROUP BY k ORDER BY n DESC, k LIMIT 5"
         (1 to 3).foreach(_ => g.sql(sortSql))
         val ls = (1 to 30).map(_ => time(g.sql(sortSql))).sum / 30 * 1000
-        (c, u, la, ls)
+        // MULTI-USER THROUGHPUT through the shared plan cache — the regime
+        // the reference's session design exists for (its plan cache serves
+        // concurrent callers of one long-lived session,
+        // DirectSparkSession.scala:91-106). 8 threads hammer the cached
+        // no-job aggregate for a bounded 2 s window; the figure is total
+        // completed queries / elapsed — the published q/s row in
+        // BASELINE.md. (The correctness twin is GraftSessionSpec's soak,
+        // which also diff-checks every iteration's rows.)
+        val soakQps = {
+          val threads = 8
+          val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+          val done = new java.util.concurrent.atomic.AtomicLong(0)
+          val t0 = System.nanoTime()
+          val pool = (1 to threads).map { _ =>
+            new Thread(() => {
+              while (System.nanoTime() < deadline) {
+                g.sql(memSql)
+                done.incrementAndGet()
+              }
+            })
+          }
+          pool.foreach(_.start()); pool.foreach(_.join())
+          done.get() / ((System.nanoTime() - t0) / 1e9)
+        }
+        (c, u, la, ls, soakQps)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] facade micro-benchmark FAILED: ${e.getMessage}")
-          (-1.0, -1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0, -1.0)
       }
 
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal locale would
@@ -169,7 +193,7 @@ object Bench {
     // is emitted next to `value` so cross-round total comparisons can't
     // silently span different query sets when `failed` is non-empty.
     val scalarTail =
-      s""""sf":"$sfDir","n_ok":${ok.size},"cold_value":${num(coldTotal, 3)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"local_agg_ms":${num(localAggMs, 1)},"local_sort_ms":${num(localSortMs, 1)},"warm_passes":$warmPasses,"failed":$failedJs"""
+      s""""sf":"$sfDir","n_ok":${ok.size},"cold_value":${num(coldTotal, 3)},"cached_query_ms":${num(cachedMs, 1)},"uncached_query_ms":${num(uncachedMs, 1)},"local_agg_ms":${num(localAggMs, 1)},"local_sort_ms":${num(localSortMs, 1)},"soak_qps":${num(soakQps, 1)},"warm_passes":$warmPasses,"failed":$failedJs"""
     val line =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${js(warm)},$scalarTail}"""
     val namesJs = SparkEntry.longNames.toSeq.sorted

@@ -375,6 +375,25 @@ class OperatorsSpec extends AnyFunSuite {
         s"(diff ${(s80 diff s61OnSrcs).take(3)} / ${(s61OnSrcs diff s80).take(3)})")
   }
 
+  test("ANN rerank plans use the bounded top-k aggregate, not a rank window over qid") {
+    // Engine rule (SCALE.md "window vs bounded aggregate"): a rank window
+    // keyed by the fixed query set concentrates its corpus-proportional
+    // input into |Q| sort tasks — at 100 TB, 10 stragglers carrying the
+    // corpus. The exact/serving rerank paths must ride graft_topk_pairs
+    // (k-slot partial/final hash aggregate) instead. s81's exact arm was
+    // the r11 judge's finding; s56/s60/s67/s69 share the shape.
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("s56", "s60", "s67", "s69", "s81").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.isEmpty,
+        s"$n: rank window over the query set survived the bounded-" +
+          s"aggregate rewrite:\n${wins.mkString("\n")}")
+      assert(plan.toString.contains("graft_topk_pairs"),
+        s"$n: expected the bounded graft_topk_pairs aggregate in the plan")
+    }
+  }
+
   test("d88 HLL sketch partials: estimates within 2% of exact; union associative; two-batch merge equals full") {
     val rows = SparkEntry.queries("d88")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
