@@ -648,33 +648,45 @@ object DedupOps {
         .orderBy(col("status"))
     }),
 
-    // Mergeable DISTINCT-count sketch partials (Datasketches HLL via Spark
-    // 4's hll_sketch_agg/hll_union_agg) — the incremental-distinct pattern
-    // d84 applies to algebraic counts, extended to the one aggregate that
-    // is NOT algebraic: store one sketch per source (a binary column), and
+    // Mergeable DISTINCT-count sketch partials — the incremental-distinct
+    // pattern d84 applies to algebraic counts, extended to the one
+    // aggregate that is NOT algebraic: store one sketch per source, and
     // any later rollup (whole-corpus distinct, day-2 merge with a new
-    // batch's sketch) is a union of stored partials — no rescan of history.
-    // At 100 TB this is the difference between "count distinct = full
-    // corpus pass" and "read k sketch rows". Output: per-source estimate
-    // next to the exact count, plus the union-of-partials row; estimates
-    // are deterministic (hash-based, associative merge) but
-    // engine-specific => rows/schema driver check, value-gated by the
-    // OperatorsSpec bounds (±2%, union associativity, two-batch merge ≡
-    // full) — the q13/q68 discipline.
+    // batch's sketch) is a merge of stored partials — no rescan of
+    // history. At 100 TB this is the difference between "count distinct =
+    // full corpus pass" and "read k sketch rows". The partial here is the
+    // TRANSPARENT HLL++ register form (HllMirror.registersDf — one
+    // (source, idx, max-rho) row per non-zero register of the p=9 sketch
+    // over a 60-bit md5-derived doc key): mergeable by max per idx
+    // (associative, order- and duplicate-blind), engine-portable (no
+    // binary blob — DuckDB can both rebuild AND merge the same rows), and
+    // therefore EXACTLY oracle-able end-to-end, unlike an opaque
+    // hll_sketch_agg blob. Output: per-source estimate next to the exact
+    // count, plus the union-of-partials "__all__" row whose registers are
+    // the per-source max-merge — the stored-partials rollup itself is what
+    // the oracle hash-checks. Spec adds: merge-estimate ≡ direct
+    // whole-corpus estimate (exact equality — max is associative), and the
+    // hll_sketch_agg/hll_union_agg engine surface stays capability-tested.
     "d88_hll_partials" -> ((s, dir) => {
+      val p = 9 // the approx_count_distinct default (q13's mirrored regime)
       val docs = Tables.load(s, dir, "documents")
-      val parts = docs.groupBy(col("source"))
-        .agg(expr("hll_sketch_agg(xxhash64(text), 14)").as("sk"),
-          countDistinct(col("text")).as("n_exact"))
-      val per = parts.select(col("source"),
-        expr("cast(hll_sketch_estimate(sk) as bigint)").as("est"),
-        col("n_exact"))
-      val total = parts
-        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as bigint)")
-          .as("est"))
-        .crossJoin(docs.agg(countDistinct(col("text")).as("n_exact")))
-        .select(lit("__all__").as("source"), col("est"), col("n_exact"))
-      per.unionByName(total).orderBy(col("source"))
+        .filter(col("text").isNotNull)
+      // 60-bit doc key from md5 — the cross-engine hash idiom (d74/t61),
+      // wide enough that corpus-scale collisions are ~n²/2^61
+      val keyed = docs.select(col("source").as("g"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)")
+          .as("v"))
+      val partials = HllMirror.registersDf(keyed, Seq("g"), p)
+      val merged = partials.groupBy(col("idx")).agg(max(col("mr")).as("mr"))
+        .select(lit("__all__").as("g"), col("idx"), col("mr"))
+      val ests = HllMirror.estimateDf(partials.unionByName(merged), p)
+      val exact = docs.groupBy(col("source").as("g"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+        .unionByName(docs.agg(countDistinct(col("text")).as("n_exact"))
+          .select(lit("__all__").as("g"), col("n_exact")))
+      ests.join(exact, "g")
+        .select(col("g").as("source"), col("est"), col("n_exact"))
+        .orderBy(col("source"))
     }),
 
     // EXACT-count stratified sampling — "exactly n docs per language",
@@ -1839,6 +1851,38 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "d54_simhash" -> simhashOracle,
+
+    // Exact mirror of the transparent HLL++ register partials: the same
+    // 60-bit md5 doc key (15 hex nibbles → BIGINT, the d74/t61 idiom) fed
+    // through HllMirror's xxHash64 + register + bias-kNN estimator SQL —
+    // per source AND for the "__all__" rollup (whose registers are the
+    // max-merge of the per-source ones == the registers of the whole
+    // corpus, so one estimateSql over all docs IS the rollup's estimate).
+    "d88_hll_partials" -> {
+      val v60 = (0 until 15).map(i =>
+        s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (14 - i))}").mkString(" + ")
+      val per = HllMirror.estimateSql(
+        s"SELECT source AS g, $v60 AS v FROM documents WHERE text IS NOT NULL",
+        p = 9)
+      val all = HllMirror.estimateSql(
+        s"SELECT '__all__' AS g, $v60 AS v FROM documents WHERE text IS NOT NULL",
+        p = 9)
+      s"""WITH u AS ((
+         |  $per
+         |) UNION ALL (
+         |  $all
+         |)),
+         |ex AS (
+         |  SELECT source AS g, count(DISTINCT text) AS n_exact
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', count(DISTINCT text)
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT u.g AS source, u.est, ex.n_exact
+         |FROM u JOIN ex USING (g)
+         |ORDER BY source""".stripMargin
+    },
 
     // Window keys are md5 over the space-joined words — bit-identical
     // across engines (Spark md5 over UTF-8 binary == DuckDB md5 over

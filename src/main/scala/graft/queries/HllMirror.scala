@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
 
 /** Exact DuckDB mirror of Spark's HLL++ (`approx_count_distinct`) for LONG
@@ -59,6 +62,83 @@ object HllMirror {
       case 6 => 0.709d * m * m
       case _ => (0.7213d / (1.0d + 1.079d / m)) * m * m
     }
+  }
+
+  /** Spark-side HLL++ register derivation for LONG inputs: one row per
+    * NON-ZERO register of the p-precision sketch over column `v` of `keyed`
+    * (plus the group columns) — idx = xxhash64(v) >>> (64−p), mr = max rho.
+    * `xxhash64(bigint)` is the exact hash `approx_count_distinct` applies
+    * internally (XxHash64, seed 42), so these rows ARE the sketch state,
+    * just transparent: mergeable by `max(mr)` per idx (associative,
+    * duplicate- and order-blind) and engine-portable (no binary blob). The
+    * d88 stored-partials pattern rides this: store per-batch register rows,
+    * roll up any slice later by max-merge + [[estimateDf]], no rescans. */
+  def registersDf(keyed: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4 && p < 19, s"p out of the mirrored regime: $p")
+    keyed
+      .select(groupCols.map(col) :+ expr("xxhash64(v)").as("h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        expr(s"shiftrightunsigned(h, ${64 - p})").as("idx"),
+        // rho = nlz((h << p) | 2^(p-1)) + 1 = 65 - bitlen; Spark's bin()
+        // renders negative longs as 64 two's-complement chars, so length
+        // is exactly the unsigned bit length (the DuckDB mirror's idiom)
+        expr(s"65 - length(bin(shiftleft(h, $p) | ${1L << (p - 1)}))").as("mr")): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("mr")).as("mr"))
+  }
+
+  /** Spark-side estimate from (g, idx, mr) register rows — the same
+    * estimator branches as [[estimateSql]] (and as Spark's own
+    * `HyperLogLogPlusPlusHelper.query`), expressed as DataFrame ops so a
+    * stored-partials rollup can estimate WITHOUT an aggregate rescan:
+    * harmonic mean over registers (absent registers contribute 2^0),
+    * linear counting under the threshold, bias-corrected raw estimate via
+    * the published K=6 nearest-neighbor bias tables (broadcast literal
+    * frames — constant-bounded, ~200 rows). Group count is report-sized
+    * (sources, batches), never corpus-sized. */
+  def estimateDf(regs: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p < 19, s"p out of the mirrored regime: $p")
+    val s = regs.sparkSession
+    import s.implicits._
+    val m = 1 << p
+    val raw = HyperLogLogPlusPlusHelper.RAW_ESTIMATE_DATA(p - 4)
+    val bias = HyperLogLogPlusPlusHelper.BIAS_DATA(p - 4)
+    val thr = HyperLogLogPlusPlusHelper.THRESHOLDS(p - 4)
+    val n = raw.length
+    val k = HyperLogLogPlusPlusHelper.K // 6
+    // bcast audit: BOUNDED — the published bias table, ~200 fixed rows
+    val tbl = broadcast(raw.indices.map(i => (i, raw(i), bias(i)))
+      .toDF("i", "raw", "bias"))
+    // (lx, rl, rh): each table row with the entry K slots to its right —
+    // the closed form of the "slide while the leading edge is closer" scan
+    val cand = broadcast(raw.indices.map(lx =>
+        (lx, raw(lx), if (lx + k < n) Some(raw(lx + k)) else None))
+      .toDF("lx", "rl", "rh"))
+    val hest = regs.groupBy(col("g"))
+      .agg((sum(pow(lit(2.0), -col("mr"))) + (lit(m) - count(lit(1))))
+        .as("zinv"), (lit(m) - count(lit(1))).as("zv"))
+      .select(col("g"), col("zv"), (lit(alphaM2(p)) / col("zinv")).as("e"),
+        when(col("zv") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zv"))).as("hlin"))
+    val withNearest = hest.crossJoin(tbl)
+      .groupBy(col("g"), col("zv"), col("e"), col("hlin"))
+      .agg(sum(when(col("raw") < col("e"), 1).otherwise(0)).as("nearest"))
+    val hlf = withNearest.crossJoin(cand)
+      .filter(col("lx") >= greatest(col("nearest") - (k - 1), lit(0)) &&
+        (col("lx") >= n - k ||
+          (col("rh") - col("e")) * (col("rh") - col("e")) >=
+            (col("rl") - col("e")) * (col("rl") - col("e"))))
+      .groupBy(col("g"), col("zv"), col("e"), col("hlin"))
+      .agg(min(col("lx")).as("lf"))
+    hlf.crossJoin(tbl)
+      .filter(col("i") >= col("lf") && col("i") < least(col("lf") + k, lit(n)))
+      .groupBy(col("g"), col("zv"), col("e"), col("hlin"))
+      .agg(avg(col("bias")).as("b"))
+      .select(col("g"), floor(
+        when(col("zv") > 0 && (col("hlin") <= thr || col("e") <= 2.5 * m),
+          col("hlin"))
+          .otherwise(when(col("e") < 5.0 * m, col("e") - col("b"))
+            .otherwise(col("e"))) + 0.5).cast(LongType).as("est"))
   }
 
   /** DuckDB SQL yielding (g, est) = (group, Spark approx_count_distinct

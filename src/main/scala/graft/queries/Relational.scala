@@ -198,8 +198,15 @@ object Relational {
     // task keeps an ε-approximate sketch (ε = 1/accuracy), partials merge
     // associatively, no global sort. One scalar column per quantile (not an
     // ARRAY) so the driver's row compare can sort/hash the result.
-    // Engine-specific sketch values ⇒ rows-only driver check; the rank-error
-    // guarantee (≤ n·ε) is spec-gated in PipelineOpsSpec and budgeted in
+    // THE one legitimately un-oracle-able sketch in the inventory (r13,
+    // after q13/d88 got exact register mirrors): unlike HLL++ — whose state
+    // is a per-register MAX, blind to merge order — a GK summary's
+    // compress() drops different tuples depending on the ORDER partial
+    // sketches merge in, and Spark's merge order follows task completion.
+    // The returned quantile is any value within the rank guarantee, not a
+    // deterministic function of the input multiset, so no cross-engine SQL
+    // can reproduce it ⇒ rows-only driver check; the rank-error guarantee
+    // (≤ n·ε) is spec-gated in PipelineOpsSpec and budgeted in
     // SCALE.md's exactness table. The single percentile_approx per measure
     // still computes ONE shared sketch per group — the three quantile reads
     // come from the same merged state, then fan out to scalar columns.

@@ -278,7 +278,7 @@ object ScaleProbe {
       val sufDir = s"$workDir/text_x$k"; val plainDir = s"$workDir/plain_x$k"
       if (k > 1 && wanted("d52", "d53", "d54", "d54_triple", "t49", "d60",
           "d62", "d64_probe", "d65_probe", "d65_append", "d69", "d71", "d72",
-          "d83", "d84_probe", "d86", "t71") &&
+          "d82", "d83", "d84_probe", "d86", "t71") &&
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
@@ -343,6 +343,9 @@ object ScaleProbe {
       // pipeline v2: quality/dedup/decontam/upsample structure replicates
       // per shard (suffixed texts stay distinct across replicas)
       run("d69", k, d)
+      // pipeline v3 (the bench's most expensive query — a scale-gate row):
+      // same per-shard replication argument as d69; every stage is linear
+      run("d82", k, d)
       // delta probes: index built once per factor (outside timing) from the
       // suffixed ×K corpus; probe input fixed at the base sf. Suffixed
       // replicas share zero shingles with the base, so probe OUTPUT stays

@@ -394,31 +394,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("d88 HLL sketch partials: estimates within 2% of exact; union associative; two-batch merge equals full") {
+  test("d88 HLL register partials: estimates track exact; register mirror equals approx_count_distinct; max-merge associative") {
     val rows = SparkEntry.queries("d88")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty && rows.exists(_._1 == "__all__"))
-    // value gate: every estimate (per-source AND the union row) within 2%
-    // of its exact count — lgK=14 keeps these cardinalities in the exact
-    // sparse regime, so the bound is loose on purpose
+    // value gate: every estimate (per-source AND the union row) within 10%
+    // of its exact count (p=9 → rsd ≈ 4.6%; the q13 discipline). The exact
+    // cross-engine hash-match is the driver's DuckDB gate, not this spec.
     rows.foreach { case (src, est, exact) =>
-      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.02).toLong),
-        s"$src: estimate $est vs exact $exact breaches 2%")
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.10).toLong),
+        s"$src: estimate $est vs exact $exact breaches 10%")
     }
-    // associativity / incremental claim: sketches built on two disjoint
-    // halves and UNIONED estimate the same as one sketch over everything —
-    // the stored-partials pattern cannot drift from the rescan
-    val docs = Tables.load(spark, dir, "documents")
-    val halves = docs.withColumn("h", pmod(col("doc_id"), lit(2)))
+    val docs = Tables.load(spark, dir, "documents").filter(col("text").isNotNull)
+    val keyed = docs.select(lit("__all__").as("g"),
+      expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("v"))
+    // the transparent register partials ARE Spark's sketch state: the
+    // registersDf+estimateDf pipeline must reproduce approx_count_distinct
+    // over the same keys EXACTLY (same xxHash64 seed-42 hash, same
+    // estimator branches, same bias tables read from Spark's own class)
+    val viaRegs = graft.queries.HllMirror.estimateDf(
+      graft.queries.HllMirror.registersDf(keyed, Seq("g"), 9), 9)
+      .collect().head.getLong(1)
+    val viaSpark = keyed.agg(approx_count_distinct(col("v")))
+      .collect().head.getLong(0)
+    assert(viaRegs == viaSpark,
+      s"register-mirror estimate $viaRegs != approx_count_distinct $viaSpark")
+    // associativity / incremental claim: registers built on two disjoint
+    // halves and MAX-MERGED estimate the same as registers over everything
+    // — the stored-partials pattern cannot drift from the rescan (and the
+    // contract query's __all__ row is itself the per-source merge)
+    val halves = graft.queries.HllMirror.registersDf(
+      docs.select(pmod(col("doc_id"), lit(2)).cast("string").as("g"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("v")),
+      Seq("g"), 9)
+    val mergedEst = graft.queries.HllMirror.estimateDf(
+      halves.groupBy(col("idx")).agg(max(col("mr")).as("mr"))
+        .select(lit("m").as("g"), col("idx"), col("mr")), 9)
+      .collect().head.getLong(1)
+    assert(mergedEst == viaRegs,
+      s"max-merge of half-registers ($mergedEst) != whole-corpus ($viaRegs)")
+    // the Spark 4 Datasketches surface stays capability-tested: union of
+    // half-sketches ≡ one sketch over everything (binary-blob partials)
+    val dsHalves = docs.withColumn("h", pmod(col("doc_id"), lit(2)))
       .groupBy(col("h")).agg(expr("hll_sketch_agg(xxhash64(text), 14)").as("sk"))
-    val merged = halves
+    val dsMerged = dsHalves
       .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as bigint)"))
       .collect().head.getLong(0)
-    val direct = docs
+    val dsDirect = docs
       .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(xxhash64(text), 14)) as bigint)"))
       .collect().head.getLong(0)
-    assert(merged == direct,
-      s"union of half-sketches ($merged) != whole-corpus sketch ($direct)")
+    assert(dsMerged == dsDirect,
+      s"union of half-sketches ($dsMerged) != whole-corpus sketch ($dsDirect)")
   }
 
   test("Observation metrics ride the pipeline scan: quality counters without a second pass") {

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Scaling-regression gate over ScaleProbe output (r13, VERDICT r11 item 5).
+
+Parses the `[scale] | name | Kx | warm sec | shuffle MB | spilled MB | parts |`
+rows of a ScaleProbe run that covered factors 1 and 10, and asserts each
+op's recorded GROWTH CLASS:
+
+  flat       (budget-bounded sampled audits): wall(10x) <= 3.0 * wall(1x)
+  linear     (scan/join/agg pipelines):       wall(10x) <= 15  * wall(1x)
+  pair-bound (exact all-pairs, x10 rows -> x100 pairs): wall(10x) <= 130x
+
+Ratios use max(wall_1x, 0.2 s) as the denominator so job-floor noise on
+sub-second 1x rows cannot fake a breach. A breach exits 1 (the gate fails).
+
+Constant-factor regressions (the r11->r12 s76 kernel double-eval would NOT
+change the growth ratio) are checked against the recorded idle-box 1x
+baselines below with a 2x tolerance — WARN by default because this box's
+wall clock is contention-sensitive (driver heartbeats); STRICT=1 in the
+environment promotes the warns to failures.
+
+Usage: scale_gate.py <file with ScaleProbe stdout> [more files...]
+"""
+import os
+import re
+import sys
+
+CLASSES = {
+    "s78_probe": ("flat", 3.0),
+    "s79_probe": ("flat", 3.0),
+    "s80_probe": ("linear", 15.0),
+    "d71": ("linear", 15.0),
+    "d82": ("linear", 15.0),
+    "d83": ("linear", 15.0),
+    "s61": ("pair-bound", 130.0),
+    "s76": ("pair-bound", 130.0),
+}
+
+# idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), r13 session
+BASELINE_1X = {
+    "s78_probe": 0.5,
+    "s79_probe": 0.4,
+    "s80_probe": 0.6,
+    "d71": 2.0,
+    "d82": 3.0,
+    "d83": 1.9,
+    "s61": 1.9,
+    "s76": 1.6,
+}
+
+ROW = re.compile(
+    r"\|\s*(\S+)\s*\|\s*(\d+)x\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|")
+
+
+def main(paths):
+    walls = {}  # (name, factor) -> sec
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                m = ROW.search(line)
+                if m:
+                    name, factor, sec = m.group(1), int(m.group(2)), float(m.group(3))
+                    # keep the best (min) if a row repeats across files
+                    key = (name, factor)
+                    walls[key] = min(walls.get(key, 1e18), sec)
+    strict = os.environ.get("STRICT", "0") == "1"
+    failures, warns, checked = [], [], 0
+    for name, (cls, bound) in sorted(CLASSES.items()):
+        w1, w10 = walls.get((name, 1)), walls.get((name, 10))
+        if w1 is None or w10 is None:
+            failures.append(f"{name}: missing 1x/10x rows (got 1x={w1}, 10x={w10})")
+            continue
+        checked += 1
+        ratio = w10 / max(w1, 0.2)
+        verdict = "ok" if ratio <= bound else "BREACH"
+        print(f"[scale-gate] {name:10s} {cls:10s} 1x={w1:7.2f}s 10x={w10:8.2f}s "
+              f"ratio={ratio:6.1f} (bound {bound:.0f}) {verdict}")
+        if ratio > bound:
+            failures.append(
+                f"{name}: wall grew {ratio:.1f}x at 10x data — outside its "
+                f"recorded {cls} class (bound {bound:.0f}x)")
+        base = BASELINE_1X.get(name)
+        if base is not None and w1 > 2.0 * base:
+            warns.append(
+                f"{name}: 1x wall {w1:.2f}s is >2x the recorded idle-box "
+                f"baseline {base:.2f}s — constant-factor regression?")
+    for w in warns:
+        print(f"[scale-gate] {'FAIL' if strict else 'WARN'}: {w}")
+    for f_ in failures:
+        print(f"[scale-gate] FAIL: {f_}")
+    if failures or (strict and warns):
+        sys.exit(1)
+    print(f"[scale-gate] PASS: {checked} ops within their growth classes")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["/tmp/scale_gate.txt"])
