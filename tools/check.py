@@ -29,10 +29,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written corpora (the x10 spot-gate's SynthCorpus output) are
+        # directories of part files; the driver corpora are single files.
+        # DuckDB validates the pattern at CREATE VIEW, so tables absent from
+        # a synthesized corpus are skipped (their queries aren't in the run).
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
     import glob

@@ -35,16 +35,17 @@ CLASSES = {
     "s76": ("pair-bound", 130.0),
 }
 
-# idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), r13 session
+# idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
+# (post s76 double-eval fix + bounded-aggregate rerank rewrite)
 BASELINE_1X = {
-    "s78_probe": 0.5,
-    "s79_probe": 0.4,
-    "s80_probe": 0.6,
-    "d71": 2.0,
-    "d82": 3.0,
-    "d83": 1.9,
-    "s61": 1.9,
-    "s76": 1.6,
+    "s78_probe": 0.24,
+    "s79_probe": 0.17,
+    "s80_probe": 0.46,
+    "d71": 1.46,
+    "d82": 2.88,
+    "d83": 1.60,
+    "s61": 1.46,
+    "s76": 0.92,
 }
 
 ROW = re.compile(
