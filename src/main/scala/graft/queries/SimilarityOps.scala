@@ -1522,6 +1522,43 @@ object SimilarityOps {
         .select(col("src"), col("p.id").as("nbr"),
           (col("pos") + 1).cast("int").as("rnk"))
         .orderBy(col("src"), col("rnk"))
+    }),
+
+    // HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack et al. 2009) of
+    // the lexical inverted-index arm (t73's rarity-weighted top-10) and
+    // the exact semantic arm (cosine top-10, the s56 shape), the
+    // production shape of "BM25 + vectors" search: each arm contributes
+    // 1/(60+rank), quantized to the exact integer 1e12 DIV (60+rank) so
+    // the fused score is a BIGINT and the op bit-oracle-able. Docs and
+    // vectors share the id space (doc_id == vec_id, the s62 alignment).
+    // Scale: each arm is its own proven shape (query-term-bounded postings
+    // join; broadcast-queries corpus scan + bounded top-k); the fusion
+    // itself joins two |Q|·10 frames — report-sized, free at any corpus.
+    "s83_hybrid_rrf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val lex = graft.queries.TextOps.lexicalTopK(s, dir, 10)
+        .select(col("qid"), col("did").as("id"), col("rnk").as("rnk_lex"))
+      val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val c = emb(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("cv"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val ann = exactTopK(q.crossJoin(c)
+        .select(col("qid"), col("nid"),
+          expr("graft_cosine(qv, cv)").as("sim")), 10)
+        .select(col("qid"), col("nid").as("id"), col("rnk").as("rnk_ann"))
+      val fused = lex.join(ann, Seq("qid", "id"), "full_outer")
+        .select(col("qid"), col("id"),
+          (coalesce(expr("1000000000000L div (60 + rnk_lex)"), lit(0L)) +
+            coalesce(expr("1000000000000L div (60 + rnk_ann)"), lit(0L)))
+            .as("rrf_q"))
+      fused.groupBy(col("qid"))
+        .agg(expr("graft_topk_pairs(cast(rrf_q as double), id, 5)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("qid"), col("p.id").as("id"),
+          col("p.score").cast(LongType).as("rrf_q"),
+          (col("pos") + 1).cast(IntegerType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 
@@ -1882,6 +1919,48 @@ object SimilarityOps {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY ida, idb""".stripMargin,
+
+    // hybrid RRF mirror: the t73 lexical CTEs at k=10, the s56-shape exact
+    // cosine arm at k=10, integer 1e12 // (60+rank) fusion, top-5
+    "s83_hybrid_rrf" ->
+      """WITH post AS (
+        | SELECT did, token, count(*) AS tf FROM (
+        |  SELECT doc_id AS did,
+        |   unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id >= 10) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |qtm AS (SELECT DISTINCT qid, token FROM (
+        | SELECT doc_id AS qid,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE doc_id < 10)),
+        |sc AS (
+        | SELECT qid, did, CAST(sum(tf * (1000000000 // df)) AS BIGINT) AS score
+        | FROM qtm JOIN post USING (token) JOIN dfreq USING (token)
+        | GROUP BY 1, 2),
+        |lex AS (SELECT qid, did AS id, rnk AS rnk_lex FROM (
+        | SELECT qid, did,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rnk
+        | FROM sc) WHERE rnk <= 10),
+        |asim AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                         CAST(c.embedding AS DOUBLE[])) AS sim
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.vec_id < 10 AND c.vec_id >= 10),
+        |ann AS (SELECT qid, id, rnk AS rnk_ann FROM (
+        | SELECT qid, id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+        | FROM asim) WHERE rnk <= 10),
+        |fused AS (
+        | SELECT COALESCE(l.qid, a.qid) AS qid, COALESCE(l.id, a.id) AS id,
+        |  COALESCE(1000000000000 // (60 + l.rnk_lex), 0)
+        |   + COALESCE(1000000000000 // (60 + a.rnk_ann), 0) AS rrf_q
+        | FROM lex l FULL OUTER JOIN ann a ON l.qid = a.qid AND l.id = a.id),
+        |rer AS (SELECT qid, id, rrf_q,
+        |  row_number() OVER (PARTITION BY qid ORDER BY rrf_q DESC, id) AS rnk
+        | FROM fused)
+        |SELECT qid, id, CAST(rrf_q AS BIGINT) AS rrf_q, CAST(rnk AS INTEGER) AS rnk
+        |FROM rer WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // Depth-6 recursive closure agrees because this corpus' cosine
     // components are tiny (like d56's oracle); the operator itself is

@@ -18,6 +18,49 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** LEXICAL RETRIEVAL over an inverted index — the BM25-family serving
+    * shape with INTEGER-EXACT scoring, the lexical twin of the ANN paths
+    * (and one arm of s83's hybrid fusion): score(q, d) = Σ over matched
+    * terms of tf_d(t) · w(t), with the rarity weight w(t) = 1e9 DIV df(t)
+    * an exact BIGINT (no ln — idf's libm log has no cross-engine mirror;
+    * integer rarity preserves the rare-terms-dominate ranking and makes
+    * the op bit-oracle-able). Queries = the doc_id < 10 docs (the corpus
+    * split every ANN op uses); corpus = the rest.
+    *
+    * Scale shape: postings (did, token, tf) are one explode + one
+    * partial/final count agg — the inverted index, token-partitioned at
+    * 100 TB (writeLshBuckets-style layout applies unchanged); df is a
+    * second agg REUSING the token partitioning. The probe side is
+    * query-term-bounded (|Q|·|doc| distinct terms), so the scoring join
+    * shuffles postings of MATCHED terms only, never the corpus; the
+    * per-query top-k rides the bounded graft_topk_pairs aggregate
+    * (SCALE.md window-vs-aggregate rule). */
+  private[graft] def lexicalTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val postings = d.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("did"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .distinct()
+    val scores = qterms.join(postings, "token").join(dfreq, "token")
+      .groupBy(col("qid"), col("did"))
+      // tf·w ≤ 1e3·1e9 and per-pair sums stay < 2^53, so the double cast
+      // into the top-k aggregate is exact
+      .agg(sum(col("tf") * expr("1000000000L div df")).as("score"))
+    scores.groupBy(col("qid"))
+      .agg(expr(s"graft_topk_pairs(cast(score as double), did, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p.id").as("did"),
+        col("p.score").cast(LongType).as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: length / token / character-class ratios.
     "t46_text_stats" -> ((s, dir) => {
@@ -644,7 +687,11 @@ object TextOps {
           (col("sum_abs") + (col("q_tot") - col("sum_q_present"))).as("tvd_q"))
         .withColumn("tvd", col("tvd_q").cast(DoubleType) / lit(2e9))
         .orderBy(col("source"))
-    })
+    }),
+
+    // Lexical retrieval (see lexicalTopK): rarity-weighted inverted-index
+    // top-10 per query doc, integer-exact scoring, fully hash-oracled.
+    "t73_lexical_topk" -> ((s, dir) => lexicalTopK(s, dir, 10))
   )
 
   /** One BPE merge applied to a symbol array: the leftmost-greedy
@@ -1283,6 +1330,30 @@ object TextOps {
         |SELECT source, sn, n_types,
         | sum_abs + (q_tot - sum_q_present) AS tvd_q,
         | CAST(sum_abs + (q_tot - sum_q_present) AS DOUBLE) / 2e9 AS tvd
-        |FROM ag, qtot ORDER BY source""".stripMargin
+        |FROM ag, qtot ORDER BY source""".stripMargin,
+
+    // lexical retrieval mirror: same postings/df/query-term CTEs, the
+    // integer rarity weight as DuckDB `//`, rank window over the tiny
+    // per-query score set (score DESC, did — graft_topk_pairs' tie rule)
+    "t73_lexical_topk" ->
+      """WITH post AS (
+        | SELECT did, token, count(*) AS tf FROM (
+        |  SELECT doc_id AS did,
+        |   unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id >= 10) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |qt AS (SELECT DISTINCT qid, token FROM (
+        | SELECT doc_id AS qid,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE doc_id < 10)),
+        |sc AS (
+        | SELECT qid, did, CAST(sum(tf * (1000000000 // df)) AS BIGINT) AS score
+        | FROM qt JOIN post USING (token) JOIN dfreq USING (token)
+        | GROUP BY 1, 2),
+        |rer AS (SELECT qid, did, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rnk
+        | FROM sc)
+        |SELECT qid, did, score, CAST(rnk AS INTEGER) AS rnk
+        |FROM rer WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   )
 }

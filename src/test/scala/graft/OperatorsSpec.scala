@@ -316,9 +316,11 @@ class OperatorsSpec extends AnyFunSuite {
     // r11 adds the budget-sampled audits (s78/s79: hash-ranked top-m via
     // TakeOrderedAndProject — the global rank must not depend on how the
     // scan parallelizes) and the recall audit (s81: LSH buckets + two
-    // rank windows)
+    // rank windows). r13 adds the retrieval pair (t73 lexical inverted
+    // index, s83 hybrid RRF fusion): bounded top-k aggregates whose merge
+    // order varies with partitioning — ranks must not.
     val names = Seq("d74", "d87", "d67", "t61", "t60", "t71", "t72", "d90",
-      "s78", "s79", "s81")
+      "s78", "s79", "s81", "t73", "s83")
     def runAll(parts: Int): Map[String, Seq[String]] = {
       // d90 memo-persists its tokenize base keyed by dir, and the sampled
       // audits memo-persist their hash-ranked sample; without these resets
@@ -383,7 +385,7 @@ class OperatorsSpec extends AnyFunSuite {
     // (k-slot partial/final hash aggregate) instead. s81's exact arm was
     // the r11 judge's finding; s56/s60/s67/s69 share the shape.
     import org.apache.spark.sql.execution.window.WindowExec
-    Seq("s56", "s60", "s67", "s69", "s81").foreach { n =>
+    Seq("s56", "s60", "s67", "s69", "s81", "t73", "s83").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan
       val wins = plan.collect { case w: WindowExec => w }
       assert(wins.isEmpty,
