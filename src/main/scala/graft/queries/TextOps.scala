@@ -61,6 +61,52 @@ object TextOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The inverted index as a STORED layout — t73's 100 TB serving path
+    * (parity with writeLshBuckets / writeTrainIndex): postings with the
+    * rarity weight w = 1e9 DIV df FROZEN at build time land in a
+    * token-bucketed managed table, so every probe joins query terms against
+    * a pre-shuffled corpus side (no exchange on the index — the d64/d65
+    * stored-index discipline) and day-over-day growth appends batch-sized
+    * files per bucket (Sinks.appendBucketed). Freezing w at build is the
+    * serving semantics: scores answer "rare in the INDEXED corpus" and
+    * cannot drift under probe traffic; a rebuild refreshes them, exactly
+    * like retraining an IVF quantizer. */
+  def writePostingsIndex(s: SparkSession, dir: String, tableName: String,
+      buckets: Int = 16): Unit = {
+    val postings = docs(s, dir).filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("did"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    graft.sources.Sinks.writeBucketed(
+      postings.join(dfreq, "token")
+        .select(col("token"), col("did"), col("tf"),
+          expr("1000000000L div df").as("w")),
+      tableName, "token", buckets)
+  }
+
+  /** Probe a [[writePostingsIndex]] layout with (qid, text) query docs —
+    * the same scoring and tie rule as [[lexicalTopK]], weights read from
+    * the stored index; the probe side is query-term-bounded and the index
+    * side enters the join exchange-free (bucketed on token). */
+  def probePostingsIndex(s: SparkSession, tableName: String,
+      queryDocs: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val qterms = queryDocs.select(col("qid"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .distinct()
+    qterms.join(s.table(tableName), "token")
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk_pairs(cast(score as double), did, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p.id").as("did"),
+        col("p.score").cast(LongType).as("score"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: length / token / character-class ratios.
     "t46_text_stats" -> ((s, dir) => {

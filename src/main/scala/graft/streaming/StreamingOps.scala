@@ -305,6 +305,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("event_type"))
 
+  /** Streaming HLL++ register partials — d88's stored-partials pattern fed
+    * by a document stream: per-(source, register) MAX of rho is an
+    * order-blind streaming aggregate, so state is at most sources × 2^p
+    * register rows (never row-count-bound, no watermark needed) and the
+    * stream's registers at any point are BIT-EQUAL to the batch
+    * `HllMirror.registersDf` over the rows seen so far (max is associative
+    * and duplicate-blind — StreamingSpec pins the equality). This is the
+    * incremental distinct-count: the day-2 rollup reads the standing
+    * register state instead of rescanning history, and
+    * `HllMirror.estimateDf` turns any snapshot into the
+    * approx_count_distinct figure. Input needs (source, text). */
+  def hllRegisterStream(docs: DataFrame, p: Int = 9): DataFrame =
+    graft.queries.HllMirror.registersDf(
+      docs.filter(col("text").isNotNull)
+        .select(col("source").as("g"),
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)")
+            .as("v")),
+      Seq("g"), p)
+
   /** Streaming exact-CONTENT dedup — the content-level form of
     * [[dedupBounded]] (which keys on event_id): dedup key = md5 of the
     * document text, so byte-identical documents are dropped regardless of

@@ -837,6 +837,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stored postings index: probe exchange-free on the index side, equals in-memory t73") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.queries.TextOps
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // structural traversal
+    try {
+      TextOps.writePostingsIndex(spark, dir, "postings_idx_b", buckets = 8)
+      val qdocs = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("text"))
+      val probe = TextOps.probePostingsIndex(spark, "postings_idx_b", qdocs, 10)
+      // structural claim: the index side enters its probe join bucketed and
+      // WITHOUT an exchange — at 100 TB the postings are the corpus-sized
+      // side, and not reshuffling them per probe is the layout's whole win
+      val plan = probe.queryExecution.executedPlan
+      val idxSides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }
+        .flatten.filter(side =>
+          side.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty)
+      assert(idxSides.nonEmpty, s"no bucketed index scan under the probe join:\n$plan")
+      idxSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"the postings index was reshuffled before its probe join:\n$side")
+      }
+      // correctness: the stored-index probe IS t73 (weights frozen at build
+      // equal the live-computed ones — same corpus, same df)
+      val stored = probe.collect().map(_.toString).toSeq
+      val inMem = SparkEntry.queries("t73")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(stored.nonEmpty && stored == inMem,
+        s"stored-index probe diverges from t73: ${stored.diff(inMem).take(3)} " +
+          s"/ ${inMem.diff(stored).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS postings_idx_b")
+    }
+  }
+
   test("incremental corpus report: stored bucketed state + chained deltas == full recompute") {
     import graft.queries.DedupOps
     try {

@@ -686,6 +686,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == topBatch && top.nonEmpty)
   }
 
+  test("streaming HLL register partials equal batch registers after every batch (incremental distinct)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the d88 stored-partials pattern on an unbounded stream: register
+    // state is per-(source, idx) MAX — order-blind and duplicate-blind, so
+    // the stream must equal the batch registersDf over the rows seen so
+    // far at EVERY batch boundary, and the estimate read off the streamed
+    // registers must equal approx_count_distinct over the same keys
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingOps.runToMemorySink(
+      StreamingOps.hllRegisterStream(mem.toDS().toDF("source", "text")),
+      "hll_regs", OutputMode.Complete)
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*)
+        seen ++= b
+        q.processAllAvailable()
+        val streamed = spark.table("hll_regs")
+          .collect().map(_.toString).sorted.toSeq
+        val batch = graft.queries.HllMirror.registersDf(
+          seen.toSeq.toDF("source", "text")
+            .select(col("source").as("g"),
+              expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)")
+                .as("v")),
+          Seq("g"), 9)
+          .collect().map(_.toString).sorted.toSeq
+        assert(streamed == batch,
+          s"streamed registers diverge at ${seen.size} rows: " +
+            s"${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+      }
+      // estimate off the final streamed registers == approx_count_distinct
+      val est = graft.queries.HllMirror.estimateDf(
+        spark.table("hll_regs")
+          .groupBy(col("idx")).agg(max(col("mr")).as("mr"))
+          .select(lit("all").as("g"), col("idx"), col("mr")), 9)
+        .collect().head.getLong(1)
+      val exact = seen.toSeq.toDF("source", "text")
+        .agg(approx_count_distinct(
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)")))
+        .collect().head.getLong(0)
+      assert(est == exact,
+        s"estimate from streamed registers $est != approx_count_distinct $exact")
+    } finally q.stop()
+  }
+
   test("streaming exact-content dedup (md5 key) converges to batch distinct-by-content") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
