@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Banded range joins — the scale rewrite for the non-equi join classes the
+  * reference can only run as nested loops (reference defaultJoin NLJ path,
+  * `DirectPlanConverter.scala:150-178`; SURVEY §2.3 "Range / as-of /
+  * interval joins: absent"). Stock Spark plans `|a.k − b.k| <= eps` and
+  * `lo <= p AND p <= hi` as BroadcastNestedLoopJoin — O(|L|·|R|) compares
+  * and a full broadcast of one side, which is exactly what dies first at
+  * 100 TB (neither side of a fact×fact band join is broadcastable).
+  *
+  * The rewrite: quantize the join key into fixed-width bands and equi-join
+  * on the band id, so Catalyst plans a plain shuffle hash/sort-merge join
+  * partitioned by band — both sides shuffle once on a key with corpus-wide
+  * cardinality, no broadcast, no quadratic compare. A residual predicate
+  * re-checks the true condition, removing band-collision false positives;
+  * completeness is arithmetic, not probabilistic:
+  *
+  *  - ε-band: with band(x) = floorDiv(x, eps), |a−b| <= eps implies
+  *    |band(a) − band(b)| <= 1, so replicating ONE side to its band ±1
+  *    covers every qualifying pair exactly once per (a,b).
+  *  - point-in-interval: a point visits its single band; a range [lo, hi]
+  *    replicates to each band it overlaps (ceil((hi−lo)/W) + 1 rows), so a
+  *    containing range always shares the point's band, and shares it once.
+  *
+  * Keys must be integral (scale decimals/dates to longs up front): the band
+  * arithmetic is exact integer math, so the rewrite is lossless — proven
+  * pair-for-pair equal to the naive theta join in RangeJoinSpec.
+  *
+  * 100 TB knobs: `eps`/`bandWidth` trades replication against selectivity —
+  * right-side blowup is ×3 (ε-band) or ×(range/W + 1) (interval), while the
+  * per-band candidate count shrinks linearly with width. Pick W near the
+  * typical range length so replication stays O(1) per row. Hot bands (value
+  * clustering) are ordinary join skew — AQE's skew split or SkewJoin's salt
+  * applies unchanged, because after the rewrite this IS an ordinary join.
+  */
+object RangeJoin {
+
+  /** Exact floor-division band id for integral keys (negative-safe:
+    * pmod keeps the numerator exactly divisible, so the double intermediate
+    * of `/` is exact for |key/w| < 2^53 — any sane band domain). */
+  private def bandOf(c: Column, w: Long): Column = {
+    val k = c.cast(LongType)
+    ((k - pmod(k, lit(w))) / lit(w)).cast(LongType)
+  }
+
+  /** ε-band join: all pairs with |left.leftKey − right.rightKey| <= eps
+    * (inclusive), as an equi-join on band id. The RIGHT side replicates ×3
+    * (band −1/0/+1) — put the smaller input right. Column sets must be
+    * disjoint; output carries left's columns then right's. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, eps: Long): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "bandJoin inputs must have disjoint column names")
+    val l = left.withColumn("__lband", bandOf(col(leftKey), eps))
+    val r = right.withColumn("__rband", explode(array(
+      bandOf(col(rightKey), eps) - 1,
+      bandOf(col(rightKey), eps),
+      bandOf(col(rightKey), eps) + 1)))
+    l.join(r, col("__lband") === col("__rband") &&
+        abs(col(leftKey).cast(LongType) - col(rightKey).cast(LongType)) <= lit(eps))
+      .drop("__lband", "__rband")
+  }
+
+  /** Point-in-interval join: every (point, range) pair with
+    * ranges.loKey <= points.pointKey <= ranges.hiKey (closed interval), as
+    * an equi-join on band id. Ranges replicate to each band they overlap;
+    * empty ranges (hi < lo) are dropped up front (they can match nothing,
+    * and sequence() would otherwise walk backwards). Column sets must be
+    * disjoint; output carries points' columns then ranges'. */
+  def pointInInterval(points: DataFrame, ranges: DataFrame,
+      pointKey: String, loKey: String, hiKey: String, bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
+      "pointInInterval inputs must have disjoint column names")
+    val p = points.withColumn("__pband", bandOf(col(pointKey), bandWidth))
+    val r = ranges.filter(col(hiKey) >= col(loKey))
+      .withColumn("__pband", explode(
+        sequence(bandOf(col(loKey), bandWidth), bandOf(col(hiKey), bandWidth))))
+    p.join(r, Seq("__pband"))
+      .filter(col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey))
+      .drop("__pband")
+  }
+}

@@ -854,6 +854,47 @@ object Relational {
           col("n"), col("total_value"))
         .orderBy(col("ws"), col("event_type"))),
 
+    // §2.3 ε-band join via the banded rewrite (operators/RangeJoin): stock
+    // Spark (and the reference's defaultJoin) runs |a−b| <= ε as a
+    // nested-loop; the rewrite equi-joins on floorDiv(key, ε) bands with a
+    // ±1 replication of the smaller side — both sides shuffle once on the
+    // band id, no broadcast, no quadratic compare. Keys are acctbal cents
+    // (floor(x·100 + 0.5) — exact: the doubles carry 2 true decimals and
+    // both engines run the identical IEEE ops). Plan-gated BNLJ-free in
+    // RangeJoinSpec.
+    "q100_band_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast(LongType).as("c_cents"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+        floor(col("s_acctbal") * 100 + 0.5).cast(LongType).as("s_cents"))
+      graft.operators.RangeJoin.bandJoin(cust, sup, "c_cents", "s_cents", 100L)
+        .select(col("c_custkey"), col("s_suppkey"),
+          (col("c_cents") - col("s_cents")).as("diff_cents"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // §2.3 point-in-interval join, banded: lineitems shipped inside any
+    // 14-day promo window (windows cut from a 1/256 order sample). Ranges
+    // replicate to the ≤ 2 width-16 day-bands they overlap; points visit
+    // one band — the join is an ordinary shuffle on the band id, and the
+    // count/sum agg runs on the matched pairs only.
+    "q101_interval_join" -> ((s, dir) => {
+      val epoch = lit("1992-01-01")
+      val promos = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(256)) === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          datediff(col("o_orderdate"), epoch).cast(LongType).as("lo_d"))
+        .withColumn("hi_d", col("lo_d") + 13)
+      val ships = t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast(LongType).as("ship_d"),
+          col("l_quantity"))
+      graft.operators.RangeJoin
+        .pointInInterval(ships, promos, "ship_d", "lo_d", "hi_d", 16L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_ship"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("promo_id"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -1981,6 +2022,34 @@ object Relational {
         |SELECT CAST(w AS VARCHAR) AS ws, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the naive theta join IS the semantics the banded rewrite must equal
+    "q100_band_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c_cents
+        | FROM customer),
+        |s AS (SELECT s_suppkey,
+        |  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS s_cents
+        | FROM supplier)
+        |SELECT c_custkey, s_suppkey, c_cents - s_cents AS diff_cents
+        |FROM c JOIN s ON abs(c_cents - s_cents) <= 100
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q101_interval_join" ->
+      """WITH promos AS (
+        | SELECT o_orderkey AS promo_id,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |   AS BIGINT) AS lo_d
+        | FROM orders WHERE o_orderkey % 256 = 0),
+        |ships AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |   AS BIGINT) AS ship_d, l_quantity
+        | FROM lineitem)
+        |SELECT promo_id, count(*) AS n_ship,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM ships JOIN promos
+        | ON ship_d >= lo_d AND ship_d <= lo_d + 13
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** The banded range-join rewrite must be pair-for-pair EQUAL to the naive
+  * theta join it replaces (the rewrite is arithmetic, not probabilistic),
+  * and must actually plan as an equi-join — no BroadcastNestedLoopJoin, no
+  * CartesianProduct — because avoiding the quadratic compare is its whole
+  * reason to exist at 100 TB. */
+class RangeJoinSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cents(c: String, as: String) =
+    floor(col(c) * 100 + 0.5).cast("long").as(as)
+
+  test("bandJoin == naive theta join on real data (acctbal bands, eps spanning band edges)") {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), cents("c_acctbal", "c_cents"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), cents("s_acctbal", "s_cents"))
+    val banded = RangeJoin.bandJoin(cust, sup, "c_cents", "s_cents", 2500L)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .collect().map(_.toString).sorted.toSeq
+    val naive = cust.crossJoin(sup)
+      .filter(abs(col("c_cents") - col("s_cents")) <= 2500L)
+      .select(col("c_custkey"), col("s_suppkey"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(banded.nonEmpty, "test eps too tight — nothing matched")
+    assert(banded == naive,
+      s"banded != naive: extra=${banded.diff(naive).take(3)} missing=${naive.diff(banded).take(3)}")
+  }
+
+  test("bandJoin exact across zero and at exact band-boundary distances (negative keys)") {
+    import spark.implicits._
+    // keys straddle 0 and land exactly eps apart / exactly on band edges —
+    // the floorDiv(±1) completeness argument's worst cases
+    val a = Seq(-10L, -7L, -5L, -1L, 0L, 1L, 4L, 5L, 9L, 10L, 15L)
+      .toDF("av").withColumn("aid", col("av") + 100)
+    val b = Seq(-15L, -10L, -6L, -5L, 0L, 3L, 5L, 10L, 14L, 20L)
+      .toDF("bv").withColumn("bid", col("bv") + 1000)
+    for (eps <- Seq(1L, 3L, 5L)) {
+      val banded = RangeJoin.bandJoin(a, b, "av", "bv", eps)
+        .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+      val naive = a.crossJoin(b).filter(abs(col("av") - col("bv")) <= eps)
+        .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+      assert(banded == naive && banded.nonEmpty, s"eps=$eps: $banded vs $naive")
+    }
+  }
+
+  test("pointInInterval == naive BETWEEN join; closed bounds; empty ranges dropped") {
+    import spark.implicits._
+    val points = Seq(-8L, -4L, 0L, 3L, 7L, 10L, 13L, 16L, 21L, 32L)
+      .toDF("pv").withColumn("pid", col("pv") + 100)
+    // ranges include: touching bounds exactly, spanning several bands,
+    // within one band, crossing zero, and an EMPTY range (hi < lo)
+    val ranges = Seq((-9L, -4L), (-2L, 3L), (0L, 0L), (3L, 21L), (7L, 7L),
+      (13L, 16L), (30L, 40L), (5L, 2L))
+      .toDF("lo", "hi").withColumn("rid", monotonically_increasing_id())
+    for (w <- Seq(1L, 4L, 16L)) {
+      val banded = RangeJoin.pointInInterval(points, ranges, "pv", "lo", "hi", w)
+        .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+      val naive = points.crossJoin(ranges)
+        .filter(col("pv") >= col("lo") && col("pv") <= col("hi"))
+        .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+      assert(banded == naive && banded.nonEmpty, s"w=$w: $banded vs $naive")
+    }
+  }
+
+  test("banded joins plan as equi-joins: no BNLJ / cartesian, join keyed on the band (plan gate)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q100 = SparkEntry.queries("q100")(spark, dir)
+      val q101 = SparkEntry.queries("q101")(spark, dir)
+      for ((name, df) <- Seq("q100" -> q100, "q101" -> q101)) {
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty &&
+          plan.collect { case c: CartesianProductExec => c }.isEmpty,
+          s"$name fell back to a quadratic join:\n$plan")
+        val smj = plan.collect { case j: SortMergeJoinExec => j }
+        assert(smj.nonEmpty, s"$name: no sort-merge join in\n$plan")
+        assert(smj.forall(_.leftKeys.nonEmpty), s"$name: SMJ without equi keys")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}
