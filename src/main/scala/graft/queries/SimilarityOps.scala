@@ -952,6 +952,44 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF-PQ — the two compressions COMPOSED (the FAISS "IVFADC" shape, the
+    * production layout for trillion-vector serving): the s60 coarse
+    * quantizer routes each query to its nprobe inverted lists, and the fine
+    * ranking INSIDE those lists runs over s69's m-byte PQ codes with the
+    * asymmetric graft_pq_cosine kernel, then the exact float rerank touches
+    * only shortlist-many rows per query. IVF cuts the bytes SCANNED to
+    * nprobe/C of the corpus; PQ cuts the bytes PER SCANNED VECTOR 32× — a
+    * probe reads nprobe/C × m/(4·dim) of the float corpus's bytes
+    * (8/16 × 1/32 ≈ 1.6% here) plus |Q|·shortlist float rows. Routing and
+    * codebook are the very artifacts s60/s69 already train — one coarse
+    * quantizer, one codebook, composed with no retraining, which is also
+    * why the stored form is just writeIvfCorpus's cell partitioning with
+    * `code` instead of floats (the s68 layout). Candidate generation
+    * (probes ⋈ cells on cell id) and the shortlist (bounded
+    * graft_topk_pairs, never a corpus-sized rank window) follow the s60/s69
+    * plans row for row, so every scale property proven there carries over. */
+  def annIvfPq(s: SparkSession, dir: String, c: Int, nprobe: Int,
+      m: Int, k: Int, shortlist: Int, iters: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val cb = trainPqCodebook(s, dir, m, k, iters)
+    val corpus = corpusPq(s, dir, m, k, iters)
+      .join(corpusWithCells(s, dir, c, iters).select(col("nid"), col("cell")), "nid")
+    val short = ivfQueryProbes(s, dir, c, nprobe, iters)
+      .join(corpus, "cell") // shuffle on cell id — the inverted-list probe
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("qv"), col("nid"),
+        expr("graft_pq_cosine(qv, code, cb)").as("psim"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        expr(s"graft_topk_pairs(psim, nid, $shortlist)").as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, x -> x.id)")).as("nid"))
+    exactTopK(short
+      .join(emb(s, dir).select(col("vec_id").as("nid"), col("embedding").as("cv")), "nid")
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim")), 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Distributed top-2 PCA over the embedding corpus — the linear-algebra
     * primitive behind whitening, low-rank compression, 2-D corpus maps,
     * and embedding-drift monitoring: the two leading principal directions
@@ -1086,6 +1124,15 @@ object SimilarityOps {
     // rows-only driver check; recall@5 vs exact s56 is spec-gated at the
     // measured floor (0.90 at m=8/k=64/R=50).
     "s69_ann_pq" -> ((s, dir) => annPq(s, dir, PqM, PqK, PqShortlist, iters = 3)),
+
+    // IVF-PQ (IVFADC): s60's coarse routing composed with s69's PQ codes —
+    // probe nprobe inverted lists, ADC-rank their m-byte codes, exact-rerank
+    // the shortlist. See [[annIvfPq]] for the byte math; recall@5 vs exact
+    // s56 is spec-gated, and the full pipeline (both k-means trainings, cell
+    // routing, probe lists, ADC scores, shortlist, rerank) is hash-match
+    // oracled via the composed s60 + s69 algorithm mirrors.
+    "s84_ann_ivfpq" -> ((s, dir) =>
+      annIvfPq(s, dir, IvfCells, IvfNprobe, PqM, PqK, PqShortlist, iters = 3)),
 
     // IVF approximate NN — the other classic ANN scale path next to
     // hyperplane LSH (s57): a C-cell coarse quantizer partitions the corpus
@@ -1688,6 +1735,44 @@ object SimilarityOps {
        |$out AS MATERIALIZED (
        |  SELECT p.sub, p.cid, coalesce(m.ncv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN ${out}_m m ON m.sub = p.sub AND m.cid = p.cid)""".stripMargin
+
+  /** Shared PQ mirror fragment (expects murmurPmSql's `pm` CTE upstream):
+    * subvector split, hash-ranked per-subspace init, three Lloyd rounds
+    * ending in `c3`, final corpus codes (`codes`) and query subvectors
+    * (`qsub`). Composed by the s69 (PQ alone) and s84 (IVF-PQ) oracles —
+    * one text, so the two mirrors cannot drift. */
+  private val pqCodesSql: String =
+    """subv AS MATERIALIZED (
+      |  SELECT vec_id, r.range AS sub,
+      |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS sv
+      |  FROM embeddings, range(0,8) r
+      |  WHERE vec_id >= 10 AND embedding IS NOT NULL),
+      |init AS MATERIALIZED (
+      |  SELECT sub, CAST(rn - 1 AS INTEGER) AS cid,
+      |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv FROM (
+      |    SELECT sub, sv, row_number() OVER (PARTITION BY sub
+      |      ORDER BY pm.pm, s.vec_id) AS rn
+      |    FROM subv s JOIN pm ON pm.vec_id = s.vec_id) WHERE rn <= 64),
+      |""".stripMargin +
+    // pa1..pa3, not a1..a3: the IVF prelude (ivfTrainSql) owns a1..a3, and
+    // s84 composes both fragments into one WITH clause
+    pqAssignSql("init", "pa1") + ",\n" + pqUpdateSql("pa1", "init", "c1") + ",\n" +
+    pqAssignSql("c1", "pa2") + ",\n" + pqUpdateSql("pa2", "c1", "c2") + ",\n" +
+    pqAssignSql("c2", "pa3") + ",\n" + pqUpdateSql("pa3", "c2", "c3") +
+    """,
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id AS nid, sub, cid FROM (
+      |    SELECT s.vec_id, s.sub, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+      |        list_sum(list_transform(range(1, 1 + len(s.sv)),
+      |          j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
+      |             * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) ASC,
+      |        c.cid) AS rk
+      |    FROM subv s JOIN c3 c USING (sub)) WHERE rk = 1),
+      |qsub AS MATERIALIZED (
+      |  SELECT vec_id AS qid, r.range AS sub,
+      |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS qs
+      |  FROM embeddings, range(0,8) r WHERE vec_id < 10)""".stripMargin
 
   /** One MMR greedy round in SQL (round k ≥ 2): among candidates not yet
     * picked, argmax of λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) with the
@@ -2308,37 +2393,8 @@ object SimilarityOps {
     // shortlist-boundary psims differ by far more than accumulated ulps
     // (validated at both SFs), and the exact rerank decides the final
     // top-5 either way.
-    "s69_ann_pq" -> (murmurPmSql +
+    "s69_ann_pq" -> (murmurPmSql + ",\n" + pqCodesSql +
       """,
-        |subv AS MATERIALIZED (
-        |  SELECT vec_id, r.range AS sub,
-        |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS sv
-        |  FROM embeddings, range(0,8) r
-        |  WHERE vec_id >= 10 AND embedding IS NOT NULL),
-        |init AS MATERIALIZED (
-        |  SELECT sub, CAST(rn - 1 AS INTEGER) AS cid,
-        |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cv FROM (
-        |    SELECT sub, sv, row_number() OVER (PARTITION BY sub
-        |      ORDER BY pm.pm, s.vec_id) AS rn
-        |    FROM subv s JOIN pm ON pm.vec_id = s.vec_id) WHERE rn <= 64),
-        |""".stripMargin +
-      pqAssignSql("init", "a1") + ",\n" + pqUpdateSql("a1", "init", "c1") + ",\n" +
-      pqAssignSql("c1", "a2") + ",\n" + pqUpdateSql("a2", "c1", "c2") + ",\n" +
-      pqAssignSql("c2", "a3") + ",\n" + pqUpdateSql("a3", "c2", "c3") +
-      """,
-        |codes AS MATERIALIZED (
-        |  SELECT vec_id AS nid, sub, cid FROM (
-        |    SELECT s.vec_id, s.sub, c.cid,
-        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-        |        list_sum(list_transform(range(1, 1 + len(s.sv)),
-        |          j -> (CAST(s.sv[j] AS DOUBLE) - c.cv[j])
-        |             * (CAST(s.sv[j] AS DOUBLE) - c.cv[j]))) ASC,
-        |        c.cid) AS rk
-        |    FROM subv s JOIN c3 c USING (sub)) WHERE rk = 1),
-        |qsub AS MATERIALIZED (
-        |  SELECT vec_id AS qid, r.range AS sub,
-        |    list_slice(embedding, r.range*8 + 1, r.range*8 + 8) AS qs
-        |  FROM embeddings, range(0,8) r WHERE vec_id < 10),
         |psim AS MATERIALIZED (
         |  SELECT qid, nid,
         |    sum(dot_p) / (sqrt(sum(nq_p)) * sqrt(sum(nc_p))) AS psim
@@ -2351,6 +2407,44 @@ object SimilarityOps {
         |      list_sum(list_transform(c.cv, v -> v * v)) AS nc_p
         |    FROM qsub q
         |    JOIN codes ON codes.sub = q.sub
+        |    JOIN c3 c ON c.sub = codes.sub AND c.cid = codes.cid)
+        |  GROUP BY qid, nid),
+        |short AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY psim DESC, nid) AS prnk
+        |  FROM psim) WHERE prnk <= 50),
+        |rer AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) DESC, nid) AS rnk
+        |  FROM short JOIN embeddings q ON q.vec_id = short.qid
+        |  JOIN embeddings b ON b.vec_id = short.nid)
+        |SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk FROM rer
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // s84's EXACT mirror — the s60 and s69 mirrors COMPOSED: the IVF
+    // prelude (murmur seeds, three Lloyd rounds, corpus cell assignment,
+    // nprobe-8 query probe lists) supplies the candidate set, the shared PQ
+    // fragment supplies codes and codebook, and the ADC psim scan runs only
+    // over (query, candidate-in-probed-cell) pairs — exactly the engine's
+    // probes ⋈ cells join. Shortlist tie rule and exact rerank as in s69.
+    "s84_ann_ivfpq" -> (ivfOraclePrefix + ",\n" + pqCodesSql +
+      """,
+        |cand AS MATERIALIZED (
+        |  SELECT pr.qid, cc.vec_id AS nid
+        |  FROM probes pr JOIN ccells cc ON cc.cell = pr.cell),
+        |psim AS MATERIALIZED (
+        |  SELECT qid, nid,
+        |    sum(dot_p) / (sqrt(sum(nq_p)) * sqrt(sum(nc_p))) AS psim
+        |  FROM (
+        |    SELECT q.qid, cand.nid, q.sub,
+        |      list_sum(list_transform(range(1, 1 + len(q.qs)),
+        |        j -> CAST(q.qs[j] AS DOUBLE) * c.cv[j])) AS dot_p,
+        |      list_sum(list_transform(q.qs,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq_p,
+        |      list_sum(list_transform(c.cv, v -> v * v)) AS nc_p
+        |    FROM qsub q
+        |    JOIN cand ON cand.qid = q.qid
+        |    JOIN codes ON codes.nid = cand.nid AND codes.sub = q.sub
         |    JOIN c3 c ON c.sub = codes.sub AND c.cid = codes.cid)
         |  GROUP BY qid, nid),
         |short AS (SELECT qid, nid FROM (SELECT qid, nid,

@@ -412,6 +412,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(two == again)
   }
 
+  test("s84_ann_ivfpq: recall@5 >= 0.8, bounded above by s60's (same candidate pool, PQ-shortlisted)") {
+    // s60 exact-reranks EVERY candidate in the probed cells; s84 reranks
+    // only the PQ top-50 of the same pool — so s84's recall cannot exceed
+    // s60's (set inclusion, asserted), and the gap IS the ADC shortlist's
+    // miss rate. Floor at the family's 0.8 bar.
+    val exact = SparkEntry.queries("s56")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("s60")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SparkEntry.queries("s84")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = exact.intersect(ivf).size.toDouble / exact.size
+    val rPq = exact.intersect(ivfpq).size.toDouble / exact.size
+    info(f"recall@5: s60=$rIvf%.2f ivf-pq=$rPq%.2f")
+    assert(rPq >= 0.8, s"IVF-PQ recall@5 $rPq below the family floor")
+    assert(exact.intersect(ivfpq).subsetOf(exact.intersect(ivf)),
+      "IVF-PQ recovered an exact neighbor outside its own candidate pool — " +
+        "cell routing diverged from s60")
+    assert(ivfpq.forall { case (q, n) => q < 10 && n >= 10 })
+    // determinism: both trainings are hash-seeded, fixed-iteration
+    val again = SparkEntry.queries("s84")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq == again)
+  }
+
   test("s71_ann_truncated (32-dim prefix + exact rerank) achieves recall@5 >= 0.85 vs exact s56") {
     // measured grid on this corpus (non-MRL embeddings): dims 8/16/32 ×
     // R 25/50/100 → 0.18/0.34/0.54, 0.40/0.54/0.70, 0.64/0.74/0.94.
