@@ -990,6 +990,58 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The stored IVF-PQ layout — [[annIvfPq]]'s index as bytes on the lake:
+    * cell-partitioned m-byte codes (the s68 directory shape with PQ codes —
+    * a probe is a partition-pruned read of nprobe/C of an already-32×-
+    * smaller index) plus the two sidecars a probe needs: the coarse
+    * centroids (routing) and the PQ codebook (ADC). Both sidecars travel
+    * with the layout — the d64/d65/s68 stored-index discipline: a probe
+    * retrains nothing and cannot drift from the quantizers the codes were
+    * written under. */
+  def writeIvfCorpusPq(s: SparkSession, dir: String, path: String,
+      c: Int, m: Int, k: Int, iters: Int): Unit = {
+    GraftFunctions.register(s)
+    graft.sources.Sinks.writePartitioned(
+      corpusPq(s, dir, m, k, iters)
+        .join(corpusWithCells(s, dir, c, iters).select(col("nid"), col("cell")), "nid"),
+      path, Seq("cell"))
+    trainPqCodebook(s, dir, m, k, iters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"${path}_codebook")
+    trainCentroids(s, dir, c, iters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"${path}_centroids")
+  }
+
+  /** The PQ codebook sidecar of a [[writeIvfCorpusPq]] layout. */
+  def readPqCodebook(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${path}_codebook")
+
+  /** Self-contained probe of a stored IVF-PQ layout: routing under the
+    * layout's centroid sidecar, ADC over its codes with the codebook
+    * sidecar, exact rerank via point-lookups into the SOURCE float table —
+    * at 100 TB the full-precision vectors never enter the index; only
+    * R·|Q| of them are fetched per probe batch, a keyed join against the
+    * (bucketed/partitioned) corpus table. Result ≡ in-memory [[annIvfPq]]
+    * (spec-gated): the storage changes the I/O, never the answer. */
+  def annIvfPqStored(s: SparkSession, dir: String, path: String,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val cb = readPqCodebook(s, path)
+    val short = ivfQueryProbesOver(s, dir, readIvfCentroids(s, path), nprobe)
+      .join(graft.sources.Sinks.readPartitioned(s, path), "cell")
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("qv"), col("nid"),
+        expr("graft_pq_cosine(qv, code, cb)").as("psim"))
+      .groupBy(col("qid"))
+      .agg(first(col("qv")).as("qv"),
+        expr(s"graft_topk_pairs(psim, nid, $shortlist)").as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, x -> x.id)")).as("nid"))
+    exactTopK(short
+      .join(emb(s, dir).select(col("vec_id").as("nid"), col("embedding").as("cv")), "nid")
+      .select(col("qid"), col("nid"), expr("graft_cosine(qv, cv)").as("sim")), 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Distributed top-2 PCA over the embedding corpus — the linear-algebra
     * primitive behind whitening, low-rank compression, 2-D corpus maps,
     * and embedding-drift monitoring: the two leading principal directions

@@ -559,6 +559,53 @@ class OperatorsSpec extends AnyFunSuite {
         f"(${bf.toDouble / bq}%.2fx)")
   }
 
+  test("IVF-PQ layout: pruned probe read, stored probe == in-memory s84, bytes shrink vs int8") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.SimilarityOps
+    val c = SimilarityOps.IvfCells
+    val nprobe = SimilarityOps.IvfNprobe
+    val outP = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+    val outQ = java.nio.file.Files.createTempDirectory("graft-ivfq2-").toString
+    SimilarityOps.writeIvfCorpusPq(spark, dir, outP, c,
+      SimilarityOps.PqM, SimilarityOps.PqK, iters = 3)
+    SimilarityOps.writeIvfCorpusQuantized(spark, dir, outQ, c, iters = 3)
+    // 1) a literal cell-list read of the PQ layout is partition-pruned
+    val allCells = Sinks.readPartitioned(spark, outP)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(allCells.size > nprobe, s"corpus landed in only ${allCells.size} cells")
+    val probeCells = allCells.toSeq.sorted.take(nprobe)
+    val read = Sinks.readPartitioned(spark, outP)
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1 &&
+      scans.head.selectedPartitions.partitionCount == probeCells.size,
+      s"PQ probe read not pruned to $probeCells:\n${read.queryExecution.executedPlan}")
+    // 2) the self-contained stored probe (centroid + codebook sidecars, no
+    // retraining) returns exactly the in-memory s84 answer
+    val stored = SimilarityOps.annIvfPqStored(spark, dir, outP, nprobe,
+        SimilarityOps.PqShortlist).collect().map(_.toString).toSeq
+    val inMem = SparkEntry.queries("s84")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inMem,
+      "stored IVF-PQ probe diverged from the in-memory path")
+    // 3) the compression point of PQ: 8 B/vector codes vs int8's 64 B —
+    // the stored inverted lists shrink again (gate loosely; parquet
+    // framing overhead dominates at this corpus size)
+    def parquetBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(f => f.toString.endsWith(".parquet"))
+        .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      finally s.close()
+    }
+    val bq = parquetBytes(outQ); val bp = parquetBytes(outP)
+    info(f"stored inverted lists: q8 $bq%d B vs pq $bp%d B = ${bq.toDouble / bp}%.2fx")
+    assert(bq > bp * 1.5,
+      f"PQ layout not smaller than int8: q8 $bq%d B vs pq $bp%d B")
+  }
+
   test("quantized IVF append: probe-after-append == one-shot build; stale grid refused") {
     import graft.queries.SimilarityOps
     val c = SimilarityOps.IvfCells
