@@ -327,6 +327,12 @@ object ScaleProbe {
       // replicate per shard — two corpus scans + bigram-keyed aggs/join,
       // the claimed linear train-then-score regime
       run("t71", k, d)
+      // lexical retrieval: suffixed replicas share zero tokens, so the
+      // postings build (explode + two token-keyed aggs) replicates per
+      // shard ×K while the probe join stays query-term-bounded (the fixed
+      // 10 query docs live in replica 0 and match only replica-0 postings)
+      // — the claimed index-build-linear / probe-flat regime
+      run("t73", k, d)
       // d81 kernel claims are doc-LENGTH scaling, probed at the base
       // corpus only (the ×16-token stress next to its control)
       if (k == 1) { run("d81_flat", k, d); run("d81_long", k, d) }
@@ -423,7 +429,7 @@ object ScaleProbe {
     for (k <- Seq(1, 3, 10) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/emb_x$k"
       if (k > 1 && wanted("s58", "s61", "s64", "s65", "s76", "s77",
-          "s78", "s79", "s80", "s81",
+          "s78", "s79", "s80", "s81", "s84",
           // the budgeted members run under their _probe names (the
           // d64_probe/d90_probe convention) — SCALE_QUERIES set to a probe
           // name must still synthesize the ×K embeddings dir
@@ -456,6 +462,12 @@ object ScaleProbe {
       // both claim linear scan-bound growth, no corpus-sized shuffle
       run("s64", k, d)
       run("s65", k, d)
+      // IVF-PQ end to end: both k-means trainings are Lloyd rounds over
+      // broadcast centroids/codebooks (scan ×K per round), the PQ encode is
+      // scan-local, and the probe's ADC scan touches nprobe/C of the ×K
+      // corpus with a FIXED 10-query probe list — every stage linear, no
+      // pair blowup (candidates ∝ corpus, never corpus²)
+      run("s84", k, d)
       graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
     // agreement report (s66): needs BOTH tables in ONE dir with consistent

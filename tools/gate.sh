@@ -15,7 +15,7 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_verify1" 2>&1 | grep "\[verify\]" || true
 python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_verify1 2>/dev/null | grep -E "FAIL|=="
 echo "== scale gate (1x vs 10x growth classes; VERDICT r11 item 5) =="
-SCALE_QUERIES=d71,d82,d83,s61,s76,s78_probe,s79_probe,s80_probe \
+SCALE_QUERIES=d71,d82,d83,s61,s76,s78_probe,s79_probe,s80_probe,t73,s84 \
 SCALE_FACTORS=1,10 \
   sbt -batch "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/graft_scale" 2>&1 \
   | grep "\[scale\]" | tee /tmp/scale_gate.txt || true

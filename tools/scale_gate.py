@@ -33,6 +33,8 @@ CLASSES = {
     "d83": ("linear", 15.0),
     "s61": ("pair-bound", 130.0),
     "s76": ("pair-bound", 130.0),
+    "t73": ("linear", 15.0),
+    "s84": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -46,6 +48,8 @@ BASELINE_1X = {
     "d83": 1.60,
     "s61": 1.46,
     "s76": 0.92,
+    "t73": 1.17,
+    "s84": 0.71,
 }
 
 ROW = re.compile(
