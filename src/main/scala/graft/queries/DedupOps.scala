@@ -793,6 +793,93 @@ object DedupOps {
         .orderBy(col("csize"))
     }),
 
+    // Centrality-canonical selection — d77 picks each cluster's canonical
+    // by document QUALITY; this picks it by GRAPH CENTRALITY: the member
+    // with the largest total similarity to the rest of its cluster (the
+    // medoid of the J>=0.8 similarity graph — the "most representative
+    // duplicate", the keep-rule dedup literature prefers when quality
+    // signals are unreliable). Edge weights are floor(jac·1e9) BIGINTs
+    // (the t60 quantize-before-sum rule: double partial-sum order varies
+    // across shuffles; integer sums do not). Cost on top of the memoized
+    // pairs + labels: one edge-keyed weighted-degree agg + one
+    // per-component struct-argmax — report-sized output (one row per
+    // multi-doc cluster), everything partial/final aggregated.
+    "d92_central_rep" -> ((s, dir) => {
+      val e = jaccardPairs(s, dir, 0.8)
+        .select(col("ida"), col("idb"),
+          floor(col("jac") * 1e9).cast(LongType).as("jq"))
+      val deg = e.select(col("ida").as("id"), col("jq"))
+        .unionAll(e.select(col("idb").as("id"), col("jq")))
+        .groupBy(col("id"))
+        .agg(sum(col("jq")).as("wdeg"))
+      // inner join: every member of a >=2-doc component has >= 1 edge, so
+      // nothing is lost; singleton clusters (trivially self-representative)
+      // stay out of the report
+      ccLabels(s, dir).join(deg, "id")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("wdeg"), (-col("id")).as("negid"))).as("b"))
+        .select(col("comp").as("cluster"), col("n_members"),
+          (-col("b.negid")).as("central_id"), col("b.wdeg").as("central_wdeg_q"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Deterministic negative-pair mining — the contrastive-training
+    // counterpart of the near-dup (positive-pair) miners: k pseudo-random
+    // negatives per anchor, reproducible across runs/clusters (no RNG —
+    // the d55/d87 salted-md5 discipline), with accidental near-dups
+    // EXCLUDED by exact verify. The hash permutation is a global rank
+    // built the sanctioned way (d59/d90's banded two-pass: 256 md5-prefix
+    // bands, per-band row_number, 256-row offset window — never one
+    // corpus-sized unpartitioned sort); negative j sits j·(n div (k+1))
+    // positions along the hash ring (0 < s_j < n, pairwise distinct, so an
+    // anchor never draws itself or the same negative twice). Candidates
+    // are k·n pairs; each is verified by the exact shingle-intersection
+    // kernel (linear, id-keyed joins — never a pair blowup), and pairs at
+    // jaccard >= 0.8 are dropped: a "negative" that is secretly a near-dup
+    // poisons the contrastive objective.
+    "d93_negative_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val k = 2
+      val tagged = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(concat(lit("neg:"),
+          col("doc_id").cast(StringType)).cast(BinaryType)).as("h"))
+        // band = first two hex chars: a PREFIX of the sort key, so
+        // band-major + in-band (h, id) order IS the global (h, id) order
+        .withColumn("band", expr("cast(conv(substring(h, 1, 2), 16, 10) as int)"))
+      val local = tagged.withColumn("lr", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("h"), col("doc_id"))) - 1)
+      val offs = local.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("band"), col("off"))
+      val ranked = local.join(broadcast(offs), "band")
+        .select(col("doc_id"), (col("off") + col("lr")).as("r"))
+      val n = ranked.groupBy().agg(count(lit(1)).as("n"))
+      val cand = ranked.crossJoin(broadcast(n))
+        .select(col("doc_id").as("anchor"),
+          explode(sequence(lit(1), lit(k))).as("j"), col("r"), col("n"))
+        .select(col("anchor"), col("j"),
+          pmod(col("r") + col("j") * expr(s"n div ${k + 1}"), col("n")).as("tr"))
+        .join(ranked.select(col("r").as("tr"), col("doc_id").as("neg_id")), "tr")
+      val hs = hashedDocs(s, dir)
+      cand
+        .join(hs.select(col("doc_id").as("anchor"), col("hs").as("hsa")), "anchor")
+        .join(hs.select(col("doc_id").as("neg_id"), col("hs").as("hsb")), "neg_id")
+        .select(col("anchor"), col("j"), col("neg_id"),
+          expr("graft_intersect_size(hsa, hsb)").as("c"),
+          (size(col("hsa")) + size(col("hsb"))).as("ss"))
+        .select(col("anchor"), col("j"), col("neg_id"),
+          when(col("ss") - col("c") === 0, lit(0L))
+            .otherwise(floor(col("c").cast(DoubleType) / (col("ss") - col("c")) * 1e9)
+              .cast(LongType)).as("jq"))
+        .filter(col("jq") < 800000000L)
+        .orderBy(col("anchor"), col("j"))
+    }),
+
     // Deterministic corpus rebalancing — the mixture-weighting step of
     // dataset assembly: downsample the majority language (en keeps 1 doc in
     // 4 by id residue, others keep all) with NO RNG, so the sample is
@@ -2172,6 +2259,77 @@ object DedupOps {
          |cs AS (SELECT rep, count(*) AS csize FROM lab GROUP BY 1)
          |SELECT csize, count(*) AS n_clusters, csize * count(*) AS n_docs
          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d56's closure + per-node weighted degree (both pair orientations) +
+    // per-cluster argmax, ties to the smaller doc_id — the struct-max rule
+    "d92_central_rep" ->
+      s"""WITH RECURSIVE pairs AS (${oracleJaccardCore(0.8)}),
+         |edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION ALL SELECT idb, ida FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |repr AS (SELECT src, least(src, min(dst)) AS root FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN repr r ON d.doc_id = r.src),
+         |jq AS (SELECT ida, idb, CAST(floor(jac * 1e9) AS BIGINT) AS jq FROM pairs),
+         |deg AS (
+         |  SELECT id, CAST(sum(jq) AS BIGINT) AS wdeg FROM (
+         |    SELECT ida AS id, jq FROM jq UNION ALL SELECT idb, jq FROM jq)
+         |  GROUP BY id),
+         |mem AS (SELECT l.rep AS cluster, l.doc_id AS id, g.wdeg
+         |        FROM lab l JOIN deg g ON g.id = l.doc_id),
+         |best AS (
+         |  SELECT cluster, id, wdeg,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY wdeg DESC, id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM mem)
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |  id AS central_id, wdeg AS central_wdeg_q
+         |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    // the hash permutation as ONE plain window (the decomposition the
+    // engine's banded two-pass must equal), ring offsets j·(n div 3),
+    // common-shingle count per candidate pair via the shared shingle CTE
+    "d93_negative_pairs" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |rk AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |  AS BIGINT) AS r FROM d),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+        |cand AS (
+        |  SELECT a.doc_id AS anchor, CAST(t.j AS INTEGER) AS j,
+        |    (a.r + t.j * (nn.n // 3)) % nn.n AS tr
+        |  FROM rk a, nn, (SELECT unnest(range(1, 3)) AS j) t),
+        |prs AS (
+        |  SELECT c.anchor, c.j, b.doc_id AS neg_id
+        |  FROM cand c JOIN rk b ON b.r = c.tr),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2] FOR i IN range(1, len(s) - 1)])) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS s FROM documents)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |com AS (
+        |  SELECT p.anchor, p.j, p.neg_id, count(sb.shingle) AS c
+        |  FROM prs p
+        |  LEFT JOIN sh sa ON sa.doc_id = p.anchor
+        |  LEFT JOIN sh sb ON sb.doc_id = p.neg_id AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT com.anchor, com.j, com.neg_id, com.c,
+        |    coalesce(za.n, 0) + coalesce(zb.n, 0) AS ss
+        |  FROM com
+        |  LEFT JOIN sz za ON za.doc_id = com.anchor
+        |  LEFT JOIN sz zb ON zb.doc_id = com.neg_id)
+        |SELECT anchor, j, neg_id,
+        |  CASE WHEN ss - c = 0 THEN 0
+        |   ELSE CAST(floor(CAST(c AS DOUBLE) / (ss - c) * 1e9) AS BIGINT) END AS jq
+        |FROM scored
+        |WHERE (CASE WHEN ss - c = 0 THEN 0
+        |   ELSE CAST(floor(CAST(c AS DOUBLE) / (ss - c) * 1e9) AS BIGINT) END)
+        |  < 800000000
+        |ORDER BY anchor, j""".stripMargin,
 
     "d63_corpus_report" ->
       s"""SELECT source, ${QueryUtil.oracleQualityPredicate} AS keep,

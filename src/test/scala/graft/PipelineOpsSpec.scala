@@ -1040,4 +1040,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 5L)) && !got.contains((2L, 5L)))
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("d93 negative mining: ring pairing matches an independent reference; no self/duplicate draws") {
+    // independent reference: the hash permutation recomputed in plain JVM
+    // code (MessageDigest, no Spark) — proves the banded two-pass global
+    // rank AND the modular ring arithmetic in one equality
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull).select("doc_id")
+      .collect().map(_.getLong(0))
+    val perm = ids.sortBy(id => (md5hex(s"neg:$id"), id))
+    val n = perm.length
+    val pos = perm.zipWithIndex.toMap
+    val expected = (for {
+      a <- perm; j <- 1 to 2
+    } yield (a, j, perm(((pos(a) + j * (n / 3)) % n).toInt))).toSet
+    val out = SparkEntry.queries("d93")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every emitted pair is a ring pair (the near-dup exclusion only
+    // REMOVES rows), nearly all ring pairs survive, and the basics hold
+    assert(out.nonEmpty && out.toSet.subsetOf(expected),
+      s"rows outside the ring pairing: ${out.toSet.diff(expected).take(3)}")
+    assert(out.size >= 2 * n - math.max(2, n / 10),
+      s"too many exclusions: ${2 * n - out.size} of ${2 * n}")
+    assert(out.forall { case (a, _, b) => a != b }, "self-pair emitted")
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"anchor $a drew the same negative twice")
+    }
+    // determinism (no RNG anywhere in the draw)
+    val again = SparkEntry.queries("d93")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
