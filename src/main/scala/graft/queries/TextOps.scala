@@ -318,6 +318,39 @@ object TextOps {
     // w1-keyed agg for the denominator reusing the same partitioning →
     // rank filter that Spark rewrites to WindowGroupLimit (map-side top-k
     // per w1, no full sort of the bigram table).
+    // Collocation mining — top-k bigrams by pointwise mutual information:
+    // the corpus-analysis pass that surfaces boilerplate phrases, templated
+    // headers, and multi-word terms (PMI-ranked collocations drive both
+    // stopphrase lists and tokenizer merge candidates). Integer-exact PMI
+    // proxy: score = ((f_ab·1e9) div f_a)·N div f_b — monotone in the PMI
+    // ratio f_ab·N/(f_a·f_b), computed in that staged order so every
+    // intermediate fits BIGINT (f_ab·1e9 ≤ 1e15 here; at trillion-token
+    // scale drop the 1e9 to 1e6 or widen to DECIMAL(38,0) — the scale
+    // factor is presentation, not ranking). Min support f_ab >= 5 keeps
+    // hapax noise out (PMI's classic failure mode). One token scan feeds
+    // both count tables (bigram + unigram, each vocab-sized); N is a 1-row
+    // broadcast; the final top-50 is TakeOrderedAndProject — bounded, no
+    // global sort materialization.
+    "t74_collocations" -> ((s, dir) => {
+      val toks = docs(s, dir).select(split(trim(col("text")), "\\s+").as("s"))
+      val bi = toks
+        .select(explode(QueryUtil.wordNgrams(col("s"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("f_ab"))
+      val nBg = bi.agg(sum(col("f_ab")).as("n_bg")) // pre-filter total
+      val uni = toks.select(explode(col("s")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      bi.filter(col("f_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("f").as("f_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("f").as("f_b")), "w2")
+        .crossJoin(broadcast(nBg))
+        .select(col("w1"), col("w2"), col("f_ab"),
+          expr("((f_ab * 1000000000L) div f_a) * n_bg div f_b").as("score_q"))
+        .orderBy(col("score_q").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     "t66_bigram_lm" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val bi = docs(s, dir)
@@ -1116,6 +1149,29 @@ object TextOps {
 
     // 2-gram construction mirrors d52's shingle CTE; conditional p is one
     // IEEE divide of exact ints (DuckDB's HUGEINT sum widens transparently)
+    // same staged integer-division order as the engine (floor composition
+    // must match term for term — a single combined division rounds
+    // differently); LIMIT under the same total order
+    "t74_collocations" ->
+      """WITH tk AS (
+        | SELECT string_split_regex(trim(text), '\s+') AS s FROM documents),
+        |bg AS (SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bg
+        |       FROM tk),
+        |b AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |      FROM bg),
+        |c AS (SELECT w1, w2, count(*) AS f_ab FROM b GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(f_ab) AS BIGINT) AS n_bg FROM c),
+        |u AS (SELECT unnest(s) AS w FROM tk),
+        |uc AS (SELECT w, count(*) AS f FROM u GROUP BY 1)
+        |SELECT c.w1, c.w2, c.f_ab,
+        |  ((c.f_ab * 1000000000) // ua.f) * nb.n_bg // ub.f AS score_q
+        |FROM c
+        |CROSS JOIN nb
+        |JOIN uc ua ON ua.w = c.w1
+        |JOIN uc ub ON ub.w = c.w2
+        |WHERE c.f_ab >= 5
+        |ORDER BY score_q DESC, c.w1, c.w2 LIMIT 50""".stripMargin,
+
     "t66_bigram_lm" ->
       """WITH sh AS (
         | SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS bg

@@ -20,7 +20,7 @@ OUT=${OUT:-/tmp/graft_x10_verify}
 # survival, d71 window counts, t60 mixture normalizer, d86 prefix anchors,
 # t73 rarity weights = 1e9 DIV df with df growing x10),
 # dedup/report/sampling over the duplicated corpus, and scoring gates
-QUERIES=d50,d55,d63,d66,d71,d74,d81,d86,d87,d90,t46,t47,t50,t52,t55,t56,t57,t60,t61,t65,t68,t73,u65
+QUERIES=t74,d50,d55,d63,d66,d71,d74,d81,d86,d87,d90,t46,t47,t50,t52,t55,t56,t57,t60,t61,t65,t68,t73,u65
 
 if [ ! -d "$X10/documents.parquet" ]; then
   echo "== synthesizing plain x10 corpus =="
