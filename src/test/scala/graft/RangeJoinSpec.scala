@@ -65,9 +65,14 @@ class RangeJoinSpec extends AnyFunSuite {
       .toDF("pv").withColumn("pid", col("pv") + 100)
     // ranges include: touching bounds exactly, spanning several bands,
     // within one band, crossing zero, and an EMPTY range (hi < lo)
+    // rid is data-derived, NOT monotonically_increasing_id(): mid ids are
+    // partition-encoded, so the same DF evaluated in two different plans
+    // (banded vs naive) numbers rows differently under a non-default
+    // session parallelism — bit us in the full-suite run
     val ranges = Seq((-9L, -4L), (-2L, 3L), (0L, 0L), (3L, 21L), (7L, 7L),
-      (13L, 16L), (30L, 40L), (5L, 2L))
-      .toDF("lo", "hi").withColumn("rid", monotonically_increasing_id())
+      (13L, 16L), (30L, 40L), (5L, 2L)).zipWithIndex
+      .map { case ((lo, hi), i) => (lo, hi, i.toLong) }
+      .toDF("lo", "hi", "rid")
     for (w <- Seq(1L, 4L, 16L)) {
       val banded = RangeJoin.pointInInterval(points, ranges, "pv", "lo", "hi", w)
         .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
