@@ -119,5 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // variant: driver-side local-relation folding (the reference's
     // no-job fast path) without freezing Exec* clocks into cached plans
     e.injectOptimizerRule(_ => ClockSafeConvertToLocalRelation)
+    // interval-containment theta joins (BETWEEN joins) plan as banded
+    // equi-joins instead of nested loops — exact for any band width,
+    // plan-gated in RangeJoinRuleSpec
+    e.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
   }
 }

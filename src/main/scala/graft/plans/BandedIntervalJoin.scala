@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: plan interval-containment theta joins as banded
+  * equi-joins — the SQL-surface twin of `operators/RangeJoin` (which covers
+  * the DataFrame API). Stock Spark plans
+  *
+  *   SELECT ... FROM points p JOIN ranges r ON p.v BETWEEN r.lo AND r.hi
+  *
+  * as BroadcastNestedLoopJoin: O(|P|·|R|) compares and a full broadcast of
+  * one side — the first thing that dies on a fact×fact range join at
+  * 100 TB, and the reference's only answer to this shape was the same
+  * nested loop (`NestedLoopJoinDirectExec`, reference
+  * `DirectPlanConverter.scala:150-178`). This rule detects the containment
+  * pair inside an inner join's condition (lo <= p AND p <= hi, any conjunct
+  * order, either join side holding the point) and rewrites to the banded
+  * form: the point side gains band(p) = floorDiv(p, W); the ranges side
+  * explodes to every band its interval overlaps; the join becomes an
+  * ordinary shuffle equi-join on the band id with the ORIGINAL condition
+  * kept as a residual — so the rewrite is exact for any band width W
+  * (bands only route rows; the residual decides), and W
+  * (`graft.rangeJoin.bandWidth`, default 1024) trades replication
+  * (range/W + 1 rows per range) against per-band selectivity.
+  *
+  * Fires only when it is the difference between an equi-join and a nested
+  * loop: inner joins, no existing equi conjunct (those already hash-join;
+  * this also makes the rule idempotent — its own output carries a band
+  * equality), no user join hint, integral point/bound types, deterministic
+  * expressions. Null semantics are preserved by construction: a null
+  * point/bound nulls the band equality or empties the exploded sequence,
+  * excluding the row exactly as the original predicate's null did.
+  * Correctness is RangeJoinRuleSpec (rewrite ≡ rule-off results, plan
+  * BNLJ-free) plus the q102 contract query's DuckDB oracle.
+  */
+object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def bandWidth: Long =
+    SQLConf.get.getConfString("graft.rangeJoin.bandWidth", "1024").toLong
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Exact floor-division band id (negative-safe: the pmod-adjusted
+    * numerator is exactly divisible, so integral divide == floor). */
+  private def bandOf(e: Expression, w: Long): Expression = {
+    val k = Cast(e, LongType)
+    IntegralDivide(Subtract(k, Pmod(k, Literal(w))), Literal(w))
+  }
+
+  /** Normalize a conjunct into (point, bound, pointIsLhsOfGeq). */
+  private def asGeq(c: Expression): Seq[(Expression, Expression)] = c match {
+    case GreaterThanOrEqual(p, lo) => Seq((p, lo))
+    case LessThanOrEqual(lo, p) => Seq((p, lo))
+    case _ => Nil
+  }
+  private def asLeq(c: Expression): Seq[(Expression, Expression)] = c match {
+    case LessThanOrEqual(p, hi) => Seq((p, hi))
+    case GreaterThanOrEqual(hi, p) => Seq((p, hi))
+    case _ => Nil
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, Inner, Some(cond), hint)
+        if hint == JoinHint.NONE && !j.isStreaming =>
+      val conj = splitConjunctivePredicates(cond)
+      val hasEqui = conj.exists {
+        case Equality(a, b) =>
+          (canEvaluate(a, l) && canEvaluate(b, r)) ||
+            (canEvaluate(a, r) && canEvaluate(b, l))
+        case _ => false
+      }
+      if (hasEqui) j
+      else {
+        // (point, lo, hi, pointSideIsLeft): the first containment pair whose
+        // point sits wholly on one side and both bounds on the other
+        val geqs = conj.flatMap(asGeq)
+        val leqs = conj.flatMap(asLeq)
+        val found = (for {
+          (p1, lo) <- geqs
+          (p2, hi) <- leqs
+          if p1.semanticEquals(p2)
+          if Seq(p1, lo, hi).forall(e => e.deterministic && isIntegral(e))
+          side <- {
+            if (canEvaluate(p1, l) && canEvaluate(lo, r) && canEvaluate(hi, r))
+              Some(true)
+            else if (canEvaluate(p1, r) && canEvaluate(lo, l) && canEvaluate(hi, l))
+              Some(false)
+            else None
+          }
+        } yield (p1, lo, hi, side)).headOption
+        found match {
+          case None => j
+          case Some((p, lo, hi, pointOnLeft)) =>
+            val w = bandWidth
+            val (pPlan, bPlan) = if (pointOnLeft) (l, r) else (r, l)
+            val pband = Alias(bandOf(p, w), "__graft_pband")()
+            val pointSide = Project(pPlan.output :+ pband, pPlan)
+            // hi < lo ranges match nothing and would walk sequence()
+            // backwards — drop them up front (exact: the residual would
+            // reject every row anyway)
+            val liveRanges = Filter(GreaterThanOrEqual(hi, lo), bPlan)
+            // explicit timeZoneId: ResolveTimeZone ran back in the
+            // analyzer, so a tz-aware expression built HERE must arrive
+            // pre-resolved or the plan validator rejects the batch
+            val seq = Sequence(bandOf(lo, w), bandOf(hi, w), None,
+              Some(SQLConf.get.sessionLocalTimeZone))
+            val rband = AttributeReference("__graft_rband", LongType,
+              nullable = false)()
+            val rangeSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(rband),
+              child = liveRanges)
+            val banded = Join(pointSide, rangeSide, Inner,
+              Some(And(EqualTo(pband.toAttribute, rband), cond)), JoinHint.NONE)
+            Project(j.output, banded)
+        }
+      }
+  }
+}

@@ -895,6 +895,30 @@ object Relational {
         .orderBy(col("promo_id"))
     }),
 
+    // q101 through the SQL SURFACE: the same interval-containment join
+    // written as a plain BETWEEN — which stock Spark (and the reference's
+    // NLJ defaultJoin) executes as a nested loop — planned as a banded
+    // equi-join by the BandedIntervalJoinRule optimizer rule
+    // (plans/BandedIntervalJoin.scala; injected by GraftExtensions, attached
+    // here via experimental.extraOptimizations). Exact for any band width:
+    // bands route rows, the original predicate stays as the residual.
+    // RangeJoinRuleSpec gates the BNLJ-free plan, rule-off equality, null /
+    // negative / empty-range edges, and the don't-touch cases (equi-join
+    // present, user hint, outer join).
+    "q102_interval_join_sql" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandedIntervalJoinRule))
+        s.experimental.extraOptimizations ++= Seq(graft.plans.BandedIntervalJoinRule)
+      sql(s, dir,
+        """SELECT o.o_orderkey AS promo_id, count(*) AS n_ship,
+          |       sum(l.l_quantity) AS sum_qty
+          |FROM lineitem l JOIN orders o
+          |  ON datediff(l.l_shipdate, DATE '1992-01-01')
+          |       BETWEEN datediff(o.o_orderdate, DATE '1992-01-01')
+          |           AND datediff(o.o_orderdate, DATE '1992-01-01') + 13
+          |WHERE o.o_orderkey % 256 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2047,6 +2071,24 @@ object Relational {
         | FROM lineitem)
         |SELECT promo_id, count(*) AS n_ship,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM ships JOIN promos
+        | ON ship_d >= lo_d AND ship_d <= lo_d + 13
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    // q102 = q101's semantics spelled as the SQL the facade user writes;
+    // the oracle is the same naive BETWEEN join
+    "q102_interval_join_sql" ->
+      """WITH promos AS (
+        | SELECT o_orderkey AS promo_id,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |   AS BIGINT) AS lo_d
+        | FROM orders WHERE o_orderkey % 256 = 0),
+        |ships AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |   AS BIGINT) AS ship_d, l_quantity
+        | FROM lineitem)
+        |SELECT promo_id, count(*) AS n_ship,
+        | sum(l_quantity) AS sum_qty
         |FROM ships JOIN promos
         | ON ship_d >= lo_d AND ship_d <= lo_d + 13
         |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
