@@ -79,23 +79,33 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       }
       if (hasEqui) j
       else {
+        // the ε-band spelling |a − b| <= eps is containment in disguise:
+        // point = a, bounds = (b − eps, b + eps). eps must be foldable so
+        // the bounds stay single-side expressions.
+        val absBands = conj.flatMap {
+          case LessThanOrEqual(Abs(Subtract(a, b, _), _), eps) if eps.foldable =>
+            Seq((a, Subtract(b, eps), Add(b, eps)), (b, Subtract(a, eps), Add(a, eps)))
+          case GreaterThanOrEqual(eps, Abs(Subtract(a, b, _), _)) if eps.foldable =>
+            Seq((a, Subtract(b, eps), Add(b, eps)), (b, Subtract(a, eps), Add(a, eps)))
+          case _ => Nil
+        }
         // (point, lo, hi, pointSideIsLeft): the first containment pair whose
         // point sits wholly on one side and both bounds on the other
         val geqs = conj.flatMap(asGeq)
         val leqs = conj.flatMap(asLeq)
-        val found = (for {
+        val contained = for {
           (p1, lo) <- geqs
           (p2, hi) <- leqs
           if p1.semanticEquals(p2)
-          if Seq(p1, lo, hi).forall(e => e.deterministic && isIntegral(e))
-          side <- {
-            if (canEvaluate(p1, l) && canEvaluate(lo, r) && canEvaluate(hi, r))
-              Some(true)
-            else if (canEvaluate(p1, r) && canEvaluate(lo, l) && canEvaluate(hi, l))
-              Some(false)
-            else None
-          }
-        } yield (p1, lo, hi, side)).headOption
+        } yield (p1, lo, hi)
+        val found = ((contained ++ absBands).iterator.flatMap { case (p, lo, hi) =>
+          if (!Seq(p, lo, hi).forall(e => e.deterministic && isIntegral(e))) None
+          else if (canEvaluate(p, l) && canEvaluate(lo, r) && canEvaluate(hi, r))
+            Some((p, lo, hi, true))
+          else if (canEvaluate(p, r) && canEvaluate(lo, l) && canEvaluate(hi, l))
+            Some((p, lo, hi, false))
+          else None
+        }).nextOption()
         found match {
           case None => j
           case Some((p, lo, hi, pointOnLeft)) =>

@@ -83,6 +83,31 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("abs(a-b) <= eps spelling rewrites and stays exact (vs rule-off)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Tables.registerAll(spark, dir)
+    val q = """SELECT c.c_custkey, s.s_suppkey
+              |FROM customer c JOIN supplier s
+              |  ON abs(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+              |       - CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) <= 2500
+              |ORDER BY c_custkey, s_suppkey""".stripMargin
+    val off = spark.sql(q).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withRule {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_pband"),
+        "abs form did not rewrite")
+      assert(df.queryExecution.executedPlan
+        .collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+      val on = df.collect().map(_.toString).toSeq
+      assert(on == off && on.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("rule leaves equi joins, hinted joins, and outer joins alone") {
     Tables.registerAll(spark, dir)
     withRule {
