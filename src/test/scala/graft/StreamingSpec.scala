@@ -736,6 +736,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static banded interval join == batch pointInInterval (stateless band routing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the band column and the interval explode are stateless projections,
+    // so RangeJoin.pointInInterval composes with Structured Streaming as a
+    // plain stream-static inner join — a streaming points feed probes a
+    // static ranges table with NO state store and NO watermark, and a full
+    // replay must equal the batch operator row for row
+    val ranges = Seq((-9L, -4L, 10L), (-2L, 3L, 11L), (3L, 21L, 12L),
+      (13L, 16L, 13L), (30L, 40L, 14L))
+      .toDF("lo", "hi", "rid")
+    val pts = Seq(-8L, -4L, 0L, 3L, 7L, 13L, 16L, 21L, 35L, 50L)
+    val mem = MemoryStream[Long]
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      mem.toDS().toDF("pv").withColumn("pid", col("pv") + 100),
+      ranges, "pv", "lo", "hi", 16L)
+      .select(col("pid"), col("rid"))
+    val q = StreamingOps.runToMemorySink(joined, "rj_stream", OutputMode.Append)
+    try {
+      pts.grouped(4).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("rj_stream")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.RangeJoin.pointInInterval(
+        pts.toDF("pv").withColumn("pid", col("pv") + 100),
+        ranges, "pv", "lo", "hi", 16L)
+        .select(col("pid"), col("rid"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream ${streamed.take(5)} vs batch ${batch.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming exact-content dedup (md5 key) converges to batch distinct-by-content") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
