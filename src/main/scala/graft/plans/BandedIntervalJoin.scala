@@ -40,8 +40,18 @@ import org.apache.spark.sql.types._
   */
 object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def bandWidth: Long =
-    SQLConf.get.getConfString("graft.rangeJoin.bandWidth", "1024").toLong
+  /** Explicit width wins; otherwise the candidate's own derived width
+    * (the ε-band form knows its interval length at plan time); otherwise
+    * 1024. Width is performance-only — the rewrite is exact regardless —
+    * but a width far above the key domain collapses everything into a few
+    * bands and the residual degenerates toward the nested loop (observed:
+    * day-granularity keys under the 1024 default), so derive when we can
+    * and let the user pin `graft.rangeJoin.bandWidth` when we cannot. */
+  private def bandWidth(derived: Option[Long]): Long = {
+    val conf = SQLConf.get.getConfString("graft.rangeJoin.bandWidth", "")
+    if (conf.nonEmpty) conf.toLong
+    else derived.filter(_ >= 1).getOrElse(1024L)
+  }
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -82,11 +92,19 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // the ε-band spelling |a − b| <= eps is containment in disguise:
         // point = a, bounds = (b − eps, b + eps). eps must be foldable so
         // the bounds stay single-side expressions.
+        // derived width = the interval length (2ε + 1), known at plan time
+        // here — bands then hold ~one interval's worth of keys each
+        def epsWidth(eps: Expression): Option[Long] = eps.eval() match {
+          case n: Number => Some(2 * n.longValue + 1)
+          case _ => None
+        }
         val absBands = conj.flatMap {
           case LessThanOrEqual(Abs(Subtract(a, b, _), _), eps) if eps.foldable =>
-            Seq((a, Subtract(b, eps), Add(b, eps)), (b, Subtract(a, eps), Add(a, eps)))
+            Seq((a, Subtract(b, eps), Add(b, eps), epsWidth(eps)),
+              (b, Subtract(a, eps), Add(a, eps), epsWidth(eps)))
           case GreaterThanOrEqual(eps, Abs(Subtract(a, b, _), _)) if eps.foldable =>
-            Seq((a, Subtract(b, eps), Add(b, eps)), (b, Subtract(a, eps), Add(a, eps)))
+            Seq((a, Subtract(b, eps), Add(b, eps), epsWidth(eps)),
+              (b, Subtract(a, eps), Add(a, eps), epsWidth(eps)))
           case _ => Nil
         }
         // (point, lo, hi, pointSideIsLeft): the first containment pair whose
@@ -97,19 +115,20 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           (p1, lo) <- geqs
           (p2, hi) <- leqs
           if p1.semanticEquals(p2)
-        } yield (p1, lo, hi)
-        val found = ((contained ++ absBands).iterator.flatMap { case (p, lo, hi) =>
-          if (!Seq(p, lo, hi).forall(e => e.deterministic && isIntegral(e))) None
-          else if (canEvaluate(p, l) && canEvaluate(lo, r) && canEvaluate(hi, r))
-            Some((p, lo, hi, true))
-          else if (canEvaluate(p, r) && canEvaluate(lo, l) && canEvaluate(hi, l))
-            Some((p, lo, hi, false))
-          else None
+        } yield (p1, lo, hi, None: Option[Long])
+        val found = ((contained ++ absBands).iterator.flatMap {
+          case (p, lo, hi, derivedW) =>
+            if (!Seq(p, lo, hi).forall(e => e.deterministic && isIntegral(e))) None
+            else if (canEvaluate(p, l) && canEvaluate(lo, r) && canEvaluate(hi, r))
+              Some((p, lo, hi, derivedW, true))
+            else if (canEvaluate(p, r) && canEvaluate(lo, l) && canEvaluate(hi, l))
+              Some((p, lo, hi, derivedW, false))
+            else None
         }).nextOption()
         found match {
           case None => j
-          case Some((p, lo, hi, pointOnLeft)) =>
-            val w = bandWidth
+          case Some((p, lo, hi, derivedW, pointOnLeft)) =>
+            val w = bandWidth(derivedW)
             val (pPlan, bPlan) = if (pointOnLeft) (l, r) else (r, l)
             val pband = Alias(bandOf(p, w), "__graft_pband")()
             val pointSide = Project(pPlan.output :+ pband, pPlan)

@@ -908,6 +908,11 @@ object Relational {
     "q102_interval_join_sql" -> ((s, dir) => {
       if (!s.experimental.extraOptimizations.contains(graft.plans.BandedIntervalJoinRule))
         s.experimental.extraOptimizations ++= Seq(graft.plans.BandedIntervalJoinRule)
+      // width ~ the 14-day interval: the BETWEEN form can't derive its
+      // length at plan time (hi − lo isn't foldable), and the 1024 default
+      // collapses a ~2500-day key domain into 3 bands — measured 11.5 s of
+      // residual evaluation vs 0.7 s here
+      s.conf.set("graft.rangeJoin.bandWidth", "16")
       sql(s, dir,
         """SELECT o.o_orderkey AS promo_id, count(*) AS n_ship,
           |       sum(l.l_quantity) AS sum_qty
