@@ -39,12 +39,18 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
-  /** Exact floor-division band id for integral keys (negative-safe:
-    * pmod keeps the numerator exactly divisible, so the double intermediate
-    * of `/` is exact for |key/w| < 2^53 — any sane band domain). */
+  /** Exact floor-division band id for integral keys, negative-safe: pmod
+    * makes the numerator exactly divisible and `div` (IntegralDivide) keeps
+    * the whole computation in Long — no double intermediate, so band ids are
+    * exact across the full Long domain (nanosecond epochs, scaled 18-digit
+    * decimals). Sole edge: `k - pmod(k, w)` underflows for k within w of
+    * Long.MinValue — keys must satisfy key > Long.MinValue + w. (The `/`
+    * spelling this replaces went through DoubleType and misrouted ~6% of
+    * band ids above 2^53; the Catalyst twin BandedIntervalJoinRule.bandOf
+    * always used IntegralDivide.) */
   private def bandOf(c: Column, w: Long): Column = {
     val k = c.cast(LongType)
-    ((k - pmod(k, lit(w))) / lit(w)).cast(LongType)
+    call_function("div", k - pmod(k, lit(w)), lit(w))
   }
 
   /** ε-band join: all pairs with |left.leftKey − right.rightKey| <= eps

@@ -76,6 +76,10 @@ object HllMirror {
   def registersDf(keyed: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     require(p >= 4 && p < 19, s"p out of the mirrored regime: $p")
     keyed
+      // nulls are skipped, matching approx_count_distinct (and estimateSql's
+      // contract) — xxhash64(NULL) returns the seed (42), so an unfiltered
+      // null v would mint a phantom (idx, mr) register
+      .filter(col("v").isNotNull)
       .select(groupCols.map(col) :+ expr("xxhash64(v)").as("h"): _*)
       .select(groupCols.map(col) ++ Seq(
         expr(s"shiftrightunsigned(h, ${64 - p})").as("idx"),

@@ -41,6 +41,24 @@ object Relational {
     s.sql(q)
   }
 
+  /** `sql` with BandedIntervalJoinRule installed-on-demand: GraftSession
+    * injects the rule session-wide via GraftExtensions, but the driver's
+    * Verify session is a plain SparkSession, so the range-join contract
+    * queries attach it here (idempotent — attaching when already present is
+    * a no-op, and the rule itself no-ops on every non-containment join).
+    * Deliberately NOT detached after: DataFrame execution is lazy and the
+    * write path re-optimizes from the logical plan, so a detach-after-build
+    * would silently undo the rewrite; leaving it attached just brings the
+    * plain session to parity with the library session. Unlike the r13-era
+    * q102, NO session conf is touched — band widths are plan-time derived
+    * per query (RangeJoinRuleSpec proves a later ε-band join still derives
+    * 2ε+1 after these queries ran). */
+  private def sqlBanded(s: SparkSession, dir: String, q: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BandedIntervalJoinRule))
+      s.experimental.extraOptimizations ++= Seq(graft.plans.BandedIntervalJoinRule)
+    sql(s, dir, q)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -900,20 +918,16 @@ object Relational {
     // NLJ defaultJoin) executes as a nested loop — planned as a banded
     // equi-join by the BandedIntervalJoinRule optimizer rule
     // (plans/BandedIntervalJoin.scala; injected by GraftExtensions, attached
-    // here via experimental.extraOptimizations). Exact for any band width:
-    // bands route rows, the original predicate stays as the residual.
-    // RangeJoinRuleSpec gates the BNLJ-free plan, rule-off equality, null /
-    // negative / empty-range edges, and the don't-touch cases (equi-join
-    // present, user hint, outer join).
-    "q102_interval_join_sql" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(graft.plans.BandedIntervalJoinRule))
-        s.experimental.extraOptimizations ++= Seq(graft.plans.BandedIntervalJoinRule)
-      // width ~ the 14-day interval: the BETWEEN form can't derive its
-      // length at plan time (hi − lo isn't foldable), and the 1024 default
-      // collapses a ~2500-day key domain into 3 bands — measured 11.5 s of
-      // residual evaluation vs 0.7 s here
-      s.conf.set("graft.rangeJoin.bandWidth", "16")
-      sql(s, dir,
+    // here via sqlBanded for the plain Verify session). Exact for any band
+    // width: bands route rows, the original predicate stays as the residual.
+    // Width is DERIVED at plan time from the `+ 13` offset (14 — one
+    // interval per band; the r13-era manual bandWidth=16 conf pin and its
+    // session bleed are gone). RangeJoinRuleSpec gates the BNLJ-free plan,
+    // rule-off equality, null / negative / empty-range edges, the
+    // don't-touch cases (equi-join present, user hint), and the
+    // no-conf-left-behind session state.
+    "q102_interval_join_sql" -> ((s, dir) =>
+      sqlBanded(s, dir,
         """SELECT o.o_orderkey AS promo_id, count(*) AS n_ship,
           |       sum(l.l_quantity) AS sum_qty
           |FROM lineitem l JOIN orders o
@@ -921,8 +935,55 @@ object Relational {
           |       BETWEEN datediff(o.o_orderdate, DATE '1992-01-01')
           |           AND datediff(o.o_orderdate, DATE '1992-01-01') + 13
           |WHERE o.o_orderkey % 256 = 0
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
-    }),
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The NATIVE date-key spelling — no datediff epoch conversion, no conf:
+    // l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL '13' DAY.
+    // The rule bands timestamp keys on epoch µs (TimestampMicros) and
+    // derives the width from the foldable day-time interval (13 d + 1 µs),
+    // so one promo window spans ≤ 2 bands and the ~2 500-day key domain
+    // still cuts into ~190 shuffle-parallel bands. This is the single most
+    // common range-join key class (time), left on a BNLJ before r14.
+    "q103_interval_join_date" -> ((s, dir) =>
+      sqlBanded(s, dir,
+        """SELECT o.o_orderkey AS promo_id, count(*) AS n_ship,
+          |       sum(l.l_quantity) AS sum_qty
+          |FROM lineitem l JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |WHERE o.o_orderkey % 256 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LEFT SEMI containment — the decontamination shape ("is this row
+    // inside ANY blackout window?"): keep lineitems shipped inside any
+    // sampled promo window, nothing from the windows side. The rule
+    // explodes only the windows side (semi joins are blind to right-side
+    // multiplicity), so the probe side is never replicated and the plan is
+    // an ordinary shuffle semi-join on the band id.
+    "q104_interval_semi" -> ((s, dir) =>
+      sqlBanded(s, dir,
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+          |FROM lineitem l LEFT SEMI JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 1024 = 0
+          |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // LEFT OUTER containment — every lineitem, matched to each covering
+    // promo window or null-extended when no window covers it (the
+    // unmatched rows land in the coalesced -1 group). The preserved side
+    // carries only its band id (never exploded), so outer null-extension
+    // is byte-identical to the nested loop's while the join shuffles on
+    // the band id like any equi-join.
+    "q105_interval_left_outer" -> ((s, dir) =>
+      sqlBanded(s, dir,
+        """SELECT coalesce(o.o_orderkey, -1) AS promo_id, count(*) AS n,
+          |       sum(l.l_quantity) AS sum_qty
+          |FROM lineitem l LEFT JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 256 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
@@ -2097,6 +2158,33 @@ object Relational {
         |FROM ships JOIN promos
         | ON ship_d >= lo_d AND ship_d <= lo_d + 13
         |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    "q103_interval_join_date" ->
+      """SELECT o.o_orderkey AS promo_id, count(*) AS n_ship,
+        | sum(l.l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o
+        | ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 13 DAY
+        |WHERE o.o_orderkey % 256 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q104_interval_semi" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        | WHERE o.o_orderkey % 1024 = 0
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 13 DAY)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q105_interval_left_outer" ->
+      """SELECT coalesce(o.o_orderkey, -1) AS promo_id, count(*) AS n,
+        | sum(l.l_quantity) AS sum_qty
+        |FROM lineitem l LEFT JOIN orders o
+        | ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 13 DAY
+        |  AND o.o_orderkey % 256 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -844,7 +844,18 @@ object SimilarityOps {
     * unchanged (centroid lookup, not search). */
   val PqM = 8
   val PqK = 64
-  val PqShortlist = 50
+  val PqShortlist = 50 // s69's operating point (measured floor 0.90 at R=50)
+  /** s84's operating point (r14, VERDICT item 6 — headroom over the 0.80
+    * family gate). Measured recall@5 grid on this corpus at C=16:
+    * nprobe 8/12/16 × shortlist 50/100 → 0.80/0.84, 0.86/0.92, 0.90/0.96.
+    * nprobe is the corpus-cost axis (a probe reads nprobe/C of the
+    * compressed index); the shortlist is |Q|-bounded — free at corpus
+    * scale — so the cheapest corpus-cost config clearing 0.85 is
+    * nprobe=12, and within it shortlist=100 costs nothing more:
+    * recall@5 = 0.92, a 0.12 margin (the r13 8/50 point sat exactly AT
+    * the 0.80 floor — zero margin, one data drift from red). */
+  val PqNprobe = 12
+  val PqRefine = 100
 
   /** Train the PQ codebook: per-subspace Lloyd k-means over the corpus
     * split (vec_id >= 10), returned as ONE broadcastable row holding the
@@ -1184,7 +1195,7 @@ object SimilarityOps {
     // routing, probe lists, ADC scores, shortlist, rerank) is hash-match
     // oracled via the composed s60 + s69 algorithm mirrors.
     "s84_ann_ivfpq" -> ((s, dir) =>
-      annIvfPq(s, dir, IvfCells, IvfNprobe, PqM, PqK, PqShortlist, iters = 3)),
+      annIvfPq(s, dir, IvfCells, PqNprobe, PqM, PqK, PqRefine, iters = 3)),
 
     // IVF approximate NN — the other classic ANN scale path next to
     // hyperplane LSH (s57): a C-cell coarse quantizer partitions the corpus
@@ -1582,12 +1593,16 @@ object SimilarityOps {
     "s79_sampled_dup_rate" -> ((s, dir) => {
       val sv = hashSampleVecs(s, dir, "s79:", pairSampleSize(20000L))
       tiledPairsOf(s, sv)
-        // NaN drop folded into the aggregate inputs (NaN ≥ 0.45 is already
-        // false, and n_pairs counts only non-NaN sims) — never a .filter
-        // over sim, which Catalyst would push into the tile-join condition
-        // and re-evaluate the cosine kernel per pair (s76's rule)
+        // NaN drop folded into the aggregate inputs — never a .filter over
+        // sim, which Catalyst would push into the tile-join condition and
+        // re-evaluate the cosine kernel per pair (s76's rule). BOTH counts
+        // gate on !isnan: Spark (and DuckDB) order NaN above every numeric,
+        // so `NaN >= 0.45` is TRUE — an ungated n_dup would count
+        // unmeasurable zero-norm pairs that n_pairs (and the oracle's
+        // `WHERE NOT isnan`) exclude.
         .agg(count(when(!isnan(col("sim")), lit(1))).as("n_pairs"),
-          sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("n_dup"))
+          sum(when(!isnan(col("sim")) && col("sim") >= 0.45, 1L)
+            .otherwise(0L)).as("n_dup"))
         .select(lit(pairSampleSize(20000L)).as("m_budget"), col("n_pairs"),
           col("n_dup"),
           expr("CAST(n_dup AS DECIMAL(38,0)) * 1000000000 DIV n_pairs")
@@ -1741,8 +1756,11 @@ object SimilarityOps {
           ivfUpdateSql(s"a$i", s"it$i")
       }.mkString(",\n")
 
-  private val ivfOraclePrefix: String = ivfTrainSql(16, 3) +
-    """,
+  /** `nprobe` parameterizes the probe-list depth so mirrors at different
+    * operating points (s60-family at IvfNprobe, s84 at PqNprobe since r14)
+    * share one prelude and cannot desync from the Scala constants. */
+  private def ivfOraclePrefixAt(nprobe: Int): String = ivfTrainSql(16, 3) +
+    s""",
       |ccells AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
       | SELECT e.vec_id, e.embedding, c.cell,
       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1755,7 +1773,9 @@ object SimilarityOps {
       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                           CAST(c.cv AS DOUBLE[])) DESC, c.cell) AS rk
-      |  FROM embeddings q, it3 c WHERE q.vec_id < 10) WHERE rk <= 8)""".stripMargin
+      |  FROM embeddings q, it3 c WHERE q.vec_id < 10) WHERE rk <= $nprobe)""".stripMargin
+
+  private val ivfOraclePrefix: String = ivfOraclePrefixAt(IvfNprobe)
 
   /** One PQ assignment round in SQL: per (vector, subspace), the argmin-L2
     * centroid of `cent` (ties on smaller cid — graft_topk_pairs(-d2) order);
@@ -2479,8 +2499,8 @@ object SimilarityOps {
     // fragment supplies codes and codebook, and the ADC psim scan runs only
     // over (query, candidate-in-probed-cell) pairs — exactly the engine's
     // probes ⋈ cells join. Shortlist tie rule and exact rerank as in s69.
-    "s84_ann_ivfpq" -> (ivfOraclePrefix + ",\n" + pqCodesSql +
-      """,
+    "s84_ann_ivfpq" -> (ivfOraclePrefixAt(PqNprobe) + ",\n" + pqCodesSql +
+      s""",
         |cand AS MATERIALIZED (
         |  SELECT pr.qid, cc.vec_id AS nid
         |  FROM probes pr JOIN ccells cc ON cc.cell = pr.cell),
@@ -2501,7 +2521,7 @@ object SimilarityOps {
         |  GROUP BY qid, nid),
         |short AS (SELECT qid, nid FROM (SELECT qid, nid,
         |  row_number() OVER (PARTITION BY qid ORDER BY psim DESC, nid) AS prnk
-        |  FROM psim) WHERE prnk <= 50),
+        |  FROM psim) WHERE prnk <= $PqRefine),
         |rer AS (SELECT qid, nid,
         |  row_number() OVER (PARTITION BY qid ORDER BY
         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

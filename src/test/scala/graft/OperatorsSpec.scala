@@ -563,17 +563,20 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.SimilarityOps
     val c = SimilarityOps.IvfCells
-    val nprobe = SimilarityOps.IvfNprobe
+    val nprobe = SimilarityOps.PqNprobe // s84's operating point (r14)
     val outP = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
     val outQ = java.nio.file.Files.createTempDirectory("graft-ivfq2-").toString
     SimilarityOps.writeIvfCorpusPq(spark, dir, outP, c,
       SimilarityOps.PqM, SimilarityOps.PqK, iters = 3)
     SimilarityOps.writeIvfCorpusQuantized(spark, dir, outQ, c, iters = 3)
     // 1) a literal cell-list read of the PQ layout is partition-pruned
+    // (pruning depth decoupled from s84's nprobe: the property is "reads
+    // only the listed cells", probed here at a strict subset of the
+    // occupied cells regardless of the serving operating point)
     val allCells = Sinks.readPartitioned(spark, outP)
       .select("cell").distinct().collect().map(_.getInt(0)).toSet
-    assert(allCells.size > nprobe, s"corpus landed in only ${allCells.size} cells")
-    val probeCells = allCells.toSeq.sorted.take(nprobe)
+    assert(allCells.size > 1, s"corpus landed in only ${allCells.size} cells")
+    val probeCells = allCells.toSeq.sorted.take(math.min(nprobe, allCells.size - 1))
     val read = Sinks.readPartitioned(spark, outP)
       .filter(col("cell").isin(probeCells.map(Int.box): _*))
     val scans = read.queryExecution.executedPlan.collect {
@@ -585,7 +588,7 @@ class OperatorsSpec extends AnyFunSuite {
     // 2) the self-contained stored probe (centroid + codebook sidecars, no
     // retraining) returns exactly the in-memory s84 answer
     val stored = SimilarityOps.annIvfPqStored(spark, dir, outP, nprobe,
-        SimilarityOps.PqShortlist).collect().map(_.toString).toSeq
+        SimilarityOps.PqRefine).collect().map(_.toString).toSeq
     val inMem = SparkEntry.queries("s84")(spark, dir)
       .collect().map(_.toString).toSeq
     assert(stored.nonEmpty && stored == inMem,

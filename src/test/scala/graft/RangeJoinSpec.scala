@@ -83,6 +83,38 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  // r14 (ADVICE high): band ids must be exact ABOVE 2^53 — the old
+  // double-division bandOf misrouted ~6% of huge keys (nanosecond epochs,
+  // scaled 18-digit decimals), silently dropping qualifying pairs the
+  // residual could never recover.
+  test("bandJoin and pointInInterval exact on keys above 2^53 (integer-exact band ids)") {
+    import spark.implicits._
+    // all-positive-huge + small-negative keys: cross-sign HUGE pairs would
+    // overflow the naive baseline's Long subtract under ANSI (the rewrite
+    // itself never subtracts unbanded pairs)
+    val base = 4611686018427387904L // 2^62
+    val ks = Seq(base, base + 1, base + 999, base + 1000, base + 1500,
+      base + 2500, base + 3001, -1000000L, -999500L, 9007199254740993L)
+    val a = ks.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("av", "aid")
+    val b = ks.zipWithIndex.map { case (v, i) => (v + 400, i + 100L) }.toDF("bv", "bid")
+    val banded = RangeJoin.bandJoin(a, b, "av", "bv", 1000L)
+      .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+    val naive = a.crossJoin(b).filter(abs(col("av") - col("bv")) <= 1000L)
+      .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+    assert(banded == naive && banded.nonEmpty,
+      s"huge-key bandJoin: extra=${banded.diff(naive).take(5)} missing=${naive.diff(banded).take(5)}")
+    val pts = ks.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("pv", "pid")
+    val rng = ks.zipWithIndex.map { case (v, i) => (v - 300, v + 700, i + 100L) }
+      .toDF("lo", "hi", "rid")
+    val bandedP = RangeJoin.pointInInterval(pts, rng, "pv", "lo", "hi", 512L)
+      .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+    val naiveP = pts.crossJoin(rng)
+      .filter(col("pv") >= col("lo") && col("pv") <= col("hi"))
+      .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+    assert(bandedP == naiveP && bandedP.nonEmpty,
+      s"huge-key pointInInterval: extra=${bandedP.diff(naiveP).take(5)} missing=${naiveP.diff(bandedP).take(5)}")
+  }
+
   test("banded joins plan as equi-joins: no BNLJ / cartesian, join keyed on the band (plan gate)") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

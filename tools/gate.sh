@@ -1,27 +1,68 @@
 #!/usr/bin/env bash
-# Full local gate: tests + oracle correctness (BOTH SFs) + bench (sf0.1)
-# + same-session DuckDB ratio. Pass QUICK=1 to skip sf0.1 verify + bench.
+# Full local gate: tests + oracle correctness (BOTH SFs) + ×10 corpus gate
+# + growth-class gate + bench (sf0.1) + same-session DuckDB ratio.
+# Pass QUICK=1 to run only tests + sf0.01 verify.
+#
+# r14: every section now FAILS THE GATE (nonzero exit, summary at the end)
+# instead of just printing — the r13 VERDICT item 3 requirement that an x10
+# oracle failure or a growth-class breach cannot slip through a green-looking
+# log.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+
+declare -a FAILED_SECTIONS=()
+section_result() { # $1 = name, $2 = rc
+  if [ "$2" -ne 0 ]; then FAILED_SECTIONS+=("$1"); echo "!! $1 FAILED (rc=$2)"; fi
+}
+
 echo "== tests =="
-sbt -batch test 2>&1 | grep -E "Tests:|Passed:|FAILED"
+sbt -batch test > /tmp/gate_tests.log 2>&1
+TESTS_RC=$?   # sbt exits nonzero on any test failure
+grep -E "Tests:|Passed:|FAILED" /tmp/gate_tests.log
+section_result "tests" $TESTS_RC
+
 echo "== verify sf0.01 =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify" 2>&1 | grep "\[verify\]" || true
 python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_verify 2>/dev/null | grep -E "FAIL|=="
-if [ "${QUICK:-0}" = "1" ]; then exit 0; fi
+section_result "verify_sf0.01" "${PIPESTATUS[0]}"
+
+if [ "${QUICK:-0}" = "1" ]; then
+  [ ${#FAILED_SECTIONS[@]} -eq 0 ] && { echo "== QUICK GATE GREEN =="; exit 0; } \
+    || { echo "== QUICK GATE RED: ${FAILED_SECTIONS[*]} =="; exit 1; }
+fi
+
 echo "== verify sf0.1 =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_verify1" 2>&1 | grep "\[verify\]" || true
 python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_verify1 2>/dev/null | grep -E "FAIL|=="
+section_result "verify_sf0.1" "${PIPESTATUS[0]}"
+
+echo "== x10 corpus gate (threshold-sensitive ops at 10x docs; VERDICT r11 item 6) =="
+bash tools/x10_gate.sh
+section_result "x10_gate" $?
+
 echo "== scale gate (1x vs 10x growth classes; VERDICT r11 item 5) =="
 SCALE_QUERIES=d71,d82,d83,s61,s76,s78_probe,s79_probe,s80_probe,t73,s84 \
 SCALE_FACTORS=1,10 \
   sbt -batch "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/graft_scale" 2>&1 \
   | grep "\[scale\]" | tee /tmp/scale_gate.txt || true
 python3 tools/scale_gate.py /tmp/scale_gate.txt
+section_result "scale_gate" $?
+
 echo "== bench sf0.1 =="
-SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+BENCH_LINE=$(SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
+echo "$BENCH_LINE"
+[ -n "$BENCH_LINE" ] && ! echo "$BENCH_LINE" | grep -q '"failed":\["'
+section_result "bench" $?
+
 echo "== duckdb baseline (same session) =="
 python3 tools/bench_duck.py /root/testdata/sf0.1 /tmp/gate_verify1 2 2>/dev/null | tail -1
+
+if [ ${#FAILED_SECTIONS[@]} -eq 0 ]; then
+  echo "== GATE GREEN =="
+else
+  echo "== GATE RED: ${FAILED_SECTIONS[*]} =="
+  exit 1
+fi

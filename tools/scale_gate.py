@@ -49,7 +49,10 @@ BASELINE_1X = {
     "s61": 1.46,
     "s76": 0.92,
     "t73": 1.17,
-    "s84": 0.71,
+    # r14: operating point moved 8/50 -> PqNprobe=12/PqRefine=100 for recall
+    # headroom (0.80 -> 0.92); probe reads 12/16 of cells vs 8/16 — wall
+    # re-baselined at the new point (first r14 idle-box measurement)
+    "s84": 0.89,
 }
 
 ROW = re.compile(
