@@ -72,6 +72,44 @@ object RangeJoin {
       .drop("__lband", "__rband")
   }
 
+  /** Interval-overlap join: every (a, b) pair whose closed intervals
+    * intersect — a.lo <= b.hi AND b.lo <= a.hi — the temporal-join shape
+    * (overlapping sessions, concurrent bookings, colliding windows) that
+    * stock Spark and the reference both run as a nested loop. BOTH sides
+    * replicate to the bands their interval covers and equi-join on the
+    * band id; a pair sharing several bands would duplicate, so each pair
+    * is emitted ONLY at its canonical band — band(max(a.lo, b.lo)), the
+    * overlap region's low end, which both replicas provably cover exactly
+    * once. Exact for any width (residual + canonical-band predicate
+    * decide; bands only route). Empty intervals (hi < lo) drop up front.
+    * Width trades replication (len/W + 1 per row per side) against
+    * per-band selectivity — pick W near the typical interval length.
+    * Column sets must be disjoint; output carries left's columns then
+    * right's. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "intervalOverlap inputs must have disjoint column names")
+    val w = bandWidth
+    // NOT filtered on hi >= lo: unlike containment, the overlap predicate
+    // can match an INVERTED interval (a = [50, 45] overlaps b = [28, 60] —
+    // both inequalities hold). When a side is inverted, algebra forces the
+    // other side's lo at or below this side's lo, so the canonical band is
+    // band(lo) — covered by the degenerate sequence(band(lo), band(lo))
+    // that greatest(lo, hi) produces. Normal rows are unaffected.
+    val l = left.withColumn("__lband", explode(sequence(
+      bandOf(col(lLo), w), bandOf(greatest(col(lLo), col(lHi)), w))))
+    val r = right.withColumn("__rband", explode(sequence(
+      bandOf(col(rLo), w), bandOf(greatest(col(rLo), col(rHi)), w))))
+    l.join(r, col("__lband") === col("__rband") &&
+        col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__lband") === bandOf(
+          greatest(col(lLo).cast(LongType), col(rLo).cast(LongType)), w))
+      .drop("__lband", "__rband")
+  }
+
   /** Point-in-interval join: every (point, range) pair with
     * ranges.loKey <= points.pointKey <= ranges.hiKey (closed interval), as
     * an equi-join on band id. Ranges replicate to each band they overlap;

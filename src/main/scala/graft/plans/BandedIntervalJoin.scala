@@ -73,6 +73,14 @@ private[plans] case class TimestampMicros(child: Expression)
   * bit are byte-identical to the nested loop's. (FULL OUTER would preserve
   * the exploded side's unmatched copies — not rewritten.)
   *
+  * Interval-OVERLAP joins (a.lo <= b.hi AND b.lo <= a.hi — both sides
+  * carry an interval; the temporal-join shape: overlapping sessions,
+  * concurrent bookings) rewrite as a fallback when no containment pair
+  * matched, Inner only: BOTH sides explode to their covered bands and a
+  * pair is emitted only at its canonical band — band(max(a.lo, b.lo)),
+  * the overlap region's low end, which both replicas provably cover
+  * exactly once — so multiplicity matches the nested loop for any width.
+  *
   * Fires only when it is the difference between an equi-join and a nested
   * loop: no existing equi conjunct (those already hash-join; this also
   * makes the rule idempotent — its own output carries a band equality), no
@@ -108,11 +116,19 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       width: Option[Long])
 
   /** Explicit conf wins; otherwise the candidate's own plan-time derived
-    * width; otherwise 1024. */
-  private def bandWidth(derived: Option[Long]): Long = {
+    * width; otherwise a TYPE-AWARE default — 1024 is sane for abstract
+    * integers but collapses day-granularity domains into a handful of
+    * bands (the measured r13 trap: 11.5 s vs 0.96 s), so date keys
+    * default to 32 days and timestamp keys to one day of µs (the scales
+    * real promo/session windows live at). */
+  private def bandWidth(derived: Option[Long], keyDt: DataType): Long = {
     val conf = SQLConf.get.getConfString("graft.rangeJoin.bandWidth", "")
     if (conf.nonEmpty) conf.toLong
-    else derived.filter(_ >= 1).getOrElse(1024L)
+    else derived.filter(_ >= 1).getOrElse(keyDt match {
+      case DateType => 32L
+      case TimestampType | TimestampNTZType => 86400L * 1000 * 1000
+      case _ => 1024L
+    })
   }
 
   /** Band-scale family: all of (point, lo, hi) must map to Long on ONE
@@ -215,6 +231,35 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Interval-OVERLAP pair (a.lo <= b.hi AND b.lo <= a.hi — both sides
+    * carry an interval): two <= conjuncts whose operands split so that the
+    * first's lhs and the second's rhs sit on the LEFT plan and the rest on
+    * the RIGHT. Fallback when no containment pair matched; Inner only —
+    * both sides explode, so any preserved/probed side would duplicate.
+    * Returns (lLo, lHi, rLo, rHi, derived width = min of the two foldable
+    * interval lengths when known). */
+  private def overlapCand(conj: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression, Expression, Option[Long])] = {
+    val leqs = conj.flatMap(asLeq)
+    (for {
+      (x1, y1) <- leqs.iterator
+      (x2, y2) <- leqs.iterator
+      if canEvaluate(x1, l) && canEvaluate(y2, l) &&
+        canEvaluate(x2, r) && canEvaluate(y1, r)
+      es = Seq(x1, y2, x2, y1)
+      // references.nonEmpty: a foldable bound canEvaluate on EITHER side —
+      // without this, a pure one-sided range filter (5 <= a.y AND a.y <= 7)
+      // would masquerade as a constant "interval" and band a cross join
+      if es.forall(e => e.references.nonEmpty && e.deterministic)
+      fams = es.map(e => family(e.dataType))
+      if fams.forall(_.isDefined) && fams.distinct.size == 1
+    } yield {
+      val dw = Seq(betweenWidth(x1, y2), betweenWidth(x2, y1))
+        .flatten.reduceOption((a, b) => math.min(a, b))
+      (x1, y2, x2, y1, dw) // (lLo, lHi, rLo, rHi, width)
+    }).nextOption()
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, jt, Some(cond), hint)
         if supportedJoinType(jt) && hint == JoinHint.NONE && !j.isStreaming =>
@@ -263,9 +308,46 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           }
         }).nextOption()
         found match {
-          case None => j
+          case None =>
+            if (jt != Inner) j
+            else overlapCand(conj, l, r) match {
+              case None => j
+              case Some((lLo, lHi, rLo, rHi, derivedW)) =>
+                val w = bandWidth(derivedW, lLo.dataType)
+                val lband = AttributeReference("__graft_lband", LongType,
+                  nullable = false)()
+                val rband = AttributeReference("__graft_rband", LongType,
+                  nullable = false)()
+                // NOT filtered on hi >= lo: the overlap predicate can
+                // match an INVERTED interval (both inequalities can hold
+                // with lo > hi). Algebra then forces the other side's lo
+                // at or below this side's lo, so the canonical band is
+                // band(lo) — covered by the degenerate sequence that
+                // Greatest(lo, hi) produces. Normal rows unaffected.
+                def sideOf(plan: LogicalPlan, lo: Expression, hi: Expression,
+                    band: Attribute): LogicalPlan = {
+                  val loL = longUnits(lo)
+                  val seq = Sequence(bandOf(loL, w),
+                    bandOf(Greatest(Seq(loL, longUnits(hi))), w), None,
+                    Some(SQLConf.get.sessionLocalTimeZone))
+                  Generate(Explode(seq), unrequiredChildIndex = Nil,
+                    outer = false, qualifier = None,
+                    generatorOutput = Seq(band), child = plan)
+                }
+                // a pair shares every band its overlap region covers —
+                // emit it ONLY at the canonical one (the region's low end,
+                // band(max(lLo, rLo)), covered by both replicas exactly
+                // once) so multiplicity matches the nested loop
+                val canon = EqualTo(lband, bandOf(
+                  Greatest(Seq(longUnits(lLo), longUnits(rLo))), w))
+                val banded = Join(sideOf(l, lLo, lHi, lband),
+                  sideOf(r, rLo, rHi, rband), Inner,
+                  Some(And(And(EqualTo(lband, rband), canon), cond)),
+                  JoinHint.NONE)
+                Project(j.output, banded)
+            }
           case Some((Cand(p, lo, hi, derivedW), pointOnLeft)) =>
-            val w = bandWidth(derivedW)
+            val w = bandWidth(derivedW, p.dataType)
             val pband = Alias(bandOf(longUnits(p), w), "__graft_pband")()
             val rband = AttributeReference("__graft_rband", LongType,
               nullable = false)()

@@ -985,6 +985,46 @@ object Relational {
           |     AND o.o_orderkey % 256 = 0
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Interval-OVERLAP join through the SQL surface — the temporal-join
+    // shape (a.lo <= b.hi AND b.lo <= a.hi: which 14-day promo windows
+    // collide with which 21-day campaign windows?) that stock Spark and
+    // the reference both nested-loop. The rule's overlap fallback explodes
+    // BOTH sides to their covered bands and emits each pair only at its
+    // canonical band (the overlap region's low end) — an ordinary shuffle
+    // equi-join, width derived from the shorter foldable interval (13 d).
+    "q106_interval_overlap_sql" -> ((s, dir) =>
+      sqlBanded(s, dir,
+        """SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+          |       datediff(b.o_orderdate, a.o_orderdate) AS lag_days
+          |FROM orders a JOIN orders b
+          |  ON a.o_orderdate <= b.o_orderdate + INTERVAL '20' DAY
+          | AND b.o_orderdate <= a.o_orderdate + INTERVAL '13' DAY
+          |WHERE a.o_orderkey % 128 = 0 AND b.o_orderkey % 128 = 7
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // The same overlap class through the DataFrame API
+    // (operators/RangeJoin.intervalOverlap): per-user event sessions
+    // [ts, ts + 30 min] from one user shard overlapping [ts, ts + 45 min]
+    // sessions from another — epoch-second keys, width = one session
+    // length. Canonical-band emission keeps each colliding pair exactly
+    // once; the oracle is the naive overlap predicate in DuckDB.
+    "q107_interval_overlap_op" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(16)) === 0)
+        .select(col("event_id").as("a_id"),
+          unix_timestamp(col("ts")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 1800)
+      val b = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(16)) === 1)
+        .select(col("event_id").as("b_id"),
+          unix_timestamp(col("ts")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 2700)
+      graft.operators.RangeJoin
+        .intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 1800L)
+        .select(col("a_id"), col("b_id"), (col("b_lo") - col("a_lo")).as("lag_s"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2185,6 +2225,29 @@ object Relational {
         |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 13 DAY
         |  AND o.o_orderkey % 256 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q106_interval_overlap_sql" ->
+      """SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+        | CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+        |   CAST(b.o_orderdate AS DATE)) AS INTEGER) AS lag_days
+        |FROM orders a JOIN orders b
+        | ON a.o_orderdate <= b.o_orderdate + INTERVAL 20 DAY
+        |  AND b.o_orderdate <= a.o_orderdate + INTERVAL 13 DAY
+        |WHERE a.o_orderkey % 128 = 0 AND b.o_orderkey % 128 = 7
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q107_interval_overlap_op" ->
+      """WITH a AS (
+        | SELECT event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS a_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS a_hi
+        | FROM events WHERE user_id % 16 = 0),
+        |b AS (
+        | SELECT event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 2700 AS b_hi
+        | FROM events WHERE user_id % 16 = 1)
+        |SELECT a_id, b_id, b_lo - a_lo AS lag_s
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY 1, 2""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

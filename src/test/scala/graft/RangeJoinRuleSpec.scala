@@ -252,6 +252,69 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // r14: the interval-OVERLAP fallback — both sides explode, each pair
+  // emitted only at its canonical band, so SQL overlap joins (the
+  // temporal shape) plan as shuffle equi-joins and match the nested loop
+  // pair-for-pair.
+  test("SQL interval-overlap join rewrites (both sides banded) and stays exact (vs rule-off)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Tables.registerAll(spark, dir)
+    val shapes = Seq(
+      // timestamp intervals with foldable lengths (width derives from the
+      // shorter, 13 d)
+      "orders_windows" ->
+        """SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id
+          |FROM orders a JOIN orders b
+          |  ON a.o_orderdate <= b.o_orderdate + INTERVAL '20' DAY
+          | AND b.o_orderdate <= a.o_orderdate + INTERVAL '13' DAY
+          |WHERE a.o_orderkey % 32 = 0 AND b.o_orderkey % 32 = 7
+          |ORDER BY 1, 2""".stripMargin,
+      // integral epoch-day intervals via datediff, column bounds: width
+      // falls back to the integral default (1024) — exactness must hold
+      // at ANY width, including a bad one
+      "epoch_days" ->
+        """WITH wa AS (SELECT o_orderkey AS a_id,
+          |    datediff(o_orderdate, DATE '1992-01-01') AS a_lo,
+          |    datediff(o_orderdate, DATE '1992-01-01') + 13 AS a_hi
+          |  FROM orders WHERE o_orderkey % 32 = 0),
+          |wb AS (SELECT o_orderkey AS b_id,
+          |    datediff(o_orderdate, DATE '1992-01-01') AS b_lo,
+          |    datediff(o_orderdate, DATE '1992-01-01') + 20 AS b_hi
+          |  FROM orders WHERE o_orderkey % 32 = 7)
+          |SELECT a_id, b_id FROM wa JOIN wb
+          |  ON a_lo <= b_hi AND b_lo <= a_hi
+          |ORDER BY 1, 2""".stripMargin)
+    for ((name, q) <- shapes) {
+      val off = spark.sql(q).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try withRule {
+        val df = spark.sql(q)
+        val opt = df.queryExecution.optimizedPlan.toString
+        assert(opt.contains("__graft_lband") && opt.contains("__graft_rband"),
+          s"$name did not rewrite as overlap:\n$opt")
+        assert(df.queryExecution.executedPlan
+          .collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+        val on = df.collect().map(_.toString).toSeq
+        assert(on.nonEmpty && on == off,
+          s"$name: extra=${on.diff(off).take(3)} missing=${off.diff(on).take(3)}")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+    // a LEFT OUTER overlap must NOT rewrite (both sides would explode the
+    // preserved side's multiplicity)
+    withRule {
+      val outer = spark.sql(
+        """SELECT count(*) FROM orders a LEFT JOIN orders b
+          |  ON a.o_orderdate <= b.o_orderdate + INTERVAL '20' DAY
+          | AND b.o_orderdate <= a.o_orderdate + INTERVAL '13' DAY
+          |    AND b.o_orderkey % 128 = 7""".stripMargin)
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("__graft_lband"))
+    }
+  }
+
   // r14 (VERDICT "What's wrong" #1): the contract queries must leave NO
   // session state behind — q102's r13 spelling pinned bandWidth=16 globally,
   // which silently overrode the 2ε+1 derivation of every later ε-band join.

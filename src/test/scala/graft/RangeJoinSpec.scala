@@ -83,6 +83,32 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlap == naive overlap join; multiplicity exact when pairs share MANY bands") {
+    import spark.implicits._
+    // long intervals at a small width: overlapping pairs share up to 8
+    // bands — without canonical-band emission every shared band would
+    // duplicate the pair; with it each pair appears exactly once. Edges:
+    // touching endpoints (hi == lo), nested intervals, identical
+    // intervals, empty interval (hi < lo), negatives straddling zero.
+    val a = Seq((-20L, 10L, 1L), (0L, 30L, 2L), (5L, 6L, 3L), (10L, 40L, 4L),
+      (25L, 25L, 5L), (50L, 45L, 6L), (-7L, -3L, 7L))
+      .toDF("alo", "ahi", "aid")
+    val b = Seq((-30L, -20L, 101L), (-5L, 35L, 102L), (6L, 6L, 103L),
+      (28L, 60L, 104L), (41L, 44L, 105L), (90L, 80L, 106L))
+      .toDF("blo", "bhi", "bid")
+    for (w <- Seq(1L, 4L, 64L)) {
+      val banded = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", w)
+        .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+      val naive = a.crossJoin(b)
+        .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+      assert(banded == naive && banded.nonEmpty,
+        s"w=$w: extra=${banded.diff(naive)} missing=${naive.diff(banded)}")
+      // duplicate check is implicit in the sorted-seq equality: the naive
+      // cross join emits each qualifying pair exactly once
+    }
+  }
+
   // r14 (ADVICE high): band ids must be exact ABOVE 2^53 — the old
   // double-division bandOf misrouted ~6% of huge keys (nanosecond epochs,
   // scaled 18-digit decimals), silently dropping qualifying pairs the
