@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Linear-time temporal aggregates over closed integer intervals [lo, hi] —
+  * the two questions every session/booking/validity-window table gets asked
+  * ("how many were active at once?", "how much time was covered?") and that
+  * the naive SQL answers with a self-join the reference could only run as a
+  * nested loop (reference defaultJoin NLJ path,
+  * `DirectPlanConverter.scala:150-178`). Both operators here avoid the pair
+  * join entirely:
+  *
+  *  - [[maxConcurrent]] is the classic boundary sweep — O(n log n) per key
+  *    (one shuffle on the key + one windowed scan) instead of the O(n²)
+  *    "count intervals containing each start" self-join.
+  *  - [[mergeIntervals]] is gaps-and-islands — the same single windowed
+  *    scan, emitting the union of the intervals as maximal disjoint
+  *    islands.
+  *
+  * 100 TB: both are one shuffle on the grouping key followed by a
+  * per-partition external-sorted window — the same plan class as any
+  * windowed query, no pair blowup at any scale. A single key with a huge
+  * timeline still external-sorts; key skew is ordinary window skew. Keys
+  * must be integral (scale timestamps to epoch seconds/µs up front);
+  * interval bounds must satisfy hi < Long.MaxValue (the sweep closes an
+  * interval at hi + 1).
+  */
+object IntervalSweep {
+
+  /** Per key, the maximum number of simultaneously-active closed intervals
+    * [lo, hi] — +1 at lo, −1 at hi + 1, running sum ordered by boundary,
+    * max per key. The running sum uses the default RANGE frame, whose
+    * current-row bound includes every peer at the same instant — so
+    * coincident boundaries coalesce inside the window itself (a
+    * same-instant close+open never shows a phantom peak) and the whole
+    * operator is ONE shuffle: the window exchange on the key, whose
+    * hash(keys) partitioning also satisfies the final per-key max (subset
+    * clustering — no second exchange; plan-asserted in the spec). Empty
+    * intervals (hi < lo) are dropped. Output: keyCols ++ max_concurrent;
+    * keys with no live interval are absent (max of nothing is undefined).
+    */
+  def maxConcurrent(df: DataFrame, keyCols: Seq[String],
+      lo: String, hi: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val bounds = df.filter(col(hi) >= col(lo))
+      .select(keys :+ explode(array(
+        struct(col(lo).cast(LongType).as("t"), lit(1L).as("d")),
+        struct((col(hi).cast(LongType) + 1).as("t"), lit(-1L).as("d"))))
+        .as("__b"): _*)
+      .select(keys :+ col("__b.t").as("__t") :+ col("__b.d").as("__d"): _*)
+    // default frame with an ORDER BY = RANGE UNBOUNDED PRECEDING..CURRENT
+    // ROW: peers at the same __t are IN the frame, which is exactly the
+    // boundary-coalescing the sweep needs
+    val run = Window.partitionBy(keys: _*).orderBy(col("__t"))
+    bounds.withColumn("__active", sum(col("__d")).over(run))
+      .groupBy(keys: _*)
+      .agg(max(col("__active")).as("max_concurrent"))
+  }
+
+  /** Per key, the union of the closed intervals [lo, hi] as maximal
+    * disjoint islands — intervals that overlap OR are adjacent (next.lo <=
+    * current max hi + 1: [1,5] and [6,9] cover contiguous integers) merge.
+    * Gaps-and-islands: running max of hi over the lo-ordered prefix
+    * (exclusive of the current row); a row opens a new island when its lo
+    * clears that max by more than 1; islands aggregate to their extent.
+    * Empty intervals (hi < lo) are dropped. Output: keyCols ++ (island_lo,
+    * island_hi, n_intervals) — one row per island. */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+      lo: String, hi: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val ord = Window.partitionBy(keys: _*)
+      .orderBy(col(lo).cast(LongType), col(hi).cast(LongType))
+    val prevMax = max(col(hi).cast(LongType))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(hi) >= col(lo))
+      .withColumn("__new",
+        when(prevMax.isNull || col(lo).cast(LongType) > prevMax + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys :+ col("__island"): _*)
+      .agg(min(col(lo).cast(LongType)).as("island_lo"),
+        max(col(hi).cast(LongType)).as("island_hi"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+}

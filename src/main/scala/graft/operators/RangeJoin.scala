@@ -110,6 +110,63 @@ object RangeJoin {
       .drop("__lband", "__rband")
   }
 
+  /** FULL OUTER point-in-interval join — the one containment shape the
+    * optimizer rule deliberately leaves on the nested loop (the exploded
+    * ranges side is preserved under FULL OUTER, so its unmatched REPLICAS
+    * would each null-extend). Banded composition instead:
+    * matched pairs (banded inner) UNION ALL unmatched points (banded
+    * left-anti, null-extended range columns) UNION ALL unmatched ranges
+    * (null-extended point columns). The third leg recovers range-side
+    * multiplicity without exploding a preserved side: group identical
+    * range rows with their count, decide matched-ness on the DISTINCT
+    * tuples (exploded semi-join against the points — identical tuples
+    * match identically, so the decision lifts to the group), then
+    * re-expand the unmatched groups by their count. Exact for any width;
+    * null or inverted (hi < lo) bounds match nothing and surface as
+    * unmatched ranges, null points as unmatched points — byte-for-byte
+    * the nested loop's FULL OUTER. Range columns must be groupable
+    * (no maps). Output: points' columns then ranges'. */
+  def pointInIntervalFullOuter(points: DataFrame, ranges: DataFrame,
+      pointKey: String, loKey: String, hiKey: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
+      "pointInIntervalFullOuter inputs must have disjoint column names")
+    val w = bandWidth
+    val contains = col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey)
+    val p = points.withColumn("__pband", bandOf(col(pointKey), w))
+    val rx = ranges.filter(col(hiKey) >= col(loKey))
+      .withColumn("__rband", explode(
+        sequence(bandOf(col(loKey), w), bandOf(col(hiKey), w))))
+    val matched = p.join(rx, col("__pband") === col("__rband") && contains)
+      .drop("__pband", "__rband")
+    // null pointKey ⇒ null band ⇒ no equality match ⇒ anti keeps the row,
+    // exactly as the nested loop (null BETWEEN anything is never true)
+    val unmatchedP = p
+      .join(rx, col("__pband") === col("__rband") && contains, "left_anti")
+      .drop("__pband")
+      .select(points.columns.map(col) ++ ranges.schema.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    // range-side recovery on distinct tuples: count multiplicity, decide
+    // matched-ness once per tuple (band-exploded semi vs the points — a
+    // tuple matched iff ANY of its band replicas matched), re-expand
+    val grouped = ranges.groupBy(ranges.columns.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val gx = grouped.filter(col(hiKey) >= col(loKey))
+      .withColumn("__rband", explode(
+        sequence(bandOf(col(loKey), w), bandOf(col(hiKey), w))))
+    val matchedTuples = gx
+      .join(p, col("__pband") === col("__rband") && contains, "left_semi")
+      .drop("__rband").distinct()
+    val unmatchedR = grouped.join(matchedTuples,
+        ranges.columns.map(c => grouped(c) <=> matchedTuples(c)).reduce(_ && _),
+        "left_anti")
+      .withColumn("__i", explode(sequence(lit(1L), col("__cnt"))))
+      .select(points.schema.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) ++ ranges.columns.map(col): _*)
+    matched.unionByName(unmatchedP).unionByName(unmatchedR)
+  }
+
   /** Point-in-interval join: every (point, range) pair with
     * ranges.loKey <= points.pointKey <= ranges.hiKey (closed interval), as
     * an equi-join on band id. Ranges replicate to each band they overlap;

@@ -1025,6 +1025,72 @@ object Relational {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Max concurrency per key — "how many 30-minute sessions were active
+    // at once, per event type" — answered by the LINEAR boundary sweep
+    // (operators/IntervalSweep.maxConcurrent: +1 at lo, −1 at hi+1,
+    // coincident boundaries coalesced, windowed running sum), one shuffle
+    // on the key, no pair join at any scale. The oracle is the
+    // INDEPENDENT O(n²) semantics — count intervals covering each start
+    // instant — on a 1/4 user shard that keeps DuckDB's quadratic side
+    // tractable at sf0.1.
+    "q108_max_concurrent" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 1799)
+      graft.operators.IntervalSweep
+        .maxConcurrent(iv, Seq("event_type"), "lo", "hi")
+        .orderBy(col("event_type"))
+    }),
+
+    // Interval-union coverage per user — merged "busy time" from
+    // overlapping 30-minute sessions: gaps-and-islands
+    // (operators/IntervalSweep.mergeIntervals), one windowed scan per
+    // user, then islands aggregate to count / covered seconds / span.
+    // The self-join-free dual of q108: union length instead of peak
+    // concurrency.
+    "q109_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 1799)
+      graft.operators.IntervalSweep
+        .mergeIntervals(iv, Seq("user_id"), "lo", "hi")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_hi") - col("island_lo") + 1).as("covered_s"),
+          sum(col("n_intervals")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // FULL OUTER containment join — the one shape the optimizer rule
+    // leaves on the nested loop (both sides preserved; the exploded side
+    // would null-extend per REPLICA). The DataFrame operator
+    // (RangeJoin.pointInIntervalFullOuter) composes it from banded legs:
+    // inner matches + anti-unmatched points + group/re-expand-recovered
+    // unmatched ranges — every leg an equi-join on the band id. Sparse
+    // points (1/64 lineitems) against single-day windows (1/512 orders)
+    // so all three legs are non-empty; the aggregate keeps the contract
+    // output bounded while counting each leg.
+    "q110_interval_full_outer" -> ((s, dir) => {
+      val epoch = lit("1992-01-01")
+      val pts = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(64)) === 0)
+        .select(datediff(col("l_shipdate"), epoch).cast(LongType).as("ship_d"),
+          col("l_quantity"))
+      val rng = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(512)) === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          datediff(col("o_orderdate"), epoch).cast(LongType).as("lo_d"))
+        .withColumn("hi_d", col("lo_d") + 1)
+      graft.operators.RangeJoin
+        .pointInIntervalFullOuter(pts, rng, "ship_d", "lo_d", "hi_d", 16L)
+        .groupBy(coalesce(col("promo_id"), lit(-1L)).as("promo_id"))
+        .agg(count(col("ship_d")).as("n_ship"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("promo_id"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2248,6 +2314,66 @@ object Relational {
         |SELECT a_id, b_id, b_lo - a_lo AS lag_s
         |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
         |ORDER BY 1, 2""".stripMargin,
+
+    // INDEPENDENT oracle: the O(n²) "count intervals covering each start
+    // instant" semantics (max concurrency is attained at some interval's
+    // lo), not the sweep algorithm — DuckDB's IEJoin keeps the quadratic
+    // form tractable on the 1/4 shard.
+    "q108_max_concurrent" ->
+      """WITH iv AS (
+        | SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS hi
+        | FROM events WHERE user_id % 4 = 0),
+        |c AS (
+        | SELECT a.event_type, a.lo, count(*) AS c
+        | FROM (SELECT DISTINCT event_type, lo FROM iv) a
+        | JOIN iv b ON a.event_type = b.event_type
+        |          AND b.lo <= a.lo AND a.lo <= b.hi
+        | GROUP BY a.event_type, a.lo)
+        |SELECT event_type, max(c) AS max_concurrent
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q109_interval_coverage" ->
+      """WITH iv AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS hi
+        | FROM events),
+        |m AS (
+        | SELECT user_id, lo, hi,
+        |  max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv),
+        |f AS (
+        | SELECT user_id, lo, hi,
+        |  sum(CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY lo, hi
+        |     ROWS UNBOUNDED PRECEDING) AS isl
+        | FROM m),
+        |g AS (
+        | SELECT user_id, isl, min(lo) AS ilo, max(hi) AS ihi,
+        |        count(*) AS n
+        | FROM f GROUP BY user_id, isl)
+        |SELECT user_id, count(*) AS n_islands,
+        | CAST(sum(ihi - ilo + 1) AS BIGINT) AS covered_s,
+        | CAST(sum(n) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q110_interval_full_outer" ->
+      """WITH pts AS (
+        | SELECT CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_d, l_quantity
+        | FROM lineitem WHERE l_orderkey % 64 = 0),
+        |rng AS (
+        | SELECT o_orderkey AS promo_id,
+        |  CAST(date_diff('day', DATE '1992-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS lo_d
+        | FROM orders WHERE o_orderkey % 512 = 0)
+        |SELECT coalesce(promo_id, -1) AS promo_id,
+        | count(ship_d) AS n_ship,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM pts FULL JOIN rng
+        | ON ship_d >= lo_d AND ship_d <= lo_d + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -109,6 +109,32 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInIntervalFullOuter == naive FULL OUTER theta join (nulls, empty ranges, duplicate rows)") {
+    import spark.implicits._
+    // unmatched points (p=99), unmatched ranges ([200,210] — no point),
+    // DUPLICATE identical unmatched ranges (multiplicity must survive the
+    // group/re-expand recovery), empty range (hi < lo — matches nothing,
+    // must surface null-extended), null point and null-bounded range, and
+    // ranges spanning several width-8 bands
+    val pts = Seq(Some(5L) -> 1L, Some(12L) -> 2L, Some(12L) -> 3L,
+      Some(99L) -> 4L, (None: Option[Long]) -> 5L)
+      .map { case (v, i) => (v, i) }.toDF("pv", "pid")
+    val rng = Seq((Some(0L), Some(20L), 101L), (Some(10L), Some(12L), 102L),
+      (Some(200L), Some(210L), 103L), (Some(200L), Some(210L), 103L),
+      (Some(50L), Some(40L), 104L), (None: Option[Long], Some(7L), 105L))
+      .toDF("lo", "hi", "rid")
+    for (w <- Seq(1L, 8L, 1024L)) {
+      val got = RangeJoin
+        .pointInIntervalFullOuter(pts, rng, "pv", "lo", "hi", w)
+        .collect().map(_.toString).sorted.toSeq
+      val naive = pts.join(rng,
+          col("pv") >= col("lo") && col("pv") <= col("hi"), "full_outer")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive && got.nonEmpty,
+        s"w=$w: extra=${got.diff(naive).take(5)} missing=${naive.diff(got).take(5)}")
+    }
+  }
+
   // r14 (ADVICE high): band ids must be exact ABOVE 2^53 — the old
   // double-division bandOf misrouted ~6% of huge keys (nanosecond epochs,
   // scaled 18-digit decimals), silently dropping qualifying pairs the
