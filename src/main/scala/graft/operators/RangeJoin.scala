@@ -110,7 +110,58 @@ object RangeJoin {
       .drop("__lband", "__rband")
   }
 
-  /** FULL OUTER point-in-interval join — the one containment shape the
+  /** Interval-overlap SEMI join — left rows whose interval overlaps ANY
+    * right interval ("does this doc's validity window hit any embargo
+    * window?" — the decontamination shape for interval×interval). A naive
+    * banded semi would explode the PRESERVED left side and let several
+    * band replicas of one row survive, so multiplicity lifts to distinct
+    * tuples instead: group identical left rows with their count, decide
+    * overlap-existence once per distinct tuple (band-exploded semi — no
+    * canonical-band needed, semi is blind to match multiplicity; any
+    * overlapping pair shares at least the canonical band, so routing is
+    * complete), re-expand by count. Exact at any width; inverted
+    * intervals route via greatest(lo, hi) like [[intervalOverlap]]; null
+    * bounds match nothing. Left columns must be groupable (no maps). */
+  def intervalOverlapSemi(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    overlapSemiAnti(left, right, lLo, lHi, rLo, rHi, bandWidth, anti = false)
+
+  /** Interval-overlap ANTI join — left rows whose interval overlaps NO
+    * right interval (the keep-side of interval decontamination). Same
+    * distinct-tuple lift as [[intervalOverlapSemi]]. */
+  def intervalOverlapAnti(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    overlapSemiAnti(left, right, lLo, lHi, rLo, rHi, bandWidth, anti = true)
+
+  private def overlapSemiAnti(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long, anti: Boolean): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "intervalOverlapSemi/Anti inputs must have disjoint column names")
+    val w = bandWidth
+    val grouped = left.groupBy(left.columns.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val gx = grouped.withColumn("__lband", explode(sequence(
+      bandOf(col(lLo), w), bandOf(greatest(col(lLo), col(lHi)), w))))
+    val rx = right.withColumn("__rband", explode(sequence(
+      bandOf(col(rLo), w), bandOf(greatest(col(rLo), col(rHi)), w))))
+    val overlap = col(lLo) <= col(rHi) && col(rLo) <= col(lHi)
+    val matched = gx
+      .join(rx, col("__lband") === col("__rband") && overlap, "left_semi")
+      .drop("__lband").distinct()
+    val kept =
+      if (anti) grouped.join(matched,
+        left.columns.map(c => grouped(c) <=> matched(c)).reduce(_ && _),
+        "left_anti")
+      else matched
+    kept.withColumn("__i", explode(sequence(lit(1L), col("__cnt"))))
+      .select(left.columns.map(col): _*)
+  }
+
+  /** FULL OUTER containment join — the one containment shape the
     * optimizer rule deliberately leaves on the nested loop (the exploded
     * ranges side is preserved under FULL OUTER, so its unmatched REPLICAS
     * would each null-extend). Banded composition instead:

@@ -1091,6 +1091,29 @@ object Relational {
         .orderBy(col("promo_id"))
     }),
 
+    // Interval-overlap ANTI join — interval×interval decontamination:
+    // keep the 30-minute sessions of one user shard that overlap NO
+    // one-hour blackout window cut from another shard. The preserved side
+    // is never visibly exploded: overlap-existence is decided once per
+    // DISTINCT left tuple (band-exploded semi), then re-expanded by the
+    // tuple's multiplicity (RangeJoin.intervalOverlapAnti) — every leg an
+    // equi-join on the band id. Oracle is the naive NOT EXISTS.
+    "q111_overlap_anti" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(8)) === 1)
+        .select(col("event_id").as("sid"),
+          unix_timestamp(col("ts")).as("s_lo"))
+        .withColumn("s_hi", col("s_lo") + 1799)
+      val blackout = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(8)) === 0)
+        .select(unix_timestamp(col("ts")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 3599)
+      graft.operators.RangeJoin
+        .intervalOverlapAnti(sess, blackout, "s_lo", "s_hi", "b_lo", "b_hi", 3600L)
+        .select(col("sid"))
+        .orderBy(col("sid"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2374,6 +2397,20 @@ object Relational {
         |FROM pts FULL JOIN rng
         | ON ship_d >= lo_d AND ship_d <= lo_d + 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_overlap_anti" ->
+      """WITH sess AS (
+        | SELECT event_id AS sid, CAST(floor(epoch(ts)) AS BIGINT) AS s_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS s_hi
+        | FROM events WHERE user_id % 8 = 1),
+        |blackout AS (
+        | SELECT CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 3599 AS b_hi
+        | FROM events WHERE user_id % 8 = 0)
+        |SELECT sid FROM sess s
+        |WHERE NOT EXISTS (SELECT 1 FROM blackout b
+        |                  WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+        |ORDER BY sid""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

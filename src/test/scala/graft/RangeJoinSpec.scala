@@ -135,6 +135,37 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapSemi/Anti == naive EXISTS / NOT EXISTS (duplicate left rows keep multiplicity)") {
+    import spark.implicits._
+    // duplicate left rows (multiplicity must survive the distinct-tuple
+    // lift), inverted intervals on both sides, a left row matching MANY
+    // rights (must emit once per input row, not per match), and a
+    // null-bounded left row (matches nothing — semi drops, anti keeps)
+    val a = Seq((Some(-20L), Some(10L), 1L), (Some(0L), Some(30L), 2L),
+      (Some(0L), Some(30L), 2L), (Some(50L), Some(45L), 6L),
+      (Some(70L), Some(75L), 8L), (None: Option[Long], Some(5L), 9L))
+      .toDF("alo", "ahi", "aid")
+    val b = Seq((-30L, -20L, 101L), (-5L, 35L, 102L), (6L, 6L, 103L),
+      (28L, 60L, 104L), (90L, 80L, 106L)).toDF("blo", "bhi", "bid")
+    val pred = col("alo") <= col("bhi") && col("blo") <= col("ahi")
+    for (w <- Seq(1L, 8L, 64L)) {
+      val semi = RangeJoin
+        .intervalOverlapSemi(a, b, "alo", "ahi", "blo", "bhi", w)
+        .collect().map(_.toString).sorted.toSeq
+      val anti = RangeJoin
+        .intervalOverlapAnti(a, b, "alo", "ahi", "blo", "bhi", w)
+        .collect().map(_.toString).sorted.toSeq
+      val naiveSemi = a.join(b, pred, "left_semi")
+        .collect().map(_.toString).sorted.toSeq
+      val naiveAnti = a.join(b, pred, "left_anti")
+        .collect().map(_.toString).sorted.toSeq
+      assert(semi == naiveSemi && semi.nonEmpty,
+        s"w=$w semi: extra=${semi.diff(naiveSemi)} missing=${naiveSemi.diff(semi)}")
+      assert(anti == naiveAnti && anti.nonEmpty,
+        s"w=$w anti: extra=${anti.diff(naiveAnti)} missing=${naiveAnti.diff(anti)}")
+    }
+  }
+
   // r14 (ADVICE high): band ids must be exact ABOVE 2^53 — the old
   // double-division bandOf misrouted ~6% of huge keys (nanosecond epochs,
   // scaled 18-digit decimals), silently dropping qualifying pairs the

@@ -769,6 +769,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static interval-OVERLAP join == batch intervalOverlap (stateless canonical-band routing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // BOTH sides explode, but band expansion and the canonical-band
+    // predicate are stateless projections — so a streaming intervals feed
+    // overlap-joins a static windows table as a plain stream-static inner
+    // equi-join: no state store, no watermark, and a full replay must
+    // equal the batch operator pair for pair (incl. the inverted-interval
+    // and many-shared-bands edges)
+    val wins = Seq((-30L, -20L, 101L), (-5L, 35L, 102L), (6L, 6L, 103L),
+      (28L, 60L, 104L), (41L, 44L, 105L), (90L, 80L, 106L))
+      .toDF("blo", "bhi", "bid")
+    val ivs = Seq((-20L, 10L, 1L), (0L, 30L, 2L), (5L, 6L, 3L),
+      (10L, 40L, 4L), (25L, 25L, 5L), (50L, 45L, 6L), (-7L, -3L, 7L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val joined = graft.operators.RangeJoin.intervalOverlap(
+      mem.toDS().toDF("alo", "ahi", "aid"), wins,
+      "alo", "ahi", "blo", "bhi", 8L)
+      .select(col("aid"), col("bid"))
+    val q = StreamingOps.runToMemorySink(joined, "ov_stream", OutputMode.Append)
+    try {
+      ivs.grouped(3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("ov_stream")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.RangeJoin.intervalOverlap(
+        ivs.toDF("alo", "ahi", "aid"), wins, "alo", "ahi", "blo", "bhi", 8L)
+        .select(col("aid"), col("bid"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream ${streamed.take(5)} vs batch ${batch.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming exact-content dedup (md5 key) converges to batch distinct-by-content") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
