@@ -67,7 +67,13 @@ object IntervalSweep {
     * (exclusive of the current row); a row opens a new island when its lo
     * clears that max by more than 1; islands aggregate to their extent.
     * Empty intervals (hi < lo) are dropped. Output: keyCols ++ (island_lo,
-    * island_hi, n_intervals) — one row per island. */
+    * island_hi, n_intervals) — one row per island.
+    *
+    * keyCols = Nil merges GLOBALLY — one window partition, so reserve it
+    * for bounded inputs (e.g. unioning a blackout/embargo set before an
+    * overlap-anti join, where the merged result is exactly what keeps the
+    * join's band occupancy small — see q111). At lake scale a global merge
+    * wants range-partition + per-range merge + boundary fix-up instead. */
   def mergeIntervals(df: DataFrame, keyCols: Seq[String],
       lo: String, hi: String): DataFrame = {
     val keys = keyCols.map(col)

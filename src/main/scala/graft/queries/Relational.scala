@@ -1093,11 +1093,18 @@ object Relational {
 
     // Interval-overlap ANTI join — interval×interval decontamination:
     // keep the 30-minute sessions of one user shard that overlap NO
-    // one-hour blackout window cut from another shard. The preserved side
-    // is never visibly exploded: overlap-existence is decided once per
-    // DISTINCT left tuple (band-exploded semi), then re-expanded by the
-    // tuple's multiplicity (RangeJoin.intervalOverlapAnti) — every leg an
-    // equi-join on the band id. Oracle is the naive NOT EXISTS.
+    // one-hour blackout window cut from another shard. Two stacked
+    // operators: the blackout set is first UNIONED into disjoint islands
+    // (IntervalSweep.mergeIntervals — "overlaps any window" ≡ "overlaps
+    // the windows' union", and the merged set is what keeps the anti join
+    // linear: band occupancy collapses from every-raw-window-per-band to
+    // ≤ a handful of disjoint islands, so proving NO overlap stops
+    // costing a scan of ×K stacked windows as density grows). Then
+    // RangeJoin.intervalOverlapAnti decides overlap-existence once per
+    // distinct session tuple and re-expands — every leg an equi-join on
+    // the band id. The oracle is the naive NOT EXISTS against the RAW
+    // windows, so the hash-match also proves the merge-then-anti
+    // composition semantically exact.
     "q111_overlap_anti" -> ((s, dir) => {
       val sess = t(s, dir, "events")
         .filter(pmod(col("user_id"), lit(8)) === 1)
@@ -1108,8 +1115,12 @@ object Relational {
         .filter(pmod(col("user_id"), lit(8)) === 0)
         .select(unix_timestamp(col("ts")).as("b_lo"))
         .withColumn("b_hi", col("b_lo") + 3599)
+      val merged = graft.operators.IntervalSweep
+        .mergeIntervals(blackout, Nil, "b_lo", "b_hi")
+        .select(col("island_lo"), col("island_hi"))
       graft.operators.RangeJoin
-        .intervalOverlapAnti(sess, blackout, "s_lo", "s_hi", "b_lo", "b_hi", 3600L)
+        .intervalOverlapAnti(sess, merged,
+          "s_lo", "s_hi", "island_lo", "island_hi", 3600L)
         .select(col("sid"))
         .orderBy(col("sid"))
     }),

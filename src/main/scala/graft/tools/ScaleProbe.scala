@@ -486,7 +486,7 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
-      if (k > 1 && wanted("q64", "q65", "q66", "q67") &&
+      if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       val e = if (k == 1) baseDir else dir
@@ -500,6 +500,19 @@ object ScaleProbe {
       // path mining: one user_id window + agg to the constant-size
       // trigram table — linear, shuffle ∝ events
       run("q67", k, e)
+      // interval sweeps: one shuffle each — q108 windows per event_type
+      // (replicated user shards stack ×K boundaries onto the SAME 8 type
+      // timelines: per-partition external sort, n log n), q109 per user
+      // (user populations disjoint — rows ×K, per-user work fixed)
+      run("q108", k, e)
+      run("q109", k, e)
+      // merge-then-anti decontamination: replicas share the time axis, so
+      // raw blackout density per band grows ×K — the mergeIntervals
+      // pre-union is what this row proves out: the merged island set gets
+      // DENSER but not larger (bounded by the time span), so the anti
+      // join's probe cost stays ∝ sessions and the op stays linear; the
+      // unmerged form would pay sessions × K per band
+      run("q111", k, e)
       graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
 

@@ -35,6 +35,11 @@ CLASSES = {
     "s76": ("pair-bound", 130.0),
     "t73": ("linear", 15.0),
     "s84": ("linear", 15.0),
+    # r14 interval suite: one-shuffle sweeps + merge-then-anti overlap —
+    # measured 1.7x / 1.0x / 1.4x wall at 10x events
+    "q108": ("linear", 15.0),
+    "q109": ("linear", 15.0),
+    "q111": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -53,6 +58,10 @@ BASELINE_1X = {
     # headroom (0.80 -> 0.92); probe reads 12/16 of cells vs 8/16 — wall
     # re-baselined at the new point (first r14 idle-box measurement)
     "s84": 0.89,
+    # r14 interval suite first measurements (loaded box)
+    "q108": 0.64,
+    "q109": 0.81,
+    "q111": 0.65,
 }
 
 ROW = re.compile(
