@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -76,10 +77,16 @@ private[plans] case class TimestampMicros(child: Expression)
   * Interval-OVERLAP joins (a.lo <= b.hi AND b.lo <= a.hi — both sides
   * carry an interval; the temporal-join shape: overlapping sessions,
   * concurrent bookings) rewrite as a fallback when no containment pair
-  * matched, Inner only: BOTH sides explode to their covered bands and a
+  * matched. Inner: BOTH sides explode to their covered bands and a
   * pair is emitted only at its canonical band — band(max(a.lo, b.lo)),
   * the overlap region's low end, which both replicas provably cover
   * exactly once — so multiplicity matches the nested loop for any width.
+  * LEFT SEMI / LEFT ANTI (the EXISTS / NOT EXISTS decontamination
+  * spelling): the preserved side's multiplicity lifts to distinct tuples
+  * (group-with-count → band-exploded ExistenceJoin → any-replica-matched
+  * aggregate → filter → re-expand by count), so no preserved replica ever
+  * survives visibly; exact because any overlapping pair shares its
+  * canonical band and semi/anti are blind to match multiplicity.
   *
   * Fires only when it is the difference between an equi-join and a nested
   * loop: no existing equi conjunct (those already hash-join; this also
@@ -309,9 +316,65 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }).nextOption()
         found match {
           case None =>
-            if (jt != Inner) j
+            if (jt != Inner && jt != LeftSemi && jt != LeftAnti) j
             else overlapCand(conj, l, r) match {
               case None => j
+              case Some((lLo, lHi, rLo, rHi, derivedW)) if jt != Inner =>
+                // LEFT SEMI / LEFT ANTI overlap — the EXISTS / NOT EXISTS
+                // decontamination spelling ("does my window hit any
+                // embargo window?"). The preserved side cannot explode
+                // visibly (several band replicas of one row would survive
+                // a semi), so multiplicity lifts to distinct tuples: group
+                // the left by its whole row with a count, explode the
+                // GROUPS to their bands, decide existence per replica
+                // (ExistenceJoin — band equality + the original predicate),
+                // re-aggregate to "did ANY replica match?", filter, and
+                // re-expand by the count. Exact for any width: any
+                // overlapping pair shares its canonical band, so routing
+                // is complete, and semi/anti are blind to match
+                // multiplicity. Cost note: the lift pays one hash
+                // aggregate over the left's rows — the price of proving
+                // (anti) or testing (semi) overlap without replicating a
+                // preserved side.
+                val w = bandWidth(derivedW, lLo.dataType)
+                val tz = Some(SQLConf.get.sessionLocalTimeZone)
+                val cntA = Alias(Count(Literal(1)).toAggregateExpression(),
+                  "__graft_cnt")()
+                val grouped = Aggregate(l.output, l.output :+ cntA, l)
+                val lband = AttributeReference("__graft_lband", LongType,
+                  nullable = false)()
+                val rband = AttributeReference("__graft_rband", LongType,
+                  nullable = false)()
+                def bandsOf(lo: Expression, hi: Expression): Expression = {
+                  val loL = longUnits(lo)
+                  Sequence(bandOf(loL, w),
+                    bandOf(Greatest(Seq(loL, longUnits(hi))), w), None, tz)
+                }
+                val gx = Generate(Explode(bandsOf(lLo, lHi)),
+                  unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                  generatorOutput = Seq(lband), child = grouped)
+                val rx = Generate(Explode(bandsOf(rLo, rHi)),
+                  unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                  generatorOutput = Seq(rband), child = r)
+                val exists = AttributeReference("__graft_exists", BooleanType,
+                  nullable = false)()
+                val ej = Join(gx, rx, ExistenceJoin(exists),
+                  Some(And(EqualTo(lband, rband), cond)), JoinHint.NONE)
+                val matchedA = Alias(Max(exists).toAggregateExpression(),
+                  "__graft_matched")()
+                val cnt2A = Alias(Max(cntA.toAttribute).toAggregateExpression(),
+                  "__graft_cnt2")()
+                val agg2 = Aggregate(l.output,
+                  l.output ++ Seq(cnt2A, matchedA), ej)
+                val keep = if (jt == LeftSemi) matchedA.toAttribute
+                  else Not(matchedA.toAttribute)
+                val idx = AttributeReference("__graft_i", LongType,
+                  nullable = false)()
+                val expand = Generate(
+                  Explode(Sequence(Literal(1L), cnt2A.toAttribute, None, tz)),
+                  unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                  generatorOutput = Seq(idx), child = Filter(keep, agg2))
+                Project(j.output, expand)
               case Some((lLo, lHi, rLo, rHi, derivedW)) =>
                 val w = bandWidth(derivedW, lLo.dataType)
                 val lband = AttributeReference("__graft_lband", LongType,

@@ -1125,6 +1125,29 @@ object Relational {
         .orderBy(col("sid"))
     }),
 
+    // The overlap-EXISTS shape through the pure SQL surface: which
+    // sessions collide with any blackout window, spelled as a correlated
+    // EXISTS — Catalyst plans it as a LEFT SEMI theta join (a nested loop
+    // in stock Spark), and the rule's existence lift rewrites it: group
+    // the preserved side by its whole row with a count, band-explode the
+    // GROUPS, decide any-replica-matched via an ExistenceJoin on the band
+    // id, re-expand by count. Duplicate session tuples keep their
+    // multiplicity; the plan is BNLJ-free (RangeJoinRuleSpec gates both).
+    "q112_overlap_exists_sql" -> ((s, dir) =>
+      sqlBanded(s, dir,
+        """WITH sess AS (
+          | SELECT event_id AS sid, unix_timestamp(ts) AS s_lo,
+          |        unix_timestamp(ts) + 2699 AS s_hi
+          | FROM events WHERE user_id % 8 = 2),
+          |blk AS (
+          | SELECT unix_timestamp(ts) AS b_lo,
+          |        unix_timestamp(ts) + 3599 AS b_hi
+          | FROM events WHERE user_id % 8 = 0)
+          |SELECT sid FROM sess s
+          |WHERE EXISTS (SELECT 1 FROM blk b
+          |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+          |ORDER BY sid""".stripMargin)),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2421,6 +2444,20 @@ object Relational {
         |SELECT sid FROM sess s
         |WHERE NOT EXISTS (SELECT 1 FROM blackout b
         |                  WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+        |ORDER BY sid""".stripMargin,
+
+    "q112_overlap_exists_sql" ->
+      """WITH sess AS (
+        | SELECT event_id AS sid, CAST(floor(epoch(ts)) AS BIGINT) AS s_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 2699 AS s_hi
+        | FROM events WHERE user_id % 8 = 2),
+        |blk AS (
+        | SELECT CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 3599 AS b_hi
+        | FROM events WHERE user_id % 8 = 0)
+        |SELECT sid FROM sess s
+        |WHERE EXISTS (SELECT 1 FROM blk b
+        |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
         |ORDER BY sid""".stripMargin,
 
     "q72_window_distinct" ->
