@@ -319,6 +319,13 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             if (jt != Inner && jt != LeftSemi && jt != LeftAnti) j
             else overlapCand(conj, l, r) match {
               case None => j
+              // the lift groups by the left's WHOLE row — a non-groupable
+              // column (map) would turn a working (if quadratic) nested
+              // loop into an analysis error, so leave those untouched
+              case Some((lLo, lHi, rLo, rHi, derivedW))
+                  if jt != Inner &&
+                    !l.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
+                j
               case Some((lLo, lHi, rLo, rHi, derivedW)) if jt != Inner =>
                 // LEFT SEMI / LEFT ANTI overlap — the EXISTS / NOT EXISTS
                 // decontamination spelling ("does my window hit any

@@ -372,6 +372,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("existence lift declines when the preserved side carries a non-groupable (map) column") {
+    import spark.implicits._
+    withRule {
+      Seq((1L, 10L, Map("k" -> 1)), (5L, 20L, Map("k" -> 2)))
+        .toDF("s_lo", "s_hi", "props").createOrReplaceTempView("sess_m")
+      Seq((8L, 12L)).toDF("b_lo", "b_hi").createOrReplaceTempView("blk_m")
+      val df = spark.sql(
+        """SELECT s_lo, s_hi, props FROM sess_m s
+          |WHERE EXISTS (SELECT 1 FROM blk_m b
+          |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)""".stripMargin)
+      // must NOT rewrite (grouping a map column is an analysis error the
+      // nested loop never had) — and must still answer correctly
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_exists"))
+      assert(df.collect().length == 2)
+    }
+  }
+
   // r14 (VERDICT "What's wrong" #1): the contract queries must leave NO
   // session state behind — q102's r13 spelling pinned bandWidth=16 globally,
   // which silently overrode the 2ε+1 derivation of every later ε-band join.
