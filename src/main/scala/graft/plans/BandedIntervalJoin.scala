@@ -81,12 +81,14 @@ private[plans] case class TimestampMicros(child: Expression)
   * pair is emitted only at its canonical band — band(max(a.lo, b.lo)),
   * the overlap region's low end, which both replicas provably cover
   * exactly once — so multiplicity matches the nested loop for any width.
-  * LEFT SEMI / LEFT ANTI (the EXISTS / NOT EXISTS decontamination
-  * spelling): the preserved side's multiplicity lifts to distinct tuples
+  * LEFT SEMI / LEFT ANTI / existence joins (the EXISTS / NOT EXISTS
+  * decontamination spellings, incl. EXISTS under OR or in a projection):
+  * the preserved side's multiplicity lifts to distinct tuples
   * (group-with-count → band-exploded ExistenceJoin → any-replica-matched
-  * aggregate → filter → re-expand by count), so no preserved replica ever
-  * survives visibly; exact because any overlapping pair shares its
-  * canonical band and semi/anti are blind to match multiplicity.
+  * aggregate → filter or exists-bit → re-expand by count), so no
+  * preserved replica ever survives visibly; exact because any overlapping
+  * pair shares its canonical band and semi/anti/existence are blind to
+  * match multiplicity.
   *
   * Fires only when it is the difference between an equi-join and a nested
   * loop: no existing equi conjunct (those already hash-join; this also
@@ -316,7 +318,9 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         }).nextOption()
         found match {
           case None =>
-            if (jt != Inner && jt != LeftSemi && jt != LeftAnti) j
+            val liftable = jt == LeftSemi || jt == LeftAnti ||
+              jt.isInstanceOf[ExistenceJoin]
+            if (jt != Inner && !liftable) j
             else overlapCand(conj, l, r) match {
               case None => j
               // the lift groups by the left's WHOLE row — a non-groupable
@@ -348,8 +352,21 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 val cntA = Alias(Count(Literal(1)).toAggregateExpression(),
                   "__graft_cnt")()
                 val grouped = Aggregate(l.output, l.output :+ cntA, l)
+                // the LEFT explode is outer=true with a NULLABLE band: a
+                // null-bounded tuple produces a null band sequence, and an
+                // inner Generate would DROP it — wrong for ANTI (a null
+                // predicate matches nothing, so the nested loop KEEPS the
+                // row) and for the existence bit (the row must surface
+                // with exists=false). outer=true keeps it with a null
+                // band; the band equality then nulls out, no replica
+                // matches, and the tuple flows to the anti/existence
+                // output exactly as the nested loop's. (The r13-caught
+                // lesson: the suite's own shared session surfaced this —
+                // sqlBanded leaves the rule attached by design, so every
+                // rewrite shape must be exactness-safe, not just the ones
+                // a contract query exercises.)
                 val lband = AttributeReference("__graft_lband", LongType,
-                  nullable = false)()
+                  nullable = true)()
                 val rband = AttributeReference("__graft_rband", LongType,
                   nullable = false)()
                 def bandsOf(lo: Expression, hi: Expression): Expression = {
@@ -358,7 +375,7 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                     bandOf(Greatest(Seq(loL, longUnits(hi))), w), None, tz)
                 }
                 val gx = Generate(Explode(bandsOf(lLo, lHi)),
-                  unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                  unrequiredChildIndex = Nil, outer = true, qualifier = None,
                   generatorOutput = Seq(lband), child = grouped)
                 val rx = Generate(Explode(bandsOf(rLo, rHi)),
                   unrequiredChildIndex = Nil, outer = false, qualifier = None,
@@ -373,15 +390,28 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   "__graft_cnt2")()
                 val agg2 = Aggregate(l.output,
                   l.output ++ Seq(cnt2A, matchedA), ej)
-                val keep = if (jt == LeftSemi) matchedA.toAttribute
-                  else Not(matchedA.toAttribute)
+                // semi/anti filter the tuples; an existence join keeps
+                // them all and exposes the bit under the join's own
+                // exists attribute (same exprId, so the parent projection
+                // that consumes it resolves unchanged)
+                val filtered = jt match {
+                  case LeftSemi => Filter(matchedA.toAttribute, agg2)
+                  case LeftAnti => Filter(Not(matchedA.toAttribute), agg2)
+                  case _ => agg2
+                }
                 val idx = AttributeReference("__graft_i", LongType,
                   nullable = false)()
                 val expand = Generate(
                   Explode(Sequence(Literal(1L), cnt2A.toAttribute, None, tz)),
                   unrequiredChildIndex = Nil, outer = false, qualifier = None,
-                  generatorOutput = Seq(idx), child = Filter(keep, agg2))
-                Project(j.output, expand)
+                  generatorOutput = Seq(idx), child = filtered)
+                val out = jt match {
+                  case ExistenceJoin(ea) =>
+                    l.output :+ Alias(matchedA.toAttribute, ea.name)(
+                      exprId = ea.exprId)
+                  case _ => j.output
+                }
+                Project(out, expand)
               case Some((lLo, lHi, rLo, rHi, derivedW)) =>
                 val w = bandWidth(derivedW, lLo.dataType)
                 val lband = AttributeReference("__graft_lband", LongType,

@@ -372,6 +372,78 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("EXISTS under OR (ExistenceJoin) takes the lift: exists bit exact, plan BNLJ-free") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Tables.registerAll(spark, dir)
+    // EXISTS inside a disjunction cannot become a semi join — Catalyst
+    // plans an ExistenceJoin whose boolean feeds the OR; the lift must
+    // carry that bit per tuple (no filter) and re-expand duplicates
+    val q =
+      """WITH sess AS (SELECT o_orderkey % 16 AS sid,
+        |    datediff(o_orderdate, DATE '1992-01-01') AS s_lo,
+        |    datediff(o_orderdate, DATE '1992-01-01') + 13 AS s_hi
+        |  FROM orders WHERE o_orderkey % 64 = 0),
+        |blk AS (SELECT datediff(o_orderdate, DATE '1992-01-01') AS b_lo,
+        |    datediff(o_orderdate, DATE '1992-01-01') + 20 AS b_hi
+        |  FROM orders WHERE o_orderkey % 128 = 7)
+        |SELECT sid, s_lo FROM sess s
+        |WHERE sid = 3 OR EXISTS (SELECT 1 FROM blk b
+        |    WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+        |ORDER BY sid, s_lo""".stripMargin
+    val off = spark.sql(q).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withRule {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_exists"),
+        s"existence shape did not lift:\n${df.queryExecution.optimizedPlan}")
+      assert(df.queryExecution.executedPlan
+        .collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+      val on = df.collect().map(_.toString).toSeq
+      assert(on.nonEmpty && on == off,
+        s"extra=${on.diff(off).take(3)} missing=${off.diff(on).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("existence lift keeps null-bounded tuples under ANTI (outer band explode)") {
+    import spark.implicits._
+    // the r14 gate-caught regression: an inner (outer=false) left band
+    // explode silently DROPPED a null-bounded tuple — correct for semi
+    // (null predicate matches nothing), WRONG for anti (the nested loop
+    // keeps that row) and for the existence bit. Duplicate null tuples
+    // check the multiplicity path too.
+    Seq[(java.lang.Long, java.lang.Long, Long)]((1L, 10L, 1L), (50L, 60L, 2L),
+      (null, 5L, 9L), (null, 5L, 9L), (7L, null, 10L))
+      .toDF("s_lo", "s_hi", "sid").createOrReplaceTempView("sess_n")
+    Seq((8L, 12L), (55L, 58L)).toDF("b_lo", "b_hi")
+      .createOrReplaceTempView("blk_n")
+    val shapes = Seq(
+      "anti" ->
+        """SELECT sid FROM sess_n s
+          |WHERE NOT EXISTS (SELECT 1 FROM blk_n b
+          |    WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+          |ORDER BY sid""".stripMargin,
+      "exist_or" ->
+        """SELECT sid FROM sess_n s
+          |WHERE sid = 9 OR EXISTS (SELECT 1 FROM blk_n b
+          |    WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
+          |ORDER BY sid""".stripMargin)
+    for ((name, q) <- shapes) {
+      val off = spark.sql(q).collect().map(_.toString).toSeq
+      withRule {
+        val df = spark.sql(q)
+        assert(df.queryExecution.optimizedPlan.toString.contains("__graft_exists"),
+          s"$name did not lift")
+        val on = df.collect().map(_.toString).toSeq
+        assert(on == off && on.nonEmpty,
+          s"$name: extra=${on.diff(off)} missing=${off.diff(on)}")
+      }
+    }
+  }
+
   test("existence lift declines when the preserved side carries a non-groupable (map) column") {
     import spark.implicits._
     withRule {
