@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Generalized as-of join — every probe row matched to at most ONE quote
+  * row of the same key: the latest at-or-before (`backward`), earliest
+  * at-or-after (`forward`), or closest-in-time (`nearest`, ties to the
+  * backward side) quote, optionally within a `tolerance`. The surface
+  * pandas calls `merge_asof` and DuckDB spells `ASOF JOIN`
+  * (backward-only); the reference could only nested-loop such theta
+  * shapes (reference defaultJoin NLJ, `DirectPlanConverter.scala:150-178`),
+  * and stock Spark has no as-of join at all.
+  *
+  * NOT a pair join: both inputs union into one stream partitioned by key
+  * and sorted by time, and a windowed running last/first carries the
+  * nearest quote to each probe — one shuffle on the key, per-partition
+  * external sort, O(n log n) at any scale (the same plan class as q54's
+  * hand-built backward as-of; this operator generalizes it to both
+  * directions, nearest, and tolerances). Time must be integral (scale
+  * timestamps to epoch units up front); quotes with null time never
+  * match and probes with null time match nothing.
+  *
+  * Determinism: among quotes sharing an exact (key, time), the survivor
+  * is arbitrary (the window's tie order) — deduplicate quotes per
+  * (key, time) first if that matters. LEFT-join semantics: every probe
+  * row survives, unmatched probes carry nulls in the quote columns.
+  * Column sets must be disjoint; output is probes' columns then quotes'
+  * non-key columns (incl. the quote time, for the matched distance). */
+object AsofJoin {
+
+  def asof(probes: DataFrame, quotes: DataFrame, keyCols: Seq[String],
+      pTime: String, qTime: String, direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    require(probes.columns.toSet.intersect(quotes.columns.toSet) == keyCols.toSet &&
+      keyCols.forall(k => probes.columns.contains(k) && quotes.columns.contains(k)),
+      "asof inputs must share exactly the key columns; payloads must be disjoint")
+    val qPayload = quotes.columns.filterNot(keyCols.contains).toSeq
+    val pPayload = probes.columns.filterNot(keyCols.contains).toSeq
+    val keys = keyCols.map(col)
+    val qStructType = quotes.select(qPayload.map(col): _*).schema
+    val pStream = probes.select(
+      keys ++ pPayload.map(col) :+
+        col(pTime).cast(LongType).as("__t") :+ lit(0).as("__isq") :+
+        lit(null).cast(qStructType).as("__q"): _*)
+    val qStream = quotes.filter(col(qTime).isNotNull).select(
+      keys ++ pPayload.map(c => lit(null).cast(
+        probes.schema(c).dataType).as(c)) :+
+        col(qTime).cast(LongType).as("__t") :+ lit(1).as("__isq") :+
+        struct(qPayload.map(col): _*).as("__q"): _*)
+    val all = pStream.unionByName(qStream)
+    // backward: at an equal instant the quote sorts BEFORE the probe, so
+    // the unbounded-preceding..current frame's running last includes it
+    // (at-or-before, inclusive); forward mirrors with the probe first and
+    // a current..unbounded-following running first
+    val wBack = Window.partitionBy(keys: _*)
+      .orderBy(col("__t").asc_nulls_first, col("__isq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys: _*)
+      .orderBy(col("__t").asc_nulls_last, col("__isq").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withMatch = direction match {
+      case "backward" =>
+        all.withColumn("__m", last(col("__q"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        all.withColumn("__m", first(col("__q"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        val b = last(col("__q"), ignoreNulls = true).over(wBack)
+        val f = first(col("__q"), ignoreNulls = true).over(wFwd)
+        val bd = col("__t") - col("__b")(qTime).cast(LongType)
+        val fd = col("__f")(qTime).cast(LongType) - col("__t")
+        all.withColumn("__b", b).withColumn("__f", f)
+          .withColumn("__m",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              // tie -> backward (<=): the standard nearest rule
+              .when(bd <= fd, col("__b")).otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
+    val tolOk = tolerance.map(t =>
+      abs(col("__t") - col("__m")(qTime).cast(LongType)) <= lit(t))
+      .getOrElse(lit(true))
+    // probes only; null probe time matches nothing; tolerance nulls the
+    // match rather than dropping the probe (LEFT semantics)
+    val matched = withMatch.filter(col("__isq") === 0)
+      .withColumn("__mOk",
+        when(col("__t").isNotNull && col("__m").isNotNull && tolOk, col("__m")))
+    matched.select(
+      keys ++ pPayload.map(col) ++
+        qPayload.map(c => col("__mOk")(c).as(c)): _*)
+  }
+}

@@ -1148,6 +1148,27 @@ object Relational {
           |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
           |ORDER BY sid""".stripMargin)),
 
+    // Generalized as-of join — NEAREST direction with a tolerance (the
+    // pandas merge_asof surface; DuckDB's ASOF JOIN is backward-only and
+    // the reference could only nested-loop the shape): each event matched
+    // to the closest order day of the same customer within ±7 days, ties
+    // to the backward side. operators/AsofJoin: one union stream per key,
+    // backward running-last + forward running-first over one shuffle —
+    // no pair join. Quote days are pre-deduplicated so the matched day
+    // (the only quote payload) is deterministic.
+    "q113_asof_nearest" -> ((s, dir) => {
+      val epoch = lit("1992-01-01")
+      val p = t(s, dir, "events").select(col("user_id").as("k"),
+        col("event_id"), datediff(col("ts"), epoch).cast(LongType).as("ed"))
+      val q = t(s, dir, "orders").select(col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), epoch).cast(LongType).as("od")).distinct()
+      graft.operators.AsofJoin
+        .asof(p, q, Seq("k"), "ed", "od", "nearest", Some(7L))
+        .select(col("k"), col("event_id"), col("ed"), col("od"),
+          (col("od") - col("ed")).as("lag_d"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2459,6 +2480,31 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM blk b
         |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
         |ORDER BY sid""".stripMargin,
+
+    // independent argmin form: rank every same-key order day by
+    // (|distance|, day) per event, take the winner, then apply the
+    // tolerance — equivalent to nearest-then-null because the global
+    // nearest is within tolerance whenever any quote is
+    "q113_asof_nearest" ->
+      """WITH p AS (
+        | SELECT user_id AS k, event_id,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS ed
+        | FROM events),
+        |q AS (
+        | SELECT DISTINCT o_custkey AS k,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS od
+        | FROM orders),
+        |j AS (
+        | SELECT p.k, p.event_id, p.ed, q.od,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY abs(q.od - p.ed) ASC NULLS LAST, q.od ASC NULLS LAST) AS rn
+        | FROM p LEFT JOIN q ON p.k = q.k)
+        |SELECT k, event_id, ed,
+        | CASE WHEN od IS NOT NULL AND abs(od - ed) <= 7 THEN od END AS od,
+        | CASE WHEN od IS NOT NULL AND abs(od - ed) <= 7 THEN od - ed END AS lag_d
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -121,6 +121,20 @@ object ScaleProbe {
       }
     }
 
+    // orders for q113's quote side: o_custkey offsets mirror synthEvents
+    // user_id offsets, so each replica keeps the identical probe-quote
+    // match structure — honest xK for the as-of stream
+    def synthOrders(k: Int, out: String): Unit = {
+      val base = spark.read.parquet(s"$baseDir/orders.parquet")
+      base.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("o_orderkey") + col("rep") * 1000000000000L).as("o_orderkey"),
+          (col("o_custkey") + col("rep") * 1000000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
+
     def synthEmb(k: Int, out: String): Unit = {
       val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
       base.crossJoin(spark.range(k).select(col("id").as("rep")))
@@ -486,9 +500,13 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
-      if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111") &&
+      if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
+          "q113") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
+      if (k > 1 && wanted("q113") &&
+          !new java.io.File(s"$dir/orders.parquet").exists())
+        synthOrders(k, dir)
       val e = if (k == 1) baseDir else dir
       // funnel + retention: all stages shuffle on user_id, so time should
       // track the event count (per-replica user populations are disjoint);
@@ -513,6 +531,10 @@ object ScaleProbe {
       // join's probe cost stays ∝ sessions and the op stays linear; the
       // unmerged form would pay sessions × K per band
       run("q111", k, e)
+      // generalized as-of (nearest+tolerance): one union stream per key,
+      // two window passes over one shuffle — probes x K, per-key quote
+      // lists fixed (replicated users are disjoint populations)
+      run("q113", k, e)
       graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
 

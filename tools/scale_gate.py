@@ -40,6 +40,7 @@ CLASSES = {
     "q108": ("linear", 15.0),
     "q109": ("linear", 15.0),
     "q111": ("linear", 15.0),
+    "q113": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -62,6 +63,7 @@ BASELINE_1X = {
     "q108": 0.64,
     "q109": 0.81,
     "q111": 0.65,
+    "q113": 1.17,
 }
 
 ROW = re.compile(
