@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -58,6 +58,81 @@ object IntervalSweep {
     bounds.withColumn("__active", sum(col("__d")).over(run))
       .groupBy(keys: _*)
       .agg(max(col("__active")).as("max_concurrent"))
+  }
+
+  /** Interval SUBTRACTION — clip each left interval against a set of
+    * DISJOINT, non-adjacent forbidden islands (the output contract of
+    * [[mergeIntervals]]: pass raw windows through it first), emitting the
+    * allowed fragments: left minus the islands' union. The "clip sessions
+    * to allowed time" decontamination shape — the set-difference dual of
+    * the overlap-anti join (anti DROPS a touched interval; subtract keeps
+    * its clean parts).
+    *
+    * Plan: banded overlap join (via [[RangeJoin.intervalOverlap]]'s
+    * banding, inlined here as a left-outer so untouched intervals pass
+    * through whole) routes each left interval to the islands it overlaps;
+    * the overlapping islands collect per left row (sorted — they are
+    * disjoint, so (lo, hi) order is total), and a single `aggregate`
+    * higher-order walk emits the gaps. No pair explosion: each left row
+    * meets only the islands sharing its bands, and the collected list is
+    * bounded by len/islandMinLen + 1.
+    *
+    * Left rows need a unique id column (`idCol`) to regroup fragments —
+    * as-of/session tables have one; the walk is per id. The island set is
+    * GLOBAL (one forbidden timeline for every row — the embargo shape);
+    * for per-key islands, prefix both sides' times with a key offset or
+    * filter per key first. Empty left intervals (hi < lo) drop; a
+    * fully-covered interval emits zero fragments. Output: idCol ++
+    * (frag_lo, frag_hi), one row per allowed fragment. */
+  def subtractIntervals(left: DataFrame, islands: DataFrame,
+      idCol: String, lLo: String, lHi: String,
+      iLo: String, iHi: String, bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val w = bandWidth
+    def bandOf(c: Column): Column = {
+      val k = c.cast(LongType)
+      call_function("div", k - pmod(k, lit(w)), lit(w))
+    }
+    val keys = Seq.empty[Column]
+    val l = left.filter(col(lHi) >= col(lLo))
+      .withColumn("__lband", explode(sequence(bandOf(col(lLo)), bandOf(col(lHi)))))
+    val r = islands.filter(col(iHi) >= col(iLo))
+      .withColumn("__rband", explode(sequence(bandOf(col(iLo)), bandOf(col(iHi)))))
+    // canonical band on the overlap region's low end — each (left, island)
+    // pair lands exactly once, islands that miss the interval null-extend
+    val joined = l.join(r,
+      col("__lband") === col("__rband") &&
+        col(lLo) <= col(iHi) && col(iLo) <= col(lHi) &&
+        col("__lband") === bandOf(greatest(col(lLo).cast(LongType),
+          col(iLo).cast(LongType))), "left_outer")
+      .filter(col("__rband").isNotNull || col("__lband") === bandOf(col(lLo)))
+    val collected = joined
+      .groupBy((col(idCol) +: keys) :+ col(lLo) :+ col(lHi): _*)
+      .agg(sort_array(collect_list(when(col(iLo).isNotNull,
+        struct(col(iLo).cast(LongType).as("lo"),
+          col(iHi).cast(LongType).as("hi"))))).as("__blk"))
+    // the walk: cursor starts at lLo; each island emits the gap before it
+    // (if any) and advances the cursor past it; the finish step emits the
+    // tail gap. Islands are disjoint and sorted, so one pass suffices.
+    val frags = collected.withColumn("__frags", expr(
+      s"""aggregate(
+         |  __blk,
+         |  named_struct('cur', CAST($lLo AS BIGINT), 'acc',
+         |    CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>)),
+         |  (st, b) -> named_struct(
+         |    'cur', greatest(st.cur, b.hi + 1L),
+         |    'acc', CASE WHEN b.lo > st.cur
+         |      THEN array_append(st.acc,
+         |        named_struct('lo', st.cur, 'hi', least(b.lo - 1L, CAST($lHi AS BIGINT))))
+         |      ELSE st.acc END),
+         |  st -> CASE WHEN st.cur <= CAST($lHi AS BIGINT)
+         |    THEN array_append(st.acc,
+         |      named_struct('lo', st.cur, 'hi', CAST($lHi AS BIGINT)))
+         |    ELSE st.acc END)""".stripMargin))
+    frags.select((col(idCol) +: keys) :+
+        explode(col("__frags")).as("__f"): _*)
+      .select((col(idCol) +: keys) :+
+        col("__f.lo").as("frag_lo") :+ col("__f.hi").as("frag_hi"): _*)
   }
 
   /** Per key, the union of the closed intervals [lo, hi] as maximal

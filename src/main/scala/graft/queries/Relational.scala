@@ -1148,6 +1148,41 @@ object Relational {
           |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
           |ORDER BY sid""".stripMargin)),
 
+    // Interval SUBTRACTION — clip each session against the blackout
+    // union, keeping the allowed fragments (the set-difference dual of
+    // q111's anti: anti DROPS a touched session, subtract keeps its clean
+    // parts). IntervalSweep.subtractIntervals: banded left-outer overlap
+    // routes each session to the ≤ handful of merged islands it touches,
+    // then one higher-order `aggregate` walk emits the gaps. The oracle
+    // is an INDEPENDENT derivation — the closed-form edge formula over
+    // the same islands (fragments = k + 1 − covers_lo − covers_hi,
+    // allowed = len − Σ island overlap, valid because islands are
+    // disjoint and non-adjacent) — so the walk and the formula check
+    // each other.
+    "q114_interval_clip" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(8)) === 1)
+        .select(col("event_id").as("sid"),
+          unix_timestamp(col("ts")).as("s_lo"))
+        .withColumn("s_hi", col("s_lo") + 1799)
+      val blackout = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(8)) === 0)
+        .select(unix_timestamp(col("ts")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 3599)
+      val islands = graft.operators.IntervalSweep
+        .mergeIntervals(blackout, Nil, "b_lo", "b_hi")
+        .select(col("island_lo"), col("island_hi"))
+      val frags = graft.operators.IntervalSweep.subtractIntervals(
+        sess, islands, "sid", "s_lo", "s_hi", "island_lo", "island_hi", 3600L)
+      val agg = frags.groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_frag"),
+          sum(col("frag_hi") - col("frag_lo") + 1).as("allowed_s"))
+      sess.join(agg, Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("n_frag"), lit(0L)).as("n_frag"),
+          coalesce(col("allowed_s"), lit(0L)).as("allowed_s"))
+        .orderBy(col("sid"))
+    }),
+
     // Generalized as-of join — NEAREST direction with a tolerance (the
     // pandas merge_asof surface; DuckDB's ASOF JOIN is backward-only and
     // the reference could only nested-loop the shape): each event matched
@@ -2480,6 +2515,41 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM blk b
         |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
         |ORDER BY sid""".stripMargin,
+
+    "q114_interval_clip" ->
+      """WITH sess AS (
+        | SELECT event_id AS sid, CAST(floor(epoch(ts)) AS BIGINT) AS s_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS s_hi
+        | FROM events WHERE user_id % 8 = 1),
+        |blk AS (
+        | SELECT CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 3599 AS b_hi
+        | FROM events WHERE user_id % 8 = 0),
+        |m AS (
+        | SELECT b_lo, b_hi, max(b_hi) OVER (ORDER BY b_lo, b_hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM blk),
+        |f AS (
+        | SELECT b_lo, b_hi,
+        |  sum(CASE WHEN pm IS NULL OR b_lo > pm + 1 THEN 1 ELSE 0 END)
+        |   OVER (ORDER BY b_lo, b_hi ROWS UNBOUNDED PRECEDING) AS isl
+        | FROM m),
+        |g AS (SELECT isl, min(b_lo) AS i_lo, max(b_hi) AS i_hi
+        |      FROM f GROUP BY isl),
+        |ov AS (
+        | SELECT s.sid, s.s_lo, s.s_hi, count(i.i_lo) AS k,
+        |  -- the unmatched null-extended row must contribute 0, not a
+        |  -- phantom full overlap: DuckDB's least/greatest IGNORE nulls
+        |  COALESCE(SUM(CASE WHEN i.i_lo IS NOT NULL THEN
+        |    least(s.s_hi, i.i_hi) - greatest(s.s_lo, i.i_lo) + 1 END),
+        |    0) AS cov,
+        |  COALESCE(MAX(CASE WHEN i.i_lo <= s.s_lo THEN 1 ELSE 0 END), 0) AS c_lo,
+        |  COALESCE(MAX(CASE WHEN i.i_hi >= s.s_hi THEN 1 ELSE 0 END), 0) AS c_hi
+        | FROM sess s LEFT JOIN g i ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+        | GROUP BY 1, 2, 3)
+        |SELECT sid, CAST(k + 1 - c_lo - c_hi AS BIGINT) AS n_frag,
+        | CAST(s_hi - s_lo + 1 - cov AS BIGINT) AS allowed_s
+        |FROM ov ORDER BY sid""".stripMargin,
 
     // independent argmin form: rank every same-key order day by
     // (|distance|, day) per event, take the winner, then apply the

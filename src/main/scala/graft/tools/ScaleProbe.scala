@@ -501,7 +501,7 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
-          "q113") &&
+          "q113", "q114") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       if (k > 1 && wanted("q113") &&
@@ -531,6 +531,10 @@ object ScaleProbe {
       // join's probe cost stays ∝ sessions and the op stays linear; the
       // unmerged form would pay sessions × K per band
       run("q111", k, e)
+      // interval clipping (merge -> banded left-outer -> HOF walk):
+      // the same density argument as q111 — merged islands bounded by the
+      // time span, fragments per session bounded by islands touched
+      run("q114", k, e)
       // generalized as-of (nearest+tolerance): one union stream per key,
       // two window passes over one shuffle — probes x K, per-key quote
       // lists fixed (replicated users are disjoint populations)

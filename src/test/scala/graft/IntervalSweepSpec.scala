@@ -73,6 +73,43 @@ class IntervalSweepSpec extends AnyFunSuite {
       Seq((0L, 20L, 4L), (40L, 50L, 2L)))
   }
 
+  test("subtractIntervals: fragment points == left points minus island points, at 3 widths") {
+    // left intervals vs a DISJOINT island set (mergeIntervals output
+    // contract): fully-covered (zero fragments), untouched, edge-covered
+    // lo/hi, island strictly inside (splits in two), several islands in
+    // one interval, touching endpoints, negatives, empty left (dropped)
+    val left = Seq((0L, 10L, 1L), (20L, 22L, 2L), (-15L, -5L, 3L),
+      (30L, 60L, 4L), (41L, 43L, 5L), (70L, 69L, 6L), (100L, 130L, 7L))
+      .toDF("s_lo", "s_hi", "sid")
+    val islands = Seq((-20L, -10L), (2L, 4L), (7L, 8L), (19L, 23L),
+      (40L, 45L), (55L, 75L), (110L, 112L), (120L, 121L))
+      .toDF("i_lo", "i_hi")
+    for (w <- Seq(1L, 8L, 1024L)) {
+      val frags = IntervalSweep.subtractIntervals(
+        left, islands, "sid", "s_lo", "s_hi", "i_lo", "i_hi", w)
+      // multiplicity/attribution: fragments regroup under their sid and
+      // tile exactly the allowed points of THAT interval
+      val got = frags
+        .select(col("sid"), explode(sequence(col("frag_lo"), col("frag_hi"))).as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val leftPts = left.filter(col("s_hi") >= col("s_lo"))
+        .select(col("sid"), explode(sequence(col("s_lo"), col("s_hi"))).as("p"))
+      val islandPts = islands
+        .select(explode(sequence(col("i_lo"), col("i_hi"))).as("p"))
+      val want = leftPts.join(islandPts, Seq("p"), "left_anti")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+      assert(got == want && got.nonEmpty,
+        s"w=$w: extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      // no duplicate points means fragments are disjoint; also assert the
+      // walk emits them as maximal runs (no two fragments of one sid touch)
+      val byId = frags.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      for ((_, fs) <- byId if fs.size > 1; p <- fs.sliding(2) if p.size == 2)
+        assert(p(1)._2 > p(0)._3 + 1, s"fragments not maximal: $p")
+    }
+  }
+
   test("both sweeps are ONE shuffle: the window exchange's hash(keys) satisfies every later grouping") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -41,6 +41,7 @@ CLASSES = {
     "q109": ("linear", 15.0),
     "q111": ("linear", 15.0),
     "q113": ("linear", 15.0),
+    "q114": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -64,6 +65,7 @@ BASELINE_1X = {
     "q109": 0.81,
     "q111": 0.65,
     "q113": 1.17,
+    "q114": 1.54,
 }
 
 ROW = re.compile(
