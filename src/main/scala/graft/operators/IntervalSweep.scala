@@ -5,13 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Linear-time temporal aggregates over closed integer intervals [lo, hi] —
-  * the two questions every session/booking/validity-window table gets asked
-  * ("how many were active at once?", "how much time was covered?") and that
-  * the naive SQL answers with a self-join the reference could only run as a
-  * nested loop (reference defaultJoin NLJ path,
-  * `DirectPlanConverter.scala:150-178`). Both operators here avoid the pair
-  * join entirely:
+/** Linear-time temporal operators over closed integer intervals [lo, hi] —
+  * the questions every session/booking/validity-window table gets asked
+  * ("how many were active at once?", "how much time was covered?", "what
+  * is left after the embargo windows?") and that naive SQL answers with a
+  * self-join the reference could only run as a nested loop (reference
+  * defaultJoin NLJ path, `DirectPlanConverter.scala:150-178`). None of the
+  * operators here pays the pair explosion:
   *
   *  - [[maxConcurrent]] is the classic boundary sweep — O(n log n) per key
   *    (one shuffle on the key + one windowed scan) instead of the O(n²)
@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.LongType
   *  - [[mergeIntervals]] is gaps-and-islands — the same single windowed
   *    scan, emitting the union of the intervals as maximal disjoint
   *    islands.
+  *  - [[subtractIntervals]] clips intervals against a merged island set —
+  *    a banded left-outer join plus one higher-order gap walk.
   *
-  * 100 TB: both are one shuffle on the grouping key followed by a
+  * 100 TB: the sweeps are one shuffle on the grouping key followed by a
   * per-partition external-sorted window — the same plan class as any
   * windowed query, no pair blowup at any scale. A single key with a huge
   * timeline still external-sorts; key skew is ordinary window skew. Keys
