@@ -91,10 +91,9 @@ object IntervalSweep {
       iLo: String, iHi: String, bandWidth: Long): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     val w = bandWidth
-    def bandOf(c: Column): Column = {
-      val k = c.cast(LongType)
-      call_function("div", k - pmod(k, lit(w)), lit(w))
-    }
+    // shared full-Long-domain band id (RangeJoin.bandOf) — one spelling for
+    // both layers, exact down to Long.MinValue
+    def bandOf(c: Column): Column = RangeJoin.bandOf(c, w)
     val keys = Seq.empty[Column]
     val l = left.filter(col(lHi) >= col(lLo))
       .withColumn("__lband", explode(sequence(bandOf(col(lLo)), bandOf(col(lHi)))))

@@ -39,18 +39,22 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
-  /** Exact floor-division band id for integral keys, negative-safe: pmod
-    * makes the numerator exactly divisible and `div` (IntegralDivide) keeps
-    * the whole computation in Long — no double intermediate, so band ids are
-    * exact across the full Long domain (nanosecond epochs, scaled 18-digit
-    * decimals). Sole edge: `k - pmod(k, w)` underflows for k within w of
-    * Long.MinValue — keys must satisfy key > Long.MinValue + w. (The `/`
-    * spelling this replaces went through DoubleType and misrouted ~6% of
-    * band ids above 2^53; the Catalyst twin BandedIntervalJoinRule.bandOf
-    * always used IntegralDivide.) */
-  private def bandOf(c: Column, w: Long): Column = {
+  /** Exact floor-division band id for integral keys over the FULL Long
+    * domain: truncating `div` (IntegralDivide), minus one when a negative
+    * dividend had a remainder — the same remainder-adjusted form as the
+    * Catalyst twin BandedIntervalJoinRule.bandOf, so the two layers agree
+    * everywhere. No pmod/subtract intermediate, so nothing wraps near
+    * Long.MinValue (the `k - pmod(k, w)` spelling this replaces underflowed
+    * for keys within w of Long.MinValue; the earlier `/` spelling went
+    * through DoubleType and misrouted ~6% of band ids above 2^53). The
+    * whole computation stays in Long — band ids are exact for nanosecond
+    * epochs and scaled 18-digit decimals alike. (`div - 1` cannot itself
+    * underflow: |div| < |k| for w > 1, and at w = 1 the remainder is
+    * always zero.) */
+  private[operators] def bandOf(c: Column, w: Long): Column = {
     val k = c.cast(LongType)
-    call_function("div", k - pmod(k, lit(w)), lit(w))
+    val div = call_function("div", k, lit(w))
+    when(k < 0 && k % lit(w) =!= lit(0L), div - lit(1L)).otherwise(div)
   }
 
   /** ε-band join: all pairs with |left.leftKey − right.rightKey| <= eps

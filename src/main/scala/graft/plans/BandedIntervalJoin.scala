@@ -273,8 +273,15 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(l, r, jt, Some(cond), hint)
         if supportedJoinType(jt) && hint == JoinHint.NONE && !j.isStreaming =>
       val conj = splitConjunctivePredicates(cond)
+      // references.nonEmpty on BOTH sides: a bare-literal equality
+      // (`l.flag = 'Y'` under LEFT OUTER, where the conjunct cannot push
+      // below the join) canEvaluate anywhere and would masquerade as an
+      // equi conjunct, declining the rewrite and leaving a nested loop
+      // that Spark cannot hash-join anyway. A one-sided equality is just
+      // residual filtering — only a genuinely two-sided key equality
+      // means a hash join already exists.
       val hasEqui = conj.exists {
-        case Equality(a, b) =>
+        case Equality(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
           (canEvaluate(a, l) && canEvaluate(b, r)) ||
             (canEvaluate(a, r) && canEvaluate(b, l))
         case _ => false

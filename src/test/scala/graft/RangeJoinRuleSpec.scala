@@ -140,6 +140,39 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  // r15 (ADVICE r14 low): a one-sided literal equality (`l.flag = 'Y'`
+  // under LEFT OUTER, where the conjunct cannot push below the join) is
+  // NOT an equi conjunct — Spark cannot hash-join on it, so declining left
+  // the nested loop in place. The rule now requires both equality sides to
+  // carry references before counting them as an equi key.
+  test("one-sided literal equality no longer masks the rewrite (LEFT OUTER, vs rule-off)") {
+    Tables.registerAll(spark, dir)
+    val q =
+      """SELECT coalesce(o.o_orderkey, -1) AS pid, count(*) AS n
+        |FROM lineitem l LEFT JOIN orders o
+        |  ON l.l_returnflag = 'N'
+        |     AND l.l_shipdate BETWEEN o.o_orderdate
+        |                          AND o.o_orderdate + INTERVAL '13' DAY
+        |     AND o.o_orderkey % 256 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    val off = spark.sql(q).collect().map(_.toString).toSeq
+    withRule {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_pband"),
+        s"literal-equality LEFT OUTER did not rewrite:\n${df.queryExecution.optimizedPlan}")
+      val on = df.collect().map(_.toString).toSeq
+      assert(on.nonEmpty && on == off,
+        s"changed results: extra=${on.diff(off).take(3)} missing=${off.diff(on).take(3)}")
+      // the control: a genuinely two-sided equality still declines
+      val equi = spark.sql(
+        """SELECT count(*) FROM lineitem l JOIN orders o
+          |ON l.l_orderkey = o.o_orderkey
+          | AND l.l_shipdate BETWEEN o.o_orderdate
+          |                      AND o.o_orderdate + INTERVAL '13' DAY""".stripMargin)
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_pband"))
+    }
+  }
+
   // r14: the join-type extension — semi / anti / left-outer / right-outer /
   // existence containment joins rewrite (only the ranges side explodes;
   // semi/anti/existence are blind to right multiplicity, outer preserves the

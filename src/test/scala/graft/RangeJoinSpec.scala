@@ -198,6 +198,38 @@ class RangeJoinSpec extends AnyFunSuite {
       s"huge-key pointInInterval: extra=${bandedP.diff(naiveP).take(5)} missing=${naiveP.diff(bandedP).take(5)}")
   }
 
+  // r15 (ADVICE r14 low): the DataFrame bandOf now carries the rule's
+  // remainder-adjusted IntegralDivide form — keys within w of Long.MinValue
+  // used to wrap through `k - pmod(k, w)` and silently drop matching pairs.
+  test("bandJoin and pointInInterval exact at the Long.MinValue domain edge") {
+    import spark.implicits._
+    val mn = Long.MinValue
+    val ks = Seq(mn, mn + 1, mn + 99, mn + 100, mn + 150, mn + 999,
+      mn + 1000, mn + 2500, -1000L, 0L, 1000L)
+    val a = ks.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("av", "aid")
+    val b = ks.zipWithIndex.map { case (v, i) => (v + 70, i + 100L) }.toDF("bv", "bid")
+    val banded = RangeJoin.bandJoin(a, b, "av", "bv", 100L)
+      .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+    // decimal(38,0) baseline subtract: exact at the Long extremes where a
+    // Long subtract would throw under ANSI (the cross join compares EVERY
+    // pair, including the far-apart ones the banded form never touches)
+    val naive = a.crossJoin(b).filter(abs(col("av").cast("decimal(38,0)") -
+        col("bv").cast("decimal(38,0)")) <= 100L)
+      .select(col("aid"), col("bid")).collect().map(_.toString).sorted.toSeq
+    assert(banded == naive && banded.nonEmpty,
+      s"MinValue-edge bandJoin: extra=${banded.diff(naive).take(5)} missing=${naive.diff(banded).take(5)}")
+    val pts = ks.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("pv", "pid")
+    val rng = ks.zipWithIndex.map { case (v, i) =>
+      (v, v + 130, i + 100L) }.toDF("lo", "hi", "rid")
+    val bandedP = RangeJoin.pointInInterval(pts, rng, "pv", "lo", "hi", 64L)
+      .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+    val naiveP = pts.crossJoin(rng)
+      .filter(col("pv") >= col("lo") && col("pv") <= col("hi"))
+      .select(col("pid"), col("rid")).collect().map(_.toString).sorted.toSeq
+    assert(bandedP == naiveP && bandedP.nonEmpty,
+      s"MinValue-edge pointInInterval: extra=${bandedP.diff(naiveP).take(5)} missing=${naiveP.diff(bandedP).take(5)}")
+  }
+
   test("banded joins plan as equi-joins: no BNLJ / cartesian, join keyed on the band (plan gate)") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

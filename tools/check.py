@@ -46,6 +46,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
+    # missing_from_run (ADVICE r14): a query that crashed during Verify has
+    # an oracle key but no result dir — without this, check only iterates
+    # dirs that exist and a partial run looks green.
+    missing = sorted(set(oracle) - set(names))
+    for name in missing:
+        print(f"FAIL {name}: MISSING from run (oracle present, no result dir)")
+        n_fail += 1
     for name in names:
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")

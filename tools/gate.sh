@@ -21,11 +21,23 @@ TESTS_RC=$?   # sbt exits nonzero on any test failure
 grep -E "Tests:|Passed:|FAILED" /tmp/gate_tests.log
 section_result "tests" $TESTS_RC
 
+# r15 (ADVICE r14): a Verify crash can no longer hide behind a green check —
+# the sbt exit status is captured (not |true-masked), the out dir is cleaned
+# so stale dirs from prior runs can't stand in for missing queries, and
+# check.py fails any oracle key with no result dir (missing_from_run).
+run_verify() { # $1 = sfDir, $2 = outDir, $3 = section name
+  rm -rf "$2"
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
+    sbt -batch "runMain graft.Verify $1 $2" > /tmp/gate_verify_run.log 2>&1
+  local vrc=$?
+  grep "\[verify\]" /tmp/gate_verify_run.log || true
+  python3 tools/check.py "$1" "$2" 2>/dev/null | grep -E "FAIL|MISSING|=="
+  local crc=${PIPESTATUS[0]}
+  section_result "$3" $(( vrc != 0 ? vrc : crc ))
+}
+
 echo "== verify sf0.01 =="
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify" 2>&1 | grep "\[verify\]" || true
-python3 tools/check.py /root/testdata/sf0.01 /tmp/gate_verify 2>/dev/null | grep -E "FAIL|=="
-section_result "verify_sf0.01" "${PIPESTATUS[0]}"
+run_verify /root/testdata/sf0.01 /tmp/gate_verify verify_sf0.01
 
 if [ "${QUICK:-0}" = "1" ]; then
   [ ${#FAILED_SECTIONS[@]} -eq 0 ] && { echo "== QUICK GATE GREEN =="; exit 0; } \
@@ -33,10 +45,7 @@ if [ "${QUICK:-0}" = "1" ]; then
 fi
 
 echo "== verify sf0.1 =="
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_verify1" 2>&1 | grep "\[verify\]" || true
-python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_verify1 2>/dev/null | grep -E "FAIL|=="
-section_result "verify_sf0.1" "${PIPESTATUS[0]}"
+run_verify /root/testdata/sf0.1 /tmp/gate_verify1 verify_sf0.1
 
 echo "== x10 corpus gate (threshold-sensitive ops at 10x docs; VERDICT r11 item 6) =="
 bash tools/x10_gate.sh
