@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Generalized as-of join — every probe row matched to at most ONE quote
   * row of the same key: the latest at-or-before (`backward`), earliest
@@ -19,50 +18,75 @@ import org.apache.spark.sql.types.LongType
   * nearest quote to each probe — one shuffle on the key, per-partition
   * external sort, O(n log n) at any scale (the same plan class as q54's
   * hand-built backward as-of; this operator generalizes it to both
-  * directions, nearest, and tolerances). Time must be integral (scale
-  * timestamps to epoch units up front); quotes with null time never
+  * directions, nearest, and tolerances). Time keys may be integral, DATE
+  * or TIMESTAMP/NTZ (one scale family per call — TimeKeys maps each to a
+  * monotonic exact Long image: native units / days / epoch µs);
+  * `tolerance` is in the family's units. Quotes with null time never
   * match and probes with null time match nothing.
   *
-  * Determinism: among quotes sharing an exact (key, time), the survivor
-  * is arbitrary (the window's tie order) — deduplicate quotes per
-  * (key, time) first if that matters. LEFT-join semantics: every probe
-  * row survives, unmatched probes carry nulls in the quote columns.
-  * Column sets must be disjoint; output is probes' columns then quotes'
-  * non-key columns (incl. the quote time, for the matched distance). */
+  * Determinism: among quotes sharing an exact (key, time) the survivor is
+  * by default arbitrary (the window's tie order); pass `tieBreak` (a
+  * quote payload column) and the survivor is the quote with the GREATEST
+  * tie-break value in both directions — reproducible across
+  * repartitionings whenever the tie-break is unique per (key, time).
+  * LEFT-join semantics: every probe row survives, unmatched probes carry
+  * nulls in the quote columns. Column sets must be disjoint; output is
+  * probes' columns then quotes' non-key columns (incl. the quote time,
+  * for the matched distance). */
 object AsofJoin {
 
   def asof(probes: DataFrame, quotes: DataFrame, keyCols: Seq[String],
       pTime: String, qTime: String, direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     require(probes.columns.toSet.intersect(quotes.columns.toSet) == keyCols.toSet &&
       keyCols.forall(k => probes.columns.contains(k) && quotes.columns.contains(k)),
       "asof inputs must share exactly the key columns; payloads must be disjoint")
+    require(TimeKeys.familyOf(probes.schema(pTime).dataType) ==
+      TimeKeys.familyOf(quotes.schema(qTime).dataType),
+      "asof time keys mix scale families (integral vs DATE vs TIMESTAMP)")
+    tieBreak.foreach(tb => require(
+      quotes.columns.contains(tb) && !keyCols.contains(tb),
+      s"tieBreak '$tb' must be a quote payload column"))
     val qPayload = quotes.columns.filterNot(keyCols.contains).toSeq
     val pPayload = probes.columns.filterNot(keyCols.contains).toSeq
     val keys = keyCols.map(col)
-    val qStructType = quotes.select(qPayload.map(col): _*).schema
+    // the quote struct carries a hidden __qt Long image of the quote time,
+    // so nearest-distance and tolerance math is exact for every key family
+    // (a TIMESTAMP→Long cast would truncate to SECONDS; __qt is epoch µs)
+    val qStructType = quotes
+      .select(qPayload.map(col) :+
+        TimeKeys.toLong(quotes, qTime).as("__qt"): _*).schema
     val pStream = probes.select(
       keys ++ pPayload.map(col) :+
-        col(pTime).cast(LongType).as("__t") :+ lit(0).as("__isq") :+
+        TimeKeys.toLong(probes, pTime).as("__t") :+ lit(0).as("__isq") :+
         lit(null).cast(qStructType).as("__q"): _*)
     val qStream = quotes.filter(col(qTime).isNotNull).select(
       keys ++ pPayload.map(c => lit(null).cast(
         probes.schema(c).dataType).as(c)) :+
-        col(qTime).cast(LongType).as("__t") :+ lit(1).as("__isq") :+
-        struct(qPayload.map(col): _*).as("__q"): _*)
+        TimeKeys.toLong(quotes, qTime).as("__t") :+ lit(1).as("__isq") :+
+        struct(qPayload.map(col) :+
+          TimeKeys.toLong(quotes, qTime).as("__qt"): _*).as("__q"): _*)
     val all = pStream.unionByName(qStream)
     // backward: at an equal instant the quote sorts BEFORE the probe, so
     // the unbounded-preceding..current frame's running last includes it
     // (at-or-before, inclusive); forward mirrors with the probe first and
-    // a current..unbounded-following running first
+    // a current..unbounded-following running first. With a tieBreak, the
+    // survivor among same-(key, time) quotes is the MAX tie-break value:
+    // backward's running last takes the ascending order's last, forward's
+    // running first takes the descending order's first — nulls ordered so
+    // a non-null tie-break always wins. The extra sort key never reorders
+    // probe-vs-quote rows (they differ on __isq, a higher-priority key).
     val wBack = Window.partitionBy(keys: _*)
-      .orderBy(col("__t").asc_nulls_first, col("__isq").desc)
+      .orderBy(Seq(col("__t").asc_nulls_first, col("__isq").desc) ++
+        tieBreak.map(tb => col("__q")(tb).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keys: _*)
-      .orderBy(col("__t").asc_nulls_last, col("__isq").asc)
+      .orderBy(Seq(col("__t").asc_nulls_last, col("__isq").asc) ++
+        tieBreak.map(tb => col("__q")(tb).desc_nulls_last): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val withMatch = direction match {
       case "backward" =>
@@ -72,8 +96,8 @@ object AsofJoin {
       case "nearest" =>
         val b = last(col("__q"), ignoreNulls = true).over(wBack)
         val f = first(col("__q"), ignoreNulls = true).over(wFwd)
-        val bd = col("__t") - col("__b")(qTime).cast(LongType)
-        val fd = col("__f")(qTime).cast(LongType) - col("__t")
+        val bd = col("__t") - col("__b")("__qt")
+        val fd = col("__f")("__qt") - col("__t")
         all.withColumn("__b", b).withColumn("__f", f)
           .withColumn("__m",
             when(col("__b").isNull, col("__f"))
@@ -83,8 +107,7 @@ object AsofJoin {
           .drop("__b", "__f")
     }
     val tolOk = tolerance.map(t =>
-      abs(col("__t") - col("__m")(qTime).cast(LongType)) <= lit(t))
-      .getOrElse(lit(true))
+      abs(col("__t") - col("__m")("__qt")) <= lit(t)).getOrElse(lit(true))
     // probes only; null probe time matches nothing; tolerance nulls the
     // match rather than dropping the probe (LEFT semantics)
     val matched = withMatch.filter(col("__isq") === 0)

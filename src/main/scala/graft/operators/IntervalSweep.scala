@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.LongType
   * 100 TB: the sweeps are one shuffle on the grouping key followed by a
   * per-partition external-sorted window — the same plan class as any
   * windowed query, no pair blowup at any scale. A single key with a huge
-  * timeline still external-sorts; key skew is ordinary window skew. Keys
-  * must be integral (scale timestamps to epoch seconds/µs up front);
-  * interval bounds must satisfy hi < Long.MaxValue (the sweep closes an
-  * interval at hi + 1).
+  * timeline still external-sorts; key skew is ordinary window skew.
+  * Interval bounds may be integral, DATE or TIMESTAMP/NTZ (one scale
+  * family per call — TimeKeys maps each to a monotonic exact Long image:
+  * native units / days / epoch µs); outputs that surface bounds
+  * (island_lo/hi, frag_lo/hi) come back in the caller's own type.
+  * Adjacency and the sweep's hi + 1 close are in the family's units (+1
+  * day for DATE, +1 µs for timestamps); bounds must sit below the
+  * family's Long.MaxValue image.
   */
 object IntervalSweep {
 
@@ -47,10 +51,12 @@ object IntervalSweep {
   def maxConcurrent(df: DataFrame, keyCols: Seq[String],
       lo: String, hi: String): DataFrame = {
     val keys = keyCols.map(col)
+    TimeKeys.requireSameFamily("maxConcurrent", df, Seq(lo, hi))
+    def k(c: String) = TimeKeys.toLong(df, c)
     val bounds = df.filter(col(hi) >= col(lo))
       .select(keys :+ explode(array(
-        struct(col(lo).cast(LongType).as("t"), lit(1L).as("d")),
-        struct((col(hi).cast(LongType) + 1).as("t"), lit(-1L).as("d"))))
+        struct(k(lo).as("t"), lit(1L).as("d")),
+        struct((k(hi) + 1).as("t"), lit(-1L).as("d"))))
         .as("__b"): _*)
       .select(keys :+ col("__b.t").as("__t") :+ col("__b.d").as("__d"): _*)
     // default frame with an ORDER BY = RANGE UNBOUNDED PRECEDING..CURRENT
@@ -88,52 +94,83 @@ object IntervalSweep {
     * (frag_lo, frag_hi), one row per allowed fragment. */
   def subtractIntervals(left: DataFrame, islands: DataFrame,
       idCol: String, lLo: String, lHi: String,
+      iLo: String, iHi: String, bandWidth: Long): DataFrame =
+    subtractIntervals(left, islands, idCol, Nil, Nil, lLo, lHi, iLo, iHi,
+      bandWidth)
+
+  /** PER-KEY interval subtraction — each left interval is clipped against
+    * ITS key's island set only ("clip each user's sessions against their
+    * own embargo windows"): `leftKeys` and `islandKeys` are positionally
+    * aligned key columns added as equality conjuncts to the banded routing
+    * join, so an island of another key never clips a row (and the shuffle
+    * co-partitions on key+band — narrower bands per key, same plan class).
+    * A left row whose key matches NO island group (including a null key —
+    * equality semantics) passes through whole. Islands must be disjoint
+    * and non-adjacent PER KEY — the keyed output of [[mergeIntervals]].
+    * The no-key overload above is the GLOBAL embargo shape. */
+  def subtractIntervals(left: DataFrame, islands: DataFrame,
+      idCol: String, leftKeys: Seq[String], islandKeys: Seq[String],
+      lLo: String, lHi: String,
       iLo: String, iHi: String, bandWidth: Long): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(leftKeys.size == islandKeys.size,
+      "leftKeys and islandKeys must align positionally")
     val w = bandWidth
+    val (ldt, idt) = (left.schema(lLo).dataType, islands.schema(iLo).dataType)
+    TimeKeys.requireSameFamily("subtractIntervals", left, Seq(lLo, lHi))
+    TimeKeys.requireSameFamily("subtractIntervals", islands, Seq(iLo, iHi))
+    require(TimeKeys.familyOf(ldt) == TimeKeys.familyOf(idt),
+      "subtractIntervals sides mix scale families")
+    def lk(c: String) = TimeKeys.toLong(col(c), ldt)
+    def ik(c: String) = TimeKeys.toLong(col(c), idt)
     // shared full-Long-domain band id (RangeJoin.bandOf) — one spelling for
     // both layers, exact down to Long.MinValue
     def bandOf(c: Column): Column = RangeJoin.bandOf(c, w)
-    val keys = Seq.empty[Column]
+    val keys = leftKeys.map(col)
     val l = left.filter(col(lHi) >= col(lLo))
-      .withColumn("__lband", explode(sequence(bandOf(col(lLo)), bandOf(col(lHi)))))
+      .withColumn("__lband", explode(sequence(bandOf(lk(lLo)), bandOf(lk(lHi)))))
     val r = islands.filter(col(iHi) >= col(iLo))
-      .withColumn("__rband", explode(sequence(bandOf(col(iLo)), bandOf(col(iHi)))))
+      .withColumn("__rband", explode(sequence(bandOf(ik(iLo)), bandOf(ik(iHi)))))
     // canonical band on the overlap region's low end — each (left, island)
     // pair lands exactly once, islands that miss the interval null-extend
+    val keyEq = leftKeys.zip(islandKeys)
+      .map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
     val joined = l.join(r,
-      col("__lband") === col("__rband") &&
+      keyEq && col("__lband") === col("__rband") &&
         col(lLo) <= col(iHi) && col(iLo) <= col(lHi) &&
-        col("__lband") === bandOf(greatest(col(lLo).cast(LongType),
-          col(iLo).cast(LongType))), "left_outer")
-      .filter(col("__rband").isNotNull || col("__lband") === bandOf(col(lLo)))
+        col("__lband") === bandOf(greatest(lk(lLo), ik(iLo))), "left_outer")
+      .filter(col("__rband").isNotNull || col("__lband") === bandOf(lk(lLo)))
     val collected = joined
       .groupBy((col(idCol) +: keys) :+ col(lLo) :+ col(lHi): _*)
       .agg(sort_array(collect_list(when(col(iLo).isNotNull,
-        struct(col(iLo).cast(LongType).as("lo"),
-          col(iHi).cast(LongType).as("hi"))))).as("__blk"))
+        struct(ik(iLo).as("lo"), ik(iHi).as("hi"))))).as("__blk"))
+      .withColumn("__llo", lk(lLo)).withColumn("__lhi", lk(lHi))
     // the walk: cursor starts at lLo; each island emits the gap before it
     // (if any) and advances the cursor past it; the finish step emits the
     // tail gap. Islands are disjoint and sorted, so one pass suffices.
+    // Bounds walk on the Long images (__llo/__lhi) so native DATE/TIMESTAMP
+    // keys take the exact same path as integral ones.
     val frags = collected.withColumn("__frags", expr(
-      s"""aggregate(
+      """aggregate(
          |  __blk,
-         |  named_struct('cur', CAST($lLo AS BIGINT), 'acc',
+         |  named_struct('cur', __llo, 'acc',
          |    CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>)),
          |  (st, b) -> named_struct(
          |    'cur', greatest(st.cur, b.hi + 1L),
          |    'acc', CASE WHEN b.lo > st.cur
          |      THEN array_append(st.acc,
-         |        named_struct('lo', st.cur, 'hi', least(b.lo - 1L, CAST($lHi AS BIGINT))))
+         |        named_struct('lo', st.cur, 'hi', least(b.lo - 1L, __lhi)))
          |      ELSE st.acc END),
-         |  st -> CASE WHEN st.cur <= CAST($lHi AS BIGINT)
+         |  st -> CASE WHEN st.cur <= __lhi
          |    THEN array_append(st.acc,
-         |      named_struct('lo', st.cur, 'hi', CAST($lHi AS BIGINT)))
+         |      named_struct('lo', st.cur, 'hi', __lhi))
          |    ELSE st.acc END)""".stripMargin))
     frags.select((col(idCol) +: keys) :+
         explode(col("__frags")).as("__f"): _*)
       .select((col(idCol) +: keys) :+
-        col("__f.lo").as("frag_lo") :+ col("__f.hi").as("frag_hi"): _*)
+        TimeKeys.fromLong(col("__f.lo"), ldt).as("frag_lo") :+
+        TimeKeys.fromLong(col("__f.hi"), ldt).as("frag_hi"): _*)
   }
 
   /** Per key, the union of the closed intervals [lo, hi] as maximal
@@ -142,31 +179,113 @@ object IntervalSweep {
     * Gaps-and-islands: running max of hi over the lo-ordered prefix
     * (exclusive of the current row); a row opens a new island when its lo
     * clears that max by more than 1; islands aggregate to their extent.
-    * Empty intervals (hi < lo) are dropped. Output: keyCols ++ (island_lo,
-    * island_hi, n_intervals) — one row per island.
+    * Empty intervals (hi < lo) are dropped. Bounds may be integral, DATE
+    * or TIMESTAMP/NTZ; island_lo/island_hi come back in the input's own
+    * type. Output: keyCols ++ (island_lo, island_hi, n_intervals) — one
+    * row per island.
     *
-    * keyCols = Nil merges GLOBALLY — one window partition, so reserve it
-    * for bounded inputs (e.g. unioning a blackout/embargo set before an
-    * overlap-anti join, where the merged result is exactly what keeps the
-    * join's band occupancy small — see q111). At lake scale a global merge
-    * wants range-partition + per-range merge + boundary fix-up instead. */
+    * keyCols = Nil merges GLOBALLY. Small inputs (a blackout/embargo set
+    * before an overlap-anti join — q111) run the one-window form; above
+    * `graft.mergeIntervals.globalWindowMaxBytes` (default 64 MB of
+    * plan-estimated input) the merge routes to [[mergeGlobalScalable]] —
+    * range-partition + per-range sweep + scalar carry-in fix-up — so a
+    * lake-scale global merge never funnels through a single window
+    * partition. Both forms are row-identical (IntervalSweepSpec). */
   def mergeIntervals(df: DataFrame, keyCols: Seq[String],
       lo: String, hi: String): DataFrame = {
+    TimeKeys.requireSameFamily("mergeIntervals", df, Seq(lo, hi))
+    val dt = df.schema(lo).dataType
+    if (keyCols.isEmpty && estimatedBytes(df) > globalWindowMaxBytes(df))
+      return mergeGlobalScalable(df, lo, hi, dt)
+    def kLo = TimeKeys.toLong(col(lo), dt)
+    def kHi = TimeKeys.toLong(col(hi), dt)
     val keys = keyCols.map(col)
-    val ord = Window.partitionBy(keys: _*)
-      .orderBy(col(lo).cast(LongType), col(hi).cast(LongType))
-    val prevMax = max(col(hi).cast(LongType))
-      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val ord = Window.partitionBy(keys: _*).orderBy(kLo, kHi)
+    val prevMax = max(kHi).over(ord.rowsBetween(Window.unboundedPreceding, -1))
     df.filter(col(hi) >= col(lo))
       .withColumn("__new",
-        when(prevMax.isNull || col(lo).cast(LongType) > prevMax + 1, 1L)
-          .otherwise(0L))
+        when(prevMax.isNull || kLo > prevMax + 1, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new"))
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(keys :+ col("__island"): _*)
-      .agg(min(col(lo).cast(LongType)).as("island_lo"),
-        max(col(hi).cast(LongType)).as("island_hi"),
+      .agg(TimeKeys.fromLong(min(kLo), dt).as("island_lo"),
+        TimeKeys.fromLong(max(kHi), dt).as("island_hi"),
         count(lit(1)).as("n_intervals"))
       .drop("__island")
+  }
+
+  private def globalWindowMaxBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("graft.mergeIntervals.globalWindowMaxBytes", (64L << 20).toString)
+      .toLong
+
+  /** Catalyst's plan-time size estimate — no job, good enough to pick a
+    * merge strategy (the scalable form is also correct for small inputs;
+    * only latency differs). */
+  private def estimatedBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+
+  /** The lake-scale global merge (VERDICT r14 item 2): instead of one
+    * window partition holding EVERY interval, range-partition by (lo, hi),
+    * sweep each range partition locally, and repair the boundaries with
+    * two SCALAR fix-ups derived from per-partition stats (N rows for N
+    * partitions — never data-sized):
+    *
+    *  1. carry-in: prefix-max of per-partition max(hi) tells each
+    *     partition the furthest any earlier interval reaches, which is
+    *     the only cross-partition fact the island-start decision needs
+    *     (`lo > max(carry, local running max) + 1`). An island spanning
+    *     many partitions is thus CONTINUED, never restarted.
+    *  2. island numbering: prefix-sum of per-partition start counts
+    *     offsets the local running start index into a global island id;
+    *     rows continuing a carried island get the previous global id by
+    *     construction (offset + 0).
+    *
+    * The islands then aggregate by global id — an ordinary hash shuffle
+    * with island-count cardinality. Plan shape: one range exchange + one
+    * per-partition window + two broadcast joins against N-row stats
+    * frames (whose own windows order N rows, not data). Exact for any
+    * partitioning because range partitions respect the (lo, hi) sweep
+    * order — proven row-identical to the window form in
+    * IntervalSweepSpec, plan-asserted single-partition-window-free. */
+  private def mergeGlobalScalable(df: DataFrame, lo: String, hi: String,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.filter(col(hi) >= col(lo))
+      .select(TimeKeys.toLong(col(lo), dt).as("__lo"),
+        TimeKeys.toLong(col(hi), dt).as("__hi"))
+      .repartitionByRange(n, col("__lo"), col("__hi"))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition stats: N rows; the prefix windows below order N rows
+    // on one partition — bounded by the partition COUNT, not the data
+    val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy(col("__pid"))
+      .agg(max(col("__hi")).as("__maxhi"))
+      .withColumn("__carry", max(col("__maxhi")).over(wPrev))
+      .select(col("__pid"), col("__carry"))
+    val ord = Window.partitionBy(col("__pid")).orderBy(col("__lo"), col("__hi"))
+    val prevLocal = max(col("__hi"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    // greatest() skips nulls: null only when BOTH carry and local prefix
+    // are null — exactly the window form's "first interval" case
+    val prevAll = greatest(prevLocal, col("__carry"))
+    val flagged = base.join(broadcast(carry), Seq("__pid"), "left")
+      .withColumn("__new",
+        when(prevAll.isNull || col("__lo") > prevAll + 1, 1L).otherwise(0L))
+      .withColumn("__lidx", sum(col("__new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = flagged.groupBy(col("__pid"))
+      .agg(sum(col("__new")).as("__starts"))
+      .withColumn("__off", coalesce(sum(col("__starts")).over(wPrev), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    flagged.join(broadcast(offs), Seq("__pid"))
+      .withColumn("__island", col("__off") + col("__lidx"))
+      .groupBy(col("__island"))
+      .agg(TimeKeys.fromLong(min(col("__lo")), dt).as("island_lo"),
+        TimeKeys.fromLong(max(col("__hi")), dt).as("island_hi"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("island_lo"), col("island_hi"), col("n_intervals"))
   }
 }

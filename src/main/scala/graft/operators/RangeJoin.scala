@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.LongType
   *    replicates to each band it overlaps (ceil((hi−lo)/W) + 1 rows), so a
   *    containing range always shares the point's band, and shares it once.
   *
-  * Keys must be integral (scale decimals/dates to longs up front): the band
-  * arithmetic is exact integer math, so the rewrite is lossless — proven
-  * pair-for-pair equal to the naive theta join in RangeJoinSpec.
+  * Keys may be integral, DATE or TIMESTAMP/NTZ (one scale family per call
+  * — TimeKeys maps each to a monotonic exact Long image: native units /
+  * days / epoch µs, the same families as the optimizer rule's `longUnits`;
+  * scale decimals to longs up front): the band arithmetic is exact integer
+  * math, so the rewrite is lossless — proven pair-for-pair equal to the
+  * naive theta join in RangeJoinSpec. Widths/eps are Longs in the family's
+  * units (days for DATE, µs for timestamps).
   *
   * 100 TB knobs: `eps`/`bandWidth` trades replication against selectivity —
   * right-side blowup is ×3 (ε-band) or ×(range/W + 1) (interval), while the
@@ -59,20 +63,24 @@ object RangeJoin {
 
   /** ε-band join: all pairs with |left.leftKey − right.rightKey| <= eps
     * (inclusive), as an equi-join on band id. The RIGHT side replicates ×3
-    * (band −1/0/+1) — put the smaller input right. Column sets must be
+    * (band −1/0/+1) — put the smaller input right. Keys may be integral,
+    * DATE or TIMESTAMP/NTZ (one family per call — TimeKeys); eps is in
+    * the family's Long units (native / days / µs). Column sets must be
     * disjoint; output carries left's columns then right's. */
   def bandJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, eps: Long): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "bandJoin inputs must have disjoint column names")
-    val l = left.withColumn("__lband", bandOf(col(leftKey), eps))
+    val (ldt, rdt) = (left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+    require(TimeKeys.familyOf(ldt) == TimeKeys.familyOf(rdt),
+      s"bandJoin keys mix scale families: $ldt vs $rdt")
+    def lk = TimeKeys.toLong(col(leftKey), ldt)
+    def rk = TimeKeys.toLong(col(rightKey), rdt)
+    val l = left.withColumn("__lband", bandOf(lk, eps))
     val r = right.withColumn("__rband", explode(array(
-      bandOf(col(rightKey), eps) - 1,
-      bandOf(col(rightKey), eps),
-      bandOf(col(rightKey), eps) + 1)))
-    l.join(r, col("__lband") === col("__rband") &&
-        abs(col(leftKey).cast(LongType) - col(rightKey).cast(LongType)) <= lit(eps))
+      bandOf(rk, eps) - 1, bandOf(rk, eps), bandOf(rk, eps) + 1)))
+    l.join(r, col("__lband") === col("__rband") && abs(lk - rk) <= lit(eps))
       .drop("__lband", "__rband")
   }
 
@@ -97,6 +105,13 @@ object RangeJoin {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "intervalOverlap inputs must have disjoint column names")
     val w = bandWidth
+    val dt = left.schema(lLo).dataType
+    TimeKeys.requireSameFamily("intervalOverlap", left, Seq(lLo, lHi))
+    TimeKeys.requireSameFamily("intervalOverlap", right, Seq(rLo, rHi))
+    require(TimeKeys.familyOf(dt) == TimeKeys.familyOf(right.schema(rLo).dataType),
+      "intervalOverlap sides mix scale families")
+    def lk(c: String) = TimeKeys.toLong(col(c), dt)
+    def rk(c: String) = TimeKeys.toLong(col(c), right.schema(rLo).dataType)
     // NOT filtered on hi >= lo: unlike containment, the overlap predicate
     // can match an INVERTED interval (a = [50, 45] overlaps b = [28, 60] —
     // both inequalities hold). When a side is inverted, algebra forces the
@@ -104,13 +119,12 @@ object RangeJoin {
     // band(lo) — covered by the degenerate sequence(band(lo), band(lo))
     // that greatest(lo, hi) produces. Normal rows are unaffected.
     val l = left.withColumn("__lband", explode(sequence(
-      bandOf(col(lLo), w), bandOf(greatest(col(lLo), col(lHi)), w))))
+      bandOf(lk(lLo), w), bandOf(greatest(lk(lLo), lk(lHi)), w))))
     val r = right.withColumn("__rband", explode(sequence(
-      bandOf(col(rLo), w), bandOf(greatest(col(rLo), col(rHi)), w))))
+      bandOf(rk(rLo), w), bandOf(greatest(rk(rLo), rk(rHi)), w))))
     l.join(r, col("__lband") === col("__rband") &&
         col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
-        col("__lband") === bandOf(
-          greatest(col(lLo).cast(LongType), col(rLo).cast(LongType)), w))
+        col("__lband") === bandOf(greatest(lk(lLo), rk(rLo)), w))
       .drop("__lband", "__rband")
   }
 
@@ -146,12 +160,19 @@ object RangeJoin {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "intervalOverlapSemi/Anti inputs must have disjoint column names")
     val w = bandWidth
+    val (ldt, rdt) = (left.schema(lLo).dataType, right.schema(rLo).dataType)
+    TimeKeys.requireSameFamily("intervalOverlapSemi/Anti", left, Seq(lLo, lHi))
+    TimeKeys.requireSameFamily("intervalOverlapSemi/Anti", right, Seq(rLo, rHi))
+    require(TimeKeys.familyOf(ldt) == TimeKeys.familyOf(rdt),
+      "intervalOverlapSemi/Anti sides mix scale families")
+    def lk(c: String) = TimeKeys.toLong(col(c), ldt)
+    def rk(c: String) = TimeKeys.toLong(col(c), rdt)
     val grouped = left.groupBy(left.columns.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val gx = grouped.withColumn("__lband", explode(sequence(
-      bandOf(col(lLo), w), bandOf(greatest(col(lLo), col(lHi)), w))))
+      bandOf(lk(lLo), w), bandOf(greatest(lk(lLo), lk(lHi)), w))))
     val rx = right.withColumn("__rband", explode(sequence(
-      bandOf(col(rLo), w), bandOf(greatest(col(rLo), col(rHi)), w))))
+      bandOf(rk(rLo), w), bandOf(greatest(rk(rLo), rk(rHi)), w))))
     val overlap = col(lLo) <= col(rHi) && col(rLo) <= col(lHi)
     val matched = gx
       .join(rx, col("__lband") === col("__rband") && overlap, "left_semi")
@@ -163,6 +184,35 @@ object RangeJoin {
       else matched
     kept.withColumn("__i", explode(sequence(lit(1L), col("__cnt"))))
       .select(left.columns.map(col): _*)
+  }
+
+  /** Interval-overlap FULL OUTER join — matched overlapping pairs plus
+    * null-extended unmatched rows from BOTH sides (the dual of
+    * [[pointInIntervalFullOuter]] for interval×interval). No single banded
+    * join can express it (both sides are preserved AND both explode), so
+    * it composes three banded legs: matched pairs via [[intervalOverlap]]
+    * (canonical-band dedup keeps pair multiplicity exact), unmatched-left
+    * via [[intervalOverlapAnti]] null-extended on the right, and
+    * unmatched-right via the mirrored anti null-extended on the left —
+    * the antis' distinct-tuple lift preserves duplicate-row multiplicity
+    * on each preserved side. Null or inverted bounds follow the overlap
+    * predicate exactly as the nested loop would (null bounds match
+    * nothing and surface as unmatched). Both sides' columns must be
+    * groupable (no maps) and disjoint; output carries left's columns then
+    * right's. */
+  def intervalOverlapFullOuter(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame = {
+    val matched = intervalOverlap(left, right, lLo, lHi, rLo, rHi, bandWidth)
+    val unmatchedL = intervalOverlapAnti(left, right, lLo, lHi, rLo, rHi,
+        bandWidth)
+      .select(left.columns.map(col) ++ right.schema.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    val unmatchedR = intervalOverlapAnti(right, left, rLo, rHi, lLo, lHi,
+        bandWidth)
+      .select(left.schema.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) ++ right.columns.map(col): _*)
+    matched.unionByName(unmatchedL).unionByName(unmatchedR)
   }
 
   /** FULL OUTER containment join — the one containment shape the
@@ -188,11 +238,17 @@ object RangeJoin {
     require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
       "pointInIntervalFullOuter inputs must have disjoint column names")
     val w = bandWidth
+    val (pdt, rdt) = (points.schema(pointKey).dataType, ranges.schema(loKey).dataType)
+    TimeKeys.requireSameFamily("pointInIntervalFullOuter", ranges, Seq(loKey, hiKey))
+    require(TimeKeys.familyOf(pdt) == TimeKeys.familyOf(rdt),
+      "pointInIntervalFullOuter sides mix scale families")
     val contains = col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey)
-    val p = points.withColumn("__pband", bandOf(col(pointKey), w))
+    val p = points.withColumn("__pband", bandOf(TimeKeys.toLong(col(pointKey), pdt), w))
+    def rangeBands = explode(sequence(
+      bandOf(TimeKeys.toLong(col(loKey), rdt), w),
+      bandOf(TimeKeys.toLong(col(hiKey), rdt), w)))
     val rx = ranges.filter(col(hiKey) >= col(loKey))
-      .withColumn("__rband", explode(
-        sequence(bandOf(col(loKey), w), bandOf(col(hiKey), w))))
+      .withColumn("__rband", rangeBands)
     val matched = p.join(rx, col("__pband") === col("__rband") && contains)
       .drop("__pband", "__rband")
     // null pointKey ⇒ null band ⇒ no equality match ⇒ anti keeps the row,
@@ -208,8 +264,7 @@ object RangeJoin {
     val grouped = ranges.groupBy(ranges.columns.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val gx = grouped.filter(col(hiKey) >= col(loKey))
-      .withColumn("__rband", explode(
-        sequence(bandOf(col(loKey), w), bandOf(col(hiKey), w))))
+      .withColumn("__rband", rangeBands)
     val matchedTuples = gx
       .join(p, col("__pband") === col("__rband") && contains, "left_semi")
       .drop("__rband").distinct()
@@ -233,10 +288,16 @@ object RangeJoin {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
       "pointInInterval inputs must have disjoint column names")
-    val p = points.withColumn("__pband", bandOf(col(pointKey), bandWidth))
+    val (pdt, rdt) = (points.schema(pointKey).dataType, ranges.schema(loKey).dataType)
+    TimeKeys.requireSameFamily("pointInInterval", ranges, Seq(loKey, hiKey))
+    require(TimeKeys.familyOf(pdt) == TimeKeys.familyOf(rdt),
+      "pointInInterval sides mix scale families")
+    val p = points.withColumn("__pband",
+      bandOf(TimeKeys.toLong(col(pointKey), pdt), bandWidth))
     val r = ranges.filter(col(hiKey) >= col(loKey))
-      .withColumn("__pband", explode(
-        sequence(bandOf(col(loKey), bandWidth), bandOf(col(hiKey), bandWidth))))
+      .withColumn("__pband", explode(sequence(
+        bandOf(TimeKeys.toLong(col(loKey), rdt), bandWidth),
+        bandOf(TimeKeys.toLong(col(hiKey), rdt), bandWidth))))
     p.join(r, Seq("__pband"))
       .filter(col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey))
       .drop("__pband")

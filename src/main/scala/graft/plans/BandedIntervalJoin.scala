@@ -16,13 +16,28 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * store Long µs, so this is an identity pass-through: no time-zone
   * semantics, strictly monotonic by construction, which is all band routing
   * needs (the residual predicate compares the ORIGINAL typed values). */
-private[plans] case class TimestampMicros(child: Expression)
+private[graft] case class TimestampMicros(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = input
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => c)
   override protected def withNewChildInternal(newChild: Expression): TimestampMicros =
+    copy(child = newChild)
+}
+
+/** The inverse reinterpret: an epoch-µs Long back to TIMESTAMP or
+  * TIMESTAMP_NTZ. `timestamp_micros()` covers only TimestampType, and a
+  * TIMESTAMP → NTZ cast shifts by the session zone — this pass-through
+  * restores the exact physical value [[TimestampMicros]] read, so
+  * toLong/fromLong round-trips bit-exactly for both timestamp types
+  * (operators/TimeKeys uses the pair for native-key interval operators). */
+private[graft] case class MicrosAsTimestamp(child: Expression,
+    dataType: DataType) extends UnaryExpression {
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): MicrosAsTimestamp =
     copy(child = newChild)
 }
 

@@ -1204,6 +1204,112 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // PER-KEY interval subtraction on NATIVE TIMESTAMP keys (r15: VERDICT
+    // items 1+3) — each user's sessions clipped against that user's OWN
+    // blackout windows, timestamp columns passed straight to the operators
+    // (TimeKeys bands on epoch µs internally, fragments come back as
+    // timestamps). Two stacked operators: keyed mergeIntervals unions each
+    // user's blackouts into disjoint islands; keyed subtractIntervals adds
+    // the user equality to the banded routing join so an island of another
+    // user never clips a session. The oracle is the per-key closed-form
+    // edge formula (q114's, partitioned by user) — walk and formula check
+    // each other, at µs granularity.
+    "q115_clip_per_user" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sess = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id").as("sid"), col("user_id"),
+          col("ts").as("s_lo"),
+          (col("ts") + expr("INTERVAL 1799 SECONDS")).as("s_hi"))
+      val blk = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id").as("bu"), col("ts").as("b_lo"),
+          (col("ts") + expr("INTERVAL 3599 SECONDS")).as("b_hi"))
+      val islands = graft.operators.IntervalSweep
+        .mergeIntervals(blk, Seq("bu"), "b_lo", "b_hi")
+        .select(col("bu"), col("island_lo"), col("island_hi"))
+      val frags = graft.operators.IntervalSweep.subtractIntervals(
+        sess, islands, "sid", Seq("user_id"), Seq("bu"),
+        "s_lo", "s_hi", "island_lo", "island_hi", 3600L * 1000000L)
+      val agg = frags.groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_frag"),
+          sum(unix_micros(col("frag_hi")) - unix_micros(col("frag_lo")) + 1)
+            .as("allowed_us"))
+      sess.join(agg, Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("n_frag"), lit(0L)).as("n_frag"),
+          coalesce(col("allowed_us"), lit(0L)).as("allowed_us"))
+        .orderBy(col("sid"))
+    }),
+
+    // Interval-overlap FULL OUTER (r15: VERDICT item 6) — matched
+    // colliding-session pairs plus null-extended unmatched rows from BOTH
+    // shards, composed from three banded legs
+    // (RangeJoin.intervalOverlapFullOuter); the oracle is DuckDB's native
+    // FULL JOIN on the raw overlap predicate.
+    "q116_overlap_full_outer" -> ((s, dir) => {
+      val a = t(s, dir, "events").filter(pmod(col("user_id"), lit(16)) === 2)
+        .select(col("event_id").as("a_id"), unix_timestamp(col("ts")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 1800)
+      val b = t(s, dir, "events").filter(pmod(col("user_id"), lit(16)) === 3)
+        .select(col("event_id").as("b_id"), unix_timestamp(col("ts")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 2700)
+      graft.operators.RangeJoin
+        .intervalOverlapFullOuter(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 2700L)
+        .groupBy(coalesce(col("a_id"), lit(-1L)).as("a_id"))
+        .agg(count(lit(1)).as("n"), sum(col("b_id")).as("sum_b"))
+        .orderBy(col("a_id"))
+    }),
+
+    // As-of join on NATIVE TIMESTAMP keys with the deterministic tie-break
+    // (r15: VERDICT items 1+7) — each probe event matched to the latest
+    // at-or-before quote event of the same type within 2 hours; among
+    // quotes sharing (type, instant) the survivor is the max event id, so
+    // the result is reproducible run-to-run. Times flow through the
+    // operator as timestamps (epoch-µs banding internal); tolerance is µs.
+    "q117_asof_native_ts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(pmod(col("user_id"), lit(4)) === 2)
+        .select(col("event_type").as("k"), col("event_id").as("pid"),
+          col("ts").as("pt"))
+      val q = ev.filter(pmod(col("user_id"), lit(4)) === 3)
+        .select(col("event_type").as("k"), col("event_id").as("q_eid"),
+          col("ts").as("qt"))
+      graft.operators.AsofJoin
+        .asof(p, q, Seq("k"), "pt", "qt", "backward",
+          tolerance = Some(7200L * 1000000L), tieBreak = Some("q_eid"))
+        .select(col("k"), col("pid"), unix_micros(col("pt")).as("pt_us"),
+          unix_micros(col("qt")).as("qt_us"), col("q_eid"))
+        .orderBy(col("pid"))
+    }),
+
+    // Keyed interval union on NATIVE DATE keys (r15: VERDICT item 1) —
+    // 7-day order windows per priority class merged into islands, island
+    // bounds coming back as DATEs (TimeKeys bands on days internally).
+    "q118_merge_native_date" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("lo"))
+        .withColumn("hi", date_add(col("lo"), 6))
+      graft.operators.IntervalSweep
+        .mergeIntervals(iv, Seq("o_orderpriority"), "lo", "hi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff(col("island_hi"), col("island_lo")) + 1)
+            .as("covered_days"),
+          sum(col("n_intervals")).as("n_windows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Max concurrency on NATIVE TIMESTAMP bounds (r15: VERDICT item 1) —
+    // q108's boundary sweep with timestamp columns passed directly; the
+    // sweep closes at hi + 1 µs and the oracle counts at µs instants.
+    "q119_max_concurrent_ts" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 1)
+        .select(col("event_type"), col("ts").as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 1799 SECONDS"))
+      graft.operators.IntervalSweep
+        .maxConcurrent(iv, Seq("event_type"), "lo", "hi")
+        .orderBy(col("event_type"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2446,20 +2552,25 @@ object Relational {
         |SELECT event_type, max(c) AS max_concurrent
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // eid as the unique window tiebreaker (r15 hardening): same-second
+    // duplicate sessions of one user would ride DuckDB's two stacked
+    // windows under possibly-different arbitrary tie orders (the q118
+    // divergence class); a total order makes both passes consistent
     "q109_interval_coverage" ->
       """WITH iv AS (
-        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        | SELECT user_id, event_id AS eid,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS lo,
         |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS hi
         | FROM events),
         |m AS (
-        | SELECT user_id, lo, hi,
-        |  max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        | SELECT user_id, eid, lo, hi,
+        |  max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi, eid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         | FROM iv),
         |f AS (
         | SELECT user_id, lo, hi,
         |  sum(CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END)
-        |   OVER (PARTITION BY user_id ORDER BY lo, hi
+        |   OVER (PARTITION BY user_id ORDER BY lo, hi, eid
         |     ROWS UNBOUNDED PRECEDING) AS isl
         | FROM m),
         |g AS (
@@ -2516,13 +2627,17 @@ object Relational {
         |              WHERE s.s_lo <= b.b_hi AND b.b_lo <= s.s_hi)
         |ORDER BY sid""".stripMargin,
 
+    // DISTINCT blk (r15 hardening): duplicate (b_lo, b_hi) rows would ride
+    // DuckDB's two stacked windows under possibly-different arbitrary tie
+    // orders (the q118 divergence class); exact duplicates never change
+    // the merged islands, so dedup is semantics-free and removes the risk
     "q114_interval_clip" ->
       """WITH sess AS (
         | SELECT event_id AS sid, CAST(floor(epoch(ts)) AS BIGINT) AS s_lo,
         |        CAST(floor(epoch(ts)) AS BIGINT) + 1799 AS s_hi
         | FROM events WHERE user_id % 8 = 1),
         |blk AS (
-        | SELECT CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        | SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
         |        CAST(floor(epoch(ts)) AS BIGINT) + 3599 AS b_hi
         | FROM events WHERE user_id % 8 = 0),
         |m AS (
@@ -2575,6 +2690,128 @@ object Relational {
         | CASE WHEN od IS NOT NULL AND abs(od - ed) <= 7 THEN od END AS od,
         | CASE WHEN od IS NOT NULL AND abs(od - ed) <= 7 THEN od - ed END AS lag_d
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // per-key closed-form clip oracle: q114's edge formula partitioned by
+    // user, in exact BIGINT µs (fragments = k + 1 − covers_lo − covers_hi;
+    // allowed = len − Σ per-island overlap; valid because per-user islands
+    // are disjoint and non-adjacent)
+    "q115_clip_per_user" ->
+      """WITH sess AS (
+        | SELECT event_id AS sid, user_id AS u, epoch_us(ts) AS s_lo,
+        |        epoch_us(ts) + 1799000000 AS s_hi
+        | FROM events WHERE event_id % 2 = 0),
+        |blk AS (
+        | SELECT DISTINCT user_id AS u, epoch_us(ts) AS b_lo,
+        |        epoch_us(ts) + 3599000000 AS b_hi
+        | FROM events WHERE event_id % 2 = 1),
+        |m AS (
+        | SELECT u, b_lo, b_hi, max(b_hi) OVER (PARTITION BY u
+        |   ORDER BY b_lo, b_hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM blk),
+        |f AS (
+        | SELECT u, b_lo, b_hi,
+        |  sum(CASE WHEN pm IS NULL OR b_lo > pm + 1 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY u ORDER BY b_lo, b_hi
+        |         ROWS UNBOUNDED PRECEDING) AS isl
+        | FROM m),
+        |g AS (SELECT u, isl, min(b_lo) AS i_lo, max(b_hi) AS i_hi
+        |      FROM f GROUP BY u, isl),
+        |ov AS (
+        | SELECT s.sid, s.s_lo, s.s_hi, count(i.i_lo) AS k,
+        |  COALESCE(SUM(CASE WHEN i.i_lo IS NOT NULL THEN
+        |    least(s.s_hi, i.i_hi) - greatest(s.s_lo, i.i_lo) + 1 END),
+        |    0) AS cov,
+        |  COALESCE(MAX(CASE WHEN i.i_lo <= s.s_lo THEN 1 ELSE 0 END), 0) AS c_lo,
+        |  COALESCE(MAX(CASE WHEN i.i_hi >= s.s_hi THEN 1 ELSE 0 END), 0) AS c_hi
+        | FROM sess s LEFT JOIN g i
+        |   ON s.u = i.u AND s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+        | GROUP BY 1, 2, 3)
+        |SELECT sid, CAST(k + 1 - c_lo - c_hi AS BIGINT) AS n_frag,
+        | CAST(s_hi - s_lo + 1 - cov AS BIGINT) AS allowed_us
+        |FROM ov ORDER BY sid""".stripMargin,
+
+    "q116_overlap_full_outer" ->
+      """WITH a AS (
+        | SELECT event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS a_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS a_hi
+        | FROM events WHERE user_id % 16 = 2),
+        |b AS (
+        | SELECT event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+        |        CAST(floor(epoch(ts)) AS BIGINT) + 2700 AS b_hi
+        | FROM events WHERE user_id % 16 = 3)
+        |SELECT coalesce(a_id, -1) AS a_id, count(*) AS n,
+        | CAST(sum(b_id) AS BIGINT) AS sum_b
+        |FROM a FULL JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // backward as-of with tie-break: max qt, then max event id among the
+    // at-or-before candidates; tolerance applied after the argmax (exactly
+    // the operator's nearest-then-null contract)
+    "q117_asof_native_ts" ->
+      """WITH p AS (
+        | SELECT event_type AS k, event_id AS pid, epoch_us(ts) AS pt_us
+        | FROM events WHERE user_id % 4 = 2),
+        |q AS (
+        | SELECT event_type AS k, event_id AS q_eid, epoch_us(ts) AS qt_us
+        | FROM events WHERE user_id % 4 = 3),
+        |j AS (
+        | SELECT p.k, p.pid, p.pt_us, q.qt_us, q.q_eid,
+        |  row_number() OVER (PARTITION BY p.pid
+        |    ORDER BY q.qt_us DESC NULLS LAST, q.q_eid DESC NULLS LAST) AS rn
+        | FROM p LEFT JOIN q ON p.k = q.k AND q.qt_us <= p.pt_us)
+        |SELECT k, pid, pt_us,
+        | CASE WHEN qt_us IS NOT NULL AND pt_us - qt_us <= 7200000000
+        |   THEN qt_us END AS qt_us,
+        | CASE WHEN qt_us IS NOT NULL AND pt_us - qt_us <= 7200000000
+        |   THEN q_eid END AS q_eid
+        |FROM j WHERE rn = 1 ORDER BY pid""".stripMargin,
+
+    // ok (o_orderkey) as the unique window tiebreaker: date-granular
+    // windows duplicate (lo, hi) ~12x at sf0.1, and DuckDB's two stacked
+    // window passes do NOT promise the same arbitrary tie order — without
+    // a total order the running flag and the running island sum can see
+    // different row orders and split overlapping "islands" (observed:
+    // [1096,1102] and [1096,3506] both emitted). The operator is immune:
+    // both frames ride one window sort.
+    "q118_merge_native_date" ->
+      """WITH iv AS (
+        | SELECT o_orderpriority AS pr, o_orderkey AS ok,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS lo
+        | FROM orders),
+        |iv2 AS (SELECT pr, ok, lo, lo + 6 AS hi FROM iv),
+        |m AS (
+        | SELECT pr, ok, lo, hi, max(hi) OVER (PARTITION BY pr
+        |   ORDER BY lo, hi, ok
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv2),
+        |f AS (
+        | SELECT pr, lo, hi,
+        |  sum(CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY pr ORDER BY lo, hi, ok
+        |         ROWS UNBOUNDED PRECEDING) AS isl
+        | FROM m),
+        |g AS (SELECT pr, isl, min(lo) AS ilo, max(hi) AS ihi, count(*) AS n
+        |      FROM f GROUP BY pr, isl)
+        |SELECT pr AS o_orderpriority, count(*) AS n_islands,
+        | CAST(sum(ihi - ilo + 1) AS BIGINT) AS covered_days,
+        | CAST(sum(n) AS BIGINT) AS n_windows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q119_max_concurrent_ts" ->
+      """WITH iv AS (
+        | SELECT event_type, epoch_us(ts) AS lo,
+        |        epoch_us(ts) + 1799000000 AS hi
+        | FROM events WHERE user_id % 4 = 1),
+        |c AS (
+        | SELECT a.event_type, a.lo, count(*) AS c
+        | FROM (SELECT DISTINCT event_type, lo FROM iv) a
+        | JOIN iv b ON a.event_type = b.event_type
+        |          AND b.lo <= a.lo AND a.lo <= b.hi
+        | GROUP BY 1, 2)
+        |SELECT event_type, max(c) AS max_concurrent
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -110,6 +110,126 @@ class IntervalSweepSpec extends AnyFunSuite {
     }
   }
 
+  // r15 (VERDICT r14 item 1): native TIMESTAMP bounds take the exact same
+  // path as the manual unix_timestamp pre-conversion, and outputs come back
+  // as timestamps.
+  test("native TIMESTAMP bounds == manual epoch-µs conversion (all three sweeps)") {
+    val tsIv = iv.select(col("k"),
+      timestamp_micros(col("lo") * 1000000L).as("lo"),
+      timestamp_micros(col("hi") * 1000000L).as("hi"))
+    val manual = iv.select(col("k"),
+      (col("lo") * 1000000L).as("lo"), (col("hi") * 1000000L).as("hi"))
+    // maxConcurrent: adjacency is +1 µs on the native path and +1 unit on
+    // the manual path — identical since both scales are µs here
+    val gotC = IntervalSweep.maxConcurrent(tsIv, Seq("k"), "lo", "hi")
+      .orderBy(col("k")).collect().map(_.toString).toSeq
+    val wantC = IntervalSweep.maxConcurrent(manual, Seq("k"), "lo", "hi")
+      .orderBy(col("k")).collect().map(_.toString).toSeq
+    assert(gotC == wantC && gotC.nonEmpty)
+    // mergeIntervals: native outputs are timestamps; compare via unix µs
+    val gotM = IntervalSweep.mergeIntervals(tsIv, Seq("k"), "lo", "hi")
+      .select(col("k"), unix_micros(col("island_lo")).as("l"),
+        unix_micros(col("island_hi")).as("h"), col("n_intervals"))
+      .collect().map(_.toString).sorted.toSeq
+    val wantM = IntervalSweep.mergeIntervals(manual, Seq("k"), "lo", "hi")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotM == wantM && gotM.nonEmpty)
+    // subtractIntervals on timestamps: clip [0s,10s] etc. against µs islands
+    val left = Seq((0L, 10L, 1L), (20L, 22L, 2L), (30L, 60L, 4L))
+      .toDF("s_lo", "s_hi", "sid")
+      .select(timestamp_micros(col("s_lo") * 1000000L).as("s_lo"),
+        timestamp_micros(col("s_hi") * 1000000L).as("s_hi"), col("sid"))
+    val islands = Seq((2L, 4L), (19L, 23L), (40L, 45L)).toDF("i_lo", "i_hi")
+      .select(timestamp_micros(col("i_lo") * 1000000L).as("i_lo"),
+        timestamp_micros(col("i_hi") * 1000000L).as("i_hi"))
+    val frags = IntervalSweep.subtractIntervals(
+      left, islands, "sid", "s_lo", "s_hi", "i_lo", "i_hi", 8000000L)
+      .select(col("sid"), unix_micros(col("frag_lo")) / 1000000L,
+        unix_micros(col("frag_hi")) / 1000000L)
+      .collect().map(_.toString).sorted.toSeq
+    // µs-granular clipping: the island [2s,4s] is closed, so the allowed
+    // fragments end 1 µs outside it on each side
+    val want = Seq("[1,0.0,1.999999]", "[1,4.000001,10.0]",
+      "[4,30.0,39.999999]", "[4,45.000001,60.0]")
+    assert(frags == want, s"got $frags")
+  }
+
+  // r15 (VERDICT r14 item 3): per-key subtraction — each left row clips
+  // against ITS key's islands only; keys absent from the island set pass
+  // through whole.
+  test("per-key subtractIntervals == per-key naive point-set difference") {
+    val left = Seq(("u1", 0L, 10L, 1L), ("u2", 0L, 10L, 2L),
+      ("u1", 20L, 30L, 3L), ("u3", 5L, 8L, 4L), ("u2", 50L, 40L, 5L))
+      .toDF("u", "s_lo", "s_hi", "sid")
+    val islands = Seq(("u1", 2L, 4L), ("u2", 0L, 10L), ("u1", 25L, 27L),
+      ("u4", 0L, 100L)).toDF("iu", "i_lo", "i_hi")
+    for (w <- Seq(1L, 8L, 1024L)) {
+      val frags = IntervalSweep.subtractIntervals(left, islands, "sid",
+        Seq("u"), Seq("iu"), "s_lo", "s_hi", "i_lo", "i_hi", w)
+      val got = frags
+        .select(col("sid"), explode(sequence(col("frag_lo"), col("frag_hi"))).as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val leftPts = left.filter(col("s_hi") >= col("s_lo"))
+        .select(col("u"), col("sid"),
+          explode(sequence(col("s_lo"), col("s_hi"))).as("p"))
+      val islandPts = islands
+        .select(col("iu"), explode(sequence(col("i_lo"), col("i_hi"))).as("p"))
+      val want = leftPts.join(islandPts,
+          col("u") === col("iu") && leftPts("p") === islandPts("p"), "left_anti")
+        .select(col("sid"), col("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want && got.nonEmpty,
+        s"w=$w: extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      // u2's [0,10] is fully covered by its own islands -> zero fragments;
+      // u3 has no island group -> passes through whole
+      assert(!got.exists(_._1 == 2L) && got.count(_._1 == 4L) == 4)
+    }
+  }
+
+  // r15 (VERDICT r14 item 2): the scale-safe global merge (range-partition
+  // + carry-in fix-up) is row-identical to the one-window form, including
+  // when one giant interval spans every range partition.
+  test("scalable global merge == window form; no full-data single-partition window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // 500 intervals in chains of 3 with gaps (the island structure), plus
+    // one giant interval covering rows 100..399's region — its island must
+    // CARRY across range partitions, swallowing interior islands
+    val raw = spark.range(500).select(
+      (col("id") * 10 + col("id") % 3).as("lo"),
+      (col("id") * 10 + col("id") % 3 + 12).as("hi"))
+      .unionAll(Seq((1000L, 4000L)).toDF("lo", "hi"))
+    val windowed = IntervalSweep.mergeIntervals(raw, Nil, "lo", "hi")
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.mergeIntervals.globalWindowMaxBytes", "0")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // traversable plan
+    try {
+      val scal = IntervalSweep.mergeIntervals(raw, Nil, "lo", "hi")
+      val got = scal.collect().map(_.toString).sorted.toSeq
+      assert(got == windowed && got.nonEmpty,
+        s"extra=${got.diff(windowed).take(5)} missing=${windowed.diff(got).take(5)}")
+      // plan shape: the data path is RANGE-partitioned; any
+      // single-partition window orders only N-row per-partition STATS
+      // (an aggregate sits below it), never the data
+      val plan = scal.queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e }.nonEmpty,
+        s"no range exchange in scalable merge plan:\n$plan")
+      val globalWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globalWindows.nonEmpty, "expected N-row stats windows")
+      globalWindows.foreach { w =>
+        assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"single-partition window runs over raw data:\n$w")
+      }
+    } finally {
+      spark.conf.unset("graft.mergeIntervals.globalWindowMaxBytes")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("both sweeps are ONE shuffle: the window exchange's hash(keys) satisfies every later grouping") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
