@@ -251,6 +251,24 @@ object ScaleProbe {
       "s80_probe" -> ((s, d) => {
         graft.queries.QueryUtil.unpersistKeyed(s, "svec:s80:")
         graft.SparkEntry.queries("s80")(s, d)
+      }),
+      // the scale-safe GLOBAL merge (r15): force the range-partitioned
+      // carry-in form (threshold 0) over every event session — the
+      // contract queries only merge small blackout sets through the
+      // window form, so this probe is what proves the lake-scale path's
+      // growth class. Conf restored immediately: routing is decided at
+      // operator-call time, before the probe's noop write runs.
+      "merge_scalable_probe" -> ((s, d) => {
+        val prev = s.conf.getOption("graft.mergeIntervals.globalWindowMaxBytes")
+        s.conf.set("graft.mergeIntervals.globalWindowMaxBytes", "0")
+        try {
+          val iv = graft.Tables.load(s, d, "events").select(col("ts").as("lo"))
+            .withColumn("hi", col("lo") + expr("INTERVAL 1799 SECONDS"))
+          graft.operators.IntervalSweep.mergeIntervals(iv, Nil, "lo", "hi")
+        } finally prev match {
+          case Some(v) => s.conf.set("graft.mergeIntervals.globalWindowMaxBytes", v)
+          case None => s.conf.unset("graft.mergeIntervals.globalWindowMaxBytes")
+        }
       }))
 
     // max single-task seconds of the min-time warm pass, for skew probes
@@ -501,10 +519,11 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
-          "q113", "q114") &&
+          "q113", "q114", "q115", "q116", "q117", "q119",
+          "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
-      if (k > 1 && wanted("q113") &&
+      if (k > 1 && wanted("q113", "q118") &&
           !new java.io.File(s"$dir/orders.parquet").exists())
         synthOrders(k, dir)
       val e = if (k == 1) baseDir else dir
@@ -539,6 +558,24 @@ object ScaleProbe {
       // two window passes over one shuffle — probes x K, per-key quote
       // lists fixed (replicated users are disjoint populations)
       run("q113", k, e)
+      // r15 native-key interval tier. q115 per-key clip: keyed merge +
+      // keyed banded left-outer — user populations disjoint, rows ×K,
+      // per-user islands fixed; q116 overlap FULL OUTER: replicas share
+      // the time axis so matches grow ×K per side (bounded by band
+      // occupancy × the fixed span), the two anti legs group each shard
+      // once — linear; q117 backward as-of on 8 event-type keys: ×K
+      // boundaries on the SAME 8 timelines, per-partition n log n;
+      // q119 sweep per type: same argument as q108
+      run("q115", k, e)
+      run("q116", k, e)
+      run("q117", k, e)
+      run("q119", k, e)
+      // orders-keyed native-date merge: windows stack ×K onto the same 5
+      // priority timelines — per-partition external sort, n log n
+      run("q118", k, if (k == 1) baseDir else dir)
+      // the scale-safe global merge over ALL sessions (forced scalable
+      // path): one range exchange + per-partition sweeps + N-row fix-ups
+      run("merge_scalable_probe", k, e)
       graft.queries.QueryUtil.unpersistKeyed(spark, "") // see the docs loop
     }
 

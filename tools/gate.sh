@@ -52,7 +52,7 @@ bash tools/x10_gate.sh
 section_result "x10_gate" $?
 
 echo "== scale gate (1x vs 10x growth classes; VERDICT r11 item 5) =="
-SCALE_QUERIES=d71,d82,d83,s61,s76,s78_probe,s79_probe,s80_probe,t73,s84,q108,q109,q111,q113,q114 \
+SCALE_QUERIES=d71,d82,d83,s61,s76,s78_probe,s79_probe,s80_probe,t73,s84,q108,q109,q111,q113,q114,q115,q116,q117,q118,q119,merge_scalable_probe \
 SCALE_FACTORS=1,10 \
   sbt -batch "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/graft_scale" 2>&1 \
   | grep "\[scale\]" | tee /tmp/scale_gate.txt || true
@@ -65,6 +65,25 @@ BENCH_LINE=$(SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 echo "$BENCH_LINE"
 [ -n "$BENCH_LINE" ] && ! echo "$BENCH_LINE" | grep -q '"failed":\["'
 section_result "bench" $?
+# r15 (VERDICT r14 item 5): the distributed-serving floor is gated, not
+# informational — BASELINE.md records >= 20 q/s at sf0.1 local[32]; a
+# plan-cache regression on the real-job path (re-planning per call lands
+# near ~13 q/s) must turn the gate red. Reads the full-line copy in
+# BENCH.json (the stdout line carries the same field).
+python3 - <<'EOF'
+import json, sys
+try:
+    d = json.load(open("BENCH.json"))
+    q = d.get("soak_dist_qps", -1.0)
+except Exception as e:
+    print(f"[soak-gate] FAIL: cannot read BENCH.json: {e}"); sys.exit(1)
+floor = 20.0
+if q < floor:
+    print(f"[soak-gate] FAIL: soak_dist_qps {q} below the BASELINE.md floor {floor}")
+    sys.exit(1)
+print(f"[soak-gate] PASS: soak_dist_qps {q} >= {floor}")
+EOF
+section_result "soak_dist_floor" $?
 
 echo "== duckdb baseline (same session) =="
 python3 tools/bench_duck.py /root/testdata/sf0.1 /tmp/gate_verify1 2 2>/dev/null | tail -1

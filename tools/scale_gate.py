@@ -42,6 +42,23 @@ CLASSES = {
     "q111": ("linear", 15.0),
     "q113": ("linear", 15.0),
     "q114": ("linear", 15.0),
+    # r15 native-key tier: q115 per-key clip (disjoint user populations,
+    # rows x K, per-user islands fixed); q117 backward as-of (x K
+    # boundaries on the same 8 type timelines, n log n); q118 keyed
+    # native-date merge (same 5 priority timelines); q119 native-ts sweep;
+    # merge_scalable_probe: the forced range-partitioned global merge over
+    # ALL sessions (one range exchange + per-partition sweeps + N-row
+    # fix-ups) — VERDICT r14 item 2's gate entry.
+    "q115": ("linear", 15.0),
+    "q117": ("linear", 15.0),
+    "q118": ("linear", 15.0),
+    "q119": ("linear", 15.0),
+    "merge_scalable_probe": ("linear", 15.0),
+    # q116 overlap FULL OUTER: replicas share the time axis, so matched
+    # pairs genuinely grow x K^2 (output-bound, like the s61 pair family) —
+    # the operator is still shuffle-banded; the bound reflects the output,
+    # not a plan defect.
+    "q116": ("pair-bound", 130.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -60,12 +77,20 @@ BASELINE_1X = {
     # headroom (0.80 -> 0.92); probe reads 12/16 of cells vs 8/16 — wall
     # re-baselined at the new point (first r14 idle-box measurement)
     "s84": 0.89,
-    # r14 interval suite first measurements (loaded box)
-    "q108": 0.64,
-    "q109": 0.81,
-    "q111": 0.65,
-    "q113": 1.17,
-    "q114": 1.54,
+    # r15 (ADVICE r14): the interval suite re-measured idle-box min-of-2 in
+    # ONE session on the r15 code (the r14 entries were loaded-box and
+    # under-sensitive); the six new ops baselined in the same session
+    "q108": 0.80,
+    "q109": 0.80,
+    "q111": 0.85,
+    "q113": 1.33,
+    "q114": 1.23,
+    "q115": 1.10,
+    "q116": 0.83,
+    "q117": 0.37,
+    "q118": 0.88,
+    "q119": 0.32,
+    "merge_scalable_probe": 0.81,
 }
 
 ROW = re.compile(
