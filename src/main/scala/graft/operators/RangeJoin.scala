@@ -100,10 +100,29 @@ object RangeJoin {
     * right's. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    intervalOverlap(left, right, Nil, Nil, lLo, lHi, rLo, rHi, bandWidth)
+
+  /** PER-KEY interval-overlap join — pairs must overlap AND agree on the
+    * positionally-aligned key columns ("which of THIS user's sessions
+    * collide?"). The keys join as extra equality conjuncts, so the
+    * shuffle co-partitions on (key, band): per-key band occupancy decides
+    * the candidate count instead of corpus-wide time-band collisions —
+    * the difference between a per-user and an all-users quadratic at
+    * 100 TB (an unkeyed overlap + post-filter would compute every
+    * cross-key collision first). Null keys match nothing (equality
+    * semantics), exactly as the naive keyed theta join. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lKeys: Seq[String], rKeys: Seq[String],
+      lLo: String, lHi: String, rLo: String, rHi: String,
       bandWidth: Long): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "intervalOverlap inputs must have disjoint column names")
+    require(lKeys.size == rKeys.size, "lKeys and rKeys must align positionally")
+    val keyEq = lKeys.zip(rKeys)
+      .map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
     val w = bandWidth
     val dt = left.schema(lLo).dataType
     TimeKeys.requireSameFamily("intervalOverlap", left, Seq(lLo, lHi))
@@ -122,7 +141,7 @@ object RangeJoin {
       bandOf(lk(lLo), w), bandOf(greatest(lk(lLo), lk(lHi)), w))))
     val r = right.withColumn("__rband", explode(sequence(
       bandOf(rk(rLo), w), bandOf(greatest(rk(rLo), rk(rHi)), w))))
-    l.join(r, col("__lband") === col("__rband") &&
+    l.join(r, keyEq && col("__lband") === col("__rband") &&
         col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
         col("__lband") === bandOf(greatest(lk(lLo), rk(rLo)), w))
       .drop("__lband", "__rband")
@@ -143,7 +162,18 @@ object RangeJoin {
   def intervalOverlapSemi(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
       bandWidth: Long): DataFrame =
-    overlapSemiAnti(left, right, lLo, lHi, rLo, rHi, bandWidth, anti = false)
+    overlapSemiAnti(left, right, Nil, Nil, lLo, lHi, rLo, rHi, bandWidth,
+      anti = false)
+
+  /** PER-KEY overlap SEMI — "does this session hit any of ITS OWN user's
+    * embargo windows?"; keys join as equality conjuncts (co-partition on
+    * key+band), null keys match nothing. */
+  def intervalOverlapSemi(left: DataFrame, right: DataFrame,
+      lKeys: Seq[String], rKeys: Seq[String],
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    overlapSemiAnti(left, right, lKeys, rKeys, lLo, lHi, rLo, rHi, bandWidth,
+      anti = false)
 
   /** Interval-overlap ANTI join — left rows whose interval overlaps NO
     * right interval (the keep-side of interval decontamination). Same
@@ -151,14 +181,27 @@ object RangeJoin {
   def intervalOverlapAnti(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
       bandWidth: Long): DataFrame =
-    overlapSemiAnti(left, right, lLo, lHi, rLo, rHi, bandWidth, anti = true)
+    overlapSemiAnti(left, right, Nil, Nil, lLo, lHi, rLo, rHi, bandWidth,
+      anti = true)
+
+  /** PER-KEY overlap ANTI — keep left rows overlapping NONE of their own
+    * key's right intervals; a left row whose key has no right group at
+    * all is kept (overlaps nothing), matching the naive keyed NOT EXISTS. */
+  def intervalOverlapAnti(left: DataFrame, right: DataFrame,
+      lKeys: Seq[String], rKeys: Seq[String],
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    overlapSemiAnti(left, right, lKeys, rKeys, lLo, lHi, rLo, rHi, bandWidth,
+      anti = true)
 
   private def overlapSemiAnti(left: DataFrame, right: DataFrame,
+      lKeys: Seq[String], rKeys: Seq[String],
       lLo: String, lHi: String, rLo: String, rHi: String,
       bandWidth: Long, anti: Boolean): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "intervalOverlapSemi/Anti inputs must have disjoint column names")
+    require(lKeys.size == rKeys.size, "lKeys and rKeys must align positionally")
     val w = bandWidth
     val (ldt, rdt) = (left.schema(lLo).dataType, right.schema(rLo).dataType)
     TimeKeys.requireSameFamily("intervalOverlapSemi/Anti", left, Seq(lLo, lHi))
@@ -173,9 +216,13 @@ object RangeJoin {
       bandOf(lk(lLo), w), bandOf(greatest(lk(lLo), lk(lHi)), w))))
     val rx = right.withColumn("__rband", explode(sequence(
       bandOf(rk(rLo), w), bandOf(greatest(rk(rLo), rk(rHi)), w))))
+    val keyEq = lKeys.zip(rKeys)
+      .map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
     val overlap = col(lLo) <= col(rHi) && col(rLo) <= col(lHi)
     val matched = gx
-      .join(rx, col("__lband") === col("__rband") && overlap, "left_semi")
+      .join(rx, keyEq && col("__lband") === col("__rband") && overlap,
+        "left_semi")
       .drop("__lband").distinct()
     val kept =
       if (anti) grouped.join(matched,
@@ -202,14 +249,24 @@ object RangeJoin {
     * right's. */
   def intervalOverlapFullOuter(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
+      bandWidth: Long): DataFrame =
+    intervalOverlapFullOuter(left, right, Nil, Nil, lLo, lHi, rLo, rHi,
+      bandWidth)
+
+  /** PER-KEY overlap FULL OUTER — the keys thread through all three
+    * banded legs, so every leg co-partitions on (key, band). */
+  def intervalOverlapFullOuter(left: DataFrame, right: DataFrame,
+      lKeys: Seq[String], rKeys: Seq[String],
+      lLo: String, lHi: String, rLo: String, rHi: String,
       bandWidth: Long): DataFrame = {
-    val matched = intervalOverlap(left, right, lLo, lHi, rLo, rHi, bandWidth)
-    val unmatchedL = intervalOverlapAnti(left, right, lLo, lHi, rLo, rHi,
-        bandWidth)
+    val matched = intervalOverlap(left, right, lKeys, rKeys,
+      lLo, lHi, rLo, rHi, bandWidth)
+    val unmatchedL = intervalOverlapAnti(left, right, lKeys, rKeys,
+        lLo, lHi, rLo, rHi, bandWidth)
       .select(left.columns.map(col) ++ right.schema.map(f =>
         lit(null).cast(f.dataType).as(f.name)): _*)
-    val unmatchedR = intervalOverlapAnti(right, left, rLo, rHi, lLo, lHi,
-        bandWidth)
+    val unmatchedR = intervalOverlapAnti(right, left, rKeys, lKeys,
+        rLo, rHi, lLo, lHi, bandWidth)
       .select(left.schema.map(f =>
         lit(null).cast(f.dataType).as(f.name)) ++ right.columns.map(col): _*)
     matched.unionByName(unmatchedL).unionByName(unmatchedR)
@@ -301,5 +358,36 @@ object RangeJoin {
     p.join(r, Seq("__pband"))
       .filter(col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey))
       .drop("__pband")
+  }
+
+  /** PER-KEY point-in-interval join — "each user's events inside that
+    * user's own promo windows": the positionally-aligned key columns join
+    * as equality conjuncts, so the shuffle co-partitions on (key, band)
+    * and candidates are bounded by per-key band occupancy, not the
+    * corpus-wide day's traffic. Null keys match nothing. */
+  def pointInInterval(points: DataFrame, ranges: DataFrame,
+      pKeys: Seq[String], rKeys: Seq[String],
+      pointKey: String, loKey: String, hiKey: String,
+      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(points.columns.toSet.intersect(ranges.columns.toSet).isEmpty,
+      "pointInInterval inputs must have disjoint column names")
+    require(pKeys.size == rKeys.size, "pKeys and rKeys must align positionally")
+    val (pdt, rdt) = (points.schema(pointKey).dataType, ranges.schema(loKey).dataType)
+    TimeKeys.requireSameFamily("pointInInterval", ranges, Seq(loKey, hiKey))
+    require(TimeKeys.familyOf(pdt) == TimeKeys.familyOf(rdt),
+      "pointInInterval sides mix scale families")
+    val keyEq = pKeys.zip(rKeys)
+      .map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
+    val p = points.withColumn("__pband",
+      bandOf(TimeKeys.toLong(col(pointKey), pdt), bandWidth))
+    val r = ranges.filter(col(hiKey) >= col(loKey))
+      .withColumn("__rband", explode(sequence(
+        bandOf(TimeKeys.toLong(col(loKey), rdt), bandWidth),
+        bandOf(TimeKeys.toLong(col(hiKey), rdt), bandWidth))))
+    p.join(r, keyEq && col("__pband") === col("__rband") &&
+        col(pointKey) >= col(loKey) && col(pointKey) <= col(hiKey))
+      .drop("__pband", "__rband")
   }
 }

@@ -1310,6 +1310,49 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // PER-KEY interval-overlap join (r15) — which of THIS user's sessions
+    // collide: the user key joins as an equality conjunct so the shuffle
+    // co-partitions on (user, band) and candidates are bounded by per-key
+    // band occupancy, not the whole corpus's traffic in that hour. Native
+    // TIMESTAMP bounds; canonical-band dedup keeps pair multiplicity
+    // exact; oracle is the naive keyed overlap join.
+    "q120_overlap_per_user" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("user_id").as("u"), col("event_id").as("a_id"),
+          col("ts").as("a_lo"),
+          (col("ts") + expr("INTERVAL 1799 SECONDS")).as("a_hi"))
+      val b = ev.filter(pmod(col("event_id"), lit(4)) === 1)
+        .select(col("user_id").as("bu"), col("event_id").as("b_id"),
+          col("ts").as("b_lo"),
+          (col("ts") + expr("INTERVAL 2699 SECONDS")).as("b_hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, b, Seq("u"), Seq("bu"),
+          "a_lo", "a_hi", "b_lo", "b_hi", 3600L * 1000000L)
+        .select(col("u"), col("a_id"), col("b_id"),
+          (unix_micros(col("b_lo")) - unix_micros(col("a_lo"))).as("lag_us"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // PER-KEY point-in-interval (r15) — each user's probe events inside
+    // that user's OWN 2-hour windows, counted per window; same keyed
+    // banding, points visit one (user, band) cell each.
+    "q121_point_in_own_windows" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(pmod(col("event_id"), lit(4)) === 2)
+        .select(col("user_id").as("pu"), col("ts").as("pt"))
+      val r = ev.filter(pmod(col("event_id"), lit(4)) === 3)
+        .select(col("user_id").as("ru"), col("event_id").as("rid"),
+          col("ts").as("w_lo"),
+          (col("ts") + expr("INTERVAL 7199 SECONDS")).as("w_hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(p, r, Seq("pu"), Seq("ru"),
+          "pt", "w_lo", "w_hi", 7200L * 1000000L)
+        .groupBy(col("rid"))
+        .agg(count(lit(1)).as("n_in"))
+        .orderBy(col("rid"))
+    }),
+
     // §2.5 offset frames: lead/lag.
     // Windowed DISTINCT aggregation — running distinct-event-type count per
     // user. Spark's window functions reject DISTINCT outright; the
@@ -2812,6 +2855,32 @@ object Relational {
         | GROUP BY 1, 2)
         |SELECT event_type, max(c) AS max_concurrent
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q120_overlap_per_user" ->
+      """WITH a AS (
+        | SELECT user_id AS u, event_id AS a_id, epoch_us(ts) AS a_lo,
+        |        epoch_us(ts) + 1799000000 AS a_hi
+        | FROM events WHERE event_id % 4 = 0),
+        |b AS (
+        | SELECT user_id AS bu, event_id AS b_id, epoch_us(ts) AS b_lo,
+        |        epoch_us(ts) + 2699000000 AS b_hi
+        | FROM events WHERE event_id % 4 = 1)
+        |SELECT a.u, a.a_id, b.b_id, b.b_lo - a.a_lo AS lag_us
+        |FROM a JOIN b ON a.u = b.bu
+        |             AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q121_point_in_own_windows" ->
+      """WITH p AS (
+        | SELECT user_id AS pu, epoch_us(ts) AS pt
+        | FROM events WHERE event_id % 4 = 2),
+        |r AS (
+        | SELECT user_id AS ru, event_id AS rid, epoch_us(ts) AS w_lo,
+        |        epoch_us(ts) + 7199000000 AS w_hi
+        | FROM events WHERE event_id % 4 = 3)
+        |SELECT rid, count(*) AS n_in
+        |FROM p JOIN r ON pu = ru AND pt >= w_lo AND pt <= w_hi
+        |GROUP BY rid ORDER BY rid""".stripMargin,
 
     "q72_window_distinct" ->
       """SELECT user_id, event_id,

@@ -519,7 +519,7 @@ object ScaleProbe {
     for (k <- Seq(1, 10, 100) if onlyF.forall(_.contains(k))) {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
-          "q113", "q114", "q115", "q116", "q117", "q119",
+          "q113", "q114", "q115", "q116", "q117", "q119", "q120", "q121",
           "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
@@ -573,6 +573,11 @@ object ScaleProbe {
       // orders-keyed native-date merge: windows stack ×K onto the same 5
       // priority timelines — per-partition external sort, n log n
       run("q118", k, if (k == 1) baseDir else dir)
+      // keyed banded joins: user populations disjoint per replica, so the
+      // (user, band) co-partitioning's candidate sets stay fixed — rows
+      // and matches both ×K, honest linear
+      run("q120", k, e)
+      run("q121", k, e)
       // the scale-safe global merge over ALL sessions (forced scalable
       // path): one range exchange + per-partition sweeps + N-row fix-ups
       run("merge_scalable_probe", k, e)

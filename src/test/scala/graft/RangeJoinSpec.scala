@@ -230,6 +230,74 @@ class RangeJoinSpec extends AnyFunSuite {
       s"MinValue-edge pointInInterval: extra=${bandedP.diff(naiveP).take(5)} missing=${naiveP.diff(bandedP).take(5)}")
   }
 
+  // r15: keyed variants — pairs must ALSO agree on the key columns; the
+  // shuffle co-partitions on (key, band) so candidates are bounded by
+  // per-key band occupancy. Null keys match nothing, a key with no
+  // partner group behaves as fully-unmatched.
+  test("keyed overlap inner/semi/anti/fullOuter and keyed pointInInterval == naive keyed joins") {
+    import spark.implicits._
+    val a = Seq((Some("u1"), 0L, 30L, 1L), (Some("u1"), 0L, 30L, 1L),
+      (Some("u2"), 0L, 30L, 2L), (Some("u3"), 5L, 8L, 3L),
+      ((None: Option[String]), 0L, 30L, 4L), (Some("u1"), 100L, 130L, 5L))
+      .toDF("au", "alo", "ahi", "aid")
+    val b = Seq((Some("u1"), 20L, 60L, 101L), (Some("u1"), 25L, 26L, 102L),
+      (Some("u2"), 40L, 70L, 103L), ((None: Option[String]), 0L, 99L, 104L),
+      (Some("u4"), 0L, 99L, 105L))
+      .toDF("bu", "blo", "bhi", "bid")
+    val pred = col("au") === col("bu") &&
+      col("alo") <= col("bhi") && col("blo") <= col("ahi")
+    for (w <- Seq(1L, 16L, 1024L)) {
+      def strs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val inner = strs(RangeJoin.intervalOverlap(a, b, Seq("au"), Seq("bu"),
+        "alo", "ahi", "blo", "bhi", w))
+      assert(inner == strs(a.join(b, pred)) && inner.nonEmpty, s"w=$w inner")
+      val semi = strs(RangeJoin.intervalOverlapSemi(a, b, Seq("au"), Seq("bu"),
+        "alo", "ahi", "blo", "bhi", w))
+      assert(semi == strs(a.join(b, pred, "left_semi")) && semi.nonEmpty,
+        s"w=$w semi")
+      val anti = strs(RangeJoin.intervalOverlapAnti(a, b, Seq("au"), Seq("bu"),
+        "alo", "ahi", "blo", "bhi", w))
+      assert(anti == strs(a.join(b, pred, "left_anti")) && anti.nonEmpty,
+        s"w=$w anti")
+      val fo = strs(RangeJoin.intervalOverlapFullOuter(a, b, Seq("au"),
+        Seq("bu"), "alo", "ahi", "blo", "bhi", w))
+      assert(fo == strs(a.join(b, pred, "full_outer")) && fo.nonEmpty,
+        s"w=$w fullOuter")
+    }
+    // keyed pointInInterval: each point inside its OWN key's ranges
+    val pts = Seq((Some("u1"), 25L, 1L), (Some("u1"), 90L, 2L),
+      (Some("u2"), 50L, 3L), ((None: Option[String]), 25L, 4L))
+      .toDF("pu", "pv", "pid")
+    val rngKeyed = b.select(col("bu"), col("blo"), col("bhi"), col("bid"))
+    val gotP = RangeJoin.pointInInterval(pts, rngKeyed, Seq("pu"), Seq("bu"),
+        "pv", "blo", "bhi", 16L)
+      .collect().map(_.toString).sorted.toSeq
+    val naiveP = pts.join(rngKeyed, col("pu") === col("bu") &&
+        col("pv") >= col("blo") && col("pv") <= col("bhi"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotP == naiveP && gotP.nonEmpty,
+      s"keyed pointInInterval: extra=${gotP.diff(naiveP)} missing=${naiveP.diff(gotP)}")
+    // plan gate: the keyed join partitions on (key, band) — the SMJ's equi
+    // keys must include BOTH, and no nested loop anywhere
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = RangeJoin.intervalOverlap(a, b, Seq("au"), Seq("bu"),
+        "alo", "ahi", "blo", "bhi", 16L).queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        plan.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"keyed overlap fell back to a quadratic join:\n$plan")
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty && smj.forall(_.leftKeys.size >= 2),
+        s"keyed overlap SMJ not keyed on (key, band):\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   // r15 (VERDICT r14 item 6): interval-overlap FULL OUTER by banded
   // composition — matched pairs + unmatched-left + unmatched-right, each
   // leg an equi-join on the band id.

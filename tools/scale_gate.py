@@ -53,6 +53,10 @@ CLASSES = {
     "q117": ("linear", 15.0),
     "q118": ("linear", 15.0),
     "q119": ("linear", 15.0),
+    # q120/q121 keyed banded joins: disjoint per-replica user populations,
+    # (user, band) co-partitioning keeps candidate sets fixed — linear
+    "q120": ("linear", 15.0),
+    "q121": ("linear", 15.0),
     "merge_scalable_probe": ("linear", 15.0),
     # q116 overlap FULL OUTER: replicas share the time axis, so matched
     # pairs genuinely grow x K^2 (output-bound, like the s61 pair family) —
@@ -90,6 +94,8 @@ BASELINE_1X = {
     "q117": 0.37,
     "q118": 0.88,
     "q119": 0.32,
+    "q120": 0.99,
+    "q121": 0.68,
     "merge_scalable_probe": 0.81,
 }
 
