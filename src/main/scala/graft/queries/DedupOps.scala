@@ -1478,6 +1478,125 @@ object DedupOps {
         .filter(col("cum_tok") <= col("budget"))
         .select(col("doc_id"), col("n_tok"), col("qd"), col("cum_tok"))
         .orderBy(col("qd").desc, col("doc_id"))
+    }),
+
+    // SCD2 changelog fold — apply an event changelog to produce per-key
+    // VERSION VALIDITY INTERVALS [valid_from, valid_to): the lakehouse CDC
+    // primitive (dimension snapshots, feature-store point-in-time tables),
+    // and the producer whose output feeds the interval family directly
+    // (q113 as-of probes it; q104/q115 clip against it). A new version
+    // opens only when the tracked attribute CHANGES (consecutive equal
+    // states collapse — true SCD2, not event logging); the open version's
+    // valid_to is NULL. Deterministic under duplicate timestamps via the
+    // event_id tiebreak. Scale: ONE shuffle on user_id — the change-detect
+    // lag, the version row_number, and the valid_to lead all ride the same
+    // (user_id)/(t_us, event_id) window sort (plan-asserted single
+    // exchange); timestamps surface as epoch-µs BIGINTs (the q117 parity
+    // discipline).
+    "d94_scd2_versions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("state"), 1).over(wSeq))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .withColumn("version", row_number().over(wSeq))
+        .withColumn("valid_to_us", lead(col("t_us"), 1).over(wSeq))
+        .select(col("user_id"), col("version"), col("state"),
+          col("t_us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Mergeable EXACT histogram partials → quantiles without a rescan —
+    // d88's stored-partials pattern for the OTHER non-algebraic aggregate
+    // class (percentiles): per-source fixed-width bucket counts are
+    // sum-mergeable (associative, like d88's register max-merge), so any
+    // later rollup — here the "__all__" corpus row — is an aggregation of
+    // stored partials, never a history rescan. Quantiles are EXACT at
+    // bucket granularity (smallest bucket whose cumulative count covers
+    // the rank, picked by the integer predicate 100·cum >= P·n — no
+    // float percentile, no GK merge-order dependence, fully oracle-able
+    // where q68's GK sketch cannot be). Scale: one corpus scan into a
+    // (source × bucket)-sized partial/final hash aggregate; the cumsum
+    // windows run over bucket-count rows, never docs.
+    "d95_quantile_partials" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bw = 64L // bucket width in chars
+      val partials = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source").as("g"), expr(s"n_chars div $bw").as("bkt"))
+        .groupBy(col("g"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      val merged = partials.groupBy(col("bkt"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(lit("__all__").as("g"), col("bkt"), col("cnt"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      partials.unionByName(merged)
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("g")).agg(
+          max(col("n")).as("n_docs"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("bkt") * bw))
+            .as("q50_chars"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("bkt") * bw))
+            .as("q90_chars"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("bkt") * bw))
+            .as("q99_chars"))
+        .select(col("g").as("source"), col("n_docs"),
+          col("q50_chars"), col("q90_chars"), col("q99_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic SYSTEMATIC PPS sampling — sample m docs with
+    // probability proportional to size (the training-mix assembly rule:
+    // long docs carry more tokens, so sampling by doc count under-weights
+    // them), with NO RNG: docs are laid along a cumulative-weight line in
+    // salted-md5 order (a pseudo-random permutation, the d55/d87/d93
+    // discipline) and m evenly-spaced selection points j·W/m pick the doc
+    // whose weight interval [cum, cum+w) they land in — classic systematic
+    // PPS, reproducible across runs/clusters/partitionings. Multiplicity
+    // k_i = ceil((cum+w)·m/W) − ceil(cum·m/W) in exact BIGINTs (telescopes
+    // to exactly m; a doc heavier than the W/m stride draws k > 1, the
+    // correct PPS-with-replacement multiplicity). The global cumsum is the
+    // sanctioned banded two-pass (256 md5-prefix bands, per-band local
+    // window, 256-row offset window — never a corpus-sized unpartitioned
+    // sort); the single-window DuckDB oracle proves the decomposition
+    // exact. Headroom: needs W·m < 2^63 — at 100 TB of chars (~1e14) and
+    // m ≤ 10^4 the product is ~1e18, inside BIGINT.
+    "d96_pps_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 50L
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), (col("n_chars") + lit(1L)).cast(LongType).as("w"),
+          md5(concat(lit("pps:"), col("doc_id").cast(StringType))
+            .cast(BinaryType)).as("h"))
+        // band = first two hex chars: a PREFIX of the sort key, so
+        // band-major + in-band (h, doc_id) order IS the global order
+        .withColumn("band", expr("cast(conv(substring(h, 1, 2), 16, 10) as int)"))
+      val wLocal = Window.partitionBy(col("band")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = base
+        .withColumn("cum_local", coalesce(sum(col("w")).over(wLocal), lit(0L)))
+      val wOff = Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = base.groupBy(col("band")).agg(sum(col("w")).as("bw"))
+        .withColumn("off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+        .select(col("band").as("ob"), col("off"))
+      val tot = base.agg(sum(col("w")).as("wtot"))
+      local.join(broadcast(offs), col("band") === col("ob"))
+        .withColumn("cum", col("off") + col("cum_local"))
+        .crossJoin(broadcast(tot)) // bcast audit: 1-row total
+        .withColumn("k",
+          expr(s"((cum + w) * $m + wtot - 1) DIV wtot - (cum * $m + wtot - 1) DIV wtot"))
+        .filter(col("k") > 0)
+        .select(col("doc_id"), col("w"), col("k"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2691,6 +2810,65 @@ object DedupOps {
         | FROM b)
         |SELECT doc_id, n_tok, qd, cum_tok FROM c
         |WHERE cum_tok <= (SELECT CAST(sum(n_tok) AS BIGINT) // 4 FROM b)
-        |ORDER BY qd DESC, doc_id""".stripMargin
+        |ORDER BY qd DESC, doc_id""".stripMargin,
+
+    "d94_scd2_versions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS t_us,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events),
+        |c AS (SELECT user_id, event_id, state, t_us FROM e
+        |      WHERE prev IS NULL OR prev <> state),
+        |v AS (
+        | SELECT user_id, state, t_us AS valid_from_us,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  lead(t_us) OVER w AS valid_to_us
+        | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+        |SELECT user_id, version, state, valid_from_us, valid_to_us,
+        | valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "d95_quantile_partials" ->
+      """WITH p AS (
+        | SELECT source AS g, n_chars // 64 AS bkt, count(*) AS cnt
+        | FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |u AS (
+        | SELECT g, bkt, cnt FROM p
+        | UNION ALL
+        | SELECT '__all__' AS g, bkt, CAST(sum(cnt) AS BIGINT) AS cnt
+        | FROM p GROUP BY 2),
+        |c AS (
+        | SELECT g, bkt, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        | FROM u)
+        |SELECT g AS source, max(n) AS n_docs,
+        | min(CASE WHEN cum * 100 >= n * 50 THEN bkt * 64 END) AS q50_chars,
+        | min(CASE WHEN cum * 100 >= n * 90 THEN bkt * 64 END) AS q90_chars,
+        | min(CASE WHEN cum * 100 >= n * 99 THEN bkt * 64 END) AS q99_chars
+        |FROM c GROUP BY g ORDER BY source""".stripMargin,
+
+    // single-window global cumsum mirror — hash-matching it proves the
+    // engine's banded two-pass decomposition exact (the d90/d93 discipline)
+    "d96_pps_sample" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w,
+        |  md5('pps:' || CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        | SELECT doc_id, w,
+        |  COALESCE(CAST(sum(w) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS cum
+        | FROM b),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM b),
+        |k AS (
+        | SELECT doc_id, w,
+        |  ((cum + w) * 50 + wtot - 1) // wtot
+        |    - (cum * 50 + wtot - 1) // wtot AS k
+        | FROM c, t)
+        |SELECT doc_id, w, k FROM k WHERE k > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -314,7 +314,7 @@ object ScaleProbe {
           !new java.io.File(s"$sufDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = true, sufDir)
       if (k > 1 && wanted("u65", "d61", "t55", "t56", "d66", "d67", "d68",
-          "t57", "d70", "d90_probe") &&
+          "t57", "d70", "d90_probe", "d95", "d96") &&
           !new java.io.File(s"$plainDir/documents.parquet").exists())
         synthDocs(k, suffixTokens = false, plainDir)
       val d = if (k == 1) baseDir else sufDir
@@ -450,6 +450,14 @@ object ScaleProbe {
       // each, so window parallelism and shuffle stay ∝ rows, no
       // single-task global sort to break
       run("d90_probe", k, p)
+      // quantile partials: one scan into a (source × bucket)-sized agg —
+      // plain replicas keep the bucket set CONSTANT while counts grow ×K,
+      // so the cumsum windows stay bucket-sized and the op is scan-bound
+      run("d95", k, p)
+      // PPS sampling: the banded two-pass cumsum over ×K rows (offset
+      // replicas draw fresh hash positions) — bands fixed at 256 with ×K
+      // rows each, selection stays m points; same regime as d90_probe
+      run("d96", k, p)
       // drop this factor's memo-persisted frames before the next one: the
       // memo keys embed the corpus dir, so nothing carries over — but the
       // CACHED DATA does, and a one-JVM all-factor run accumulates ×K
@@ -520,7 +528,7 @@ object ScaleProbe {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
           "q113", "q114", "q115", "q116", "q117", "q119", "q120", "q121",
-          "merge_scalable_probe") &&
+          "d94", "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       if (k > 1 && wanted("q113", "q118") &&
@@ -578,6 +586,10 @@ object ScaleProbe {
       // and matches both ×K, honest linear
       run("q120", k, e)
       run("q121", k, e)
+      // SCD2 fold: one user_id shuffle, three stacked window functions on
+      // the same sort — user populations disjoint per replica, so per-user
+      // version chains stay fixed while rows grow ×K, honest linear
+      run("d94", k, e)
       // the scale-safe global merge over ALL sessions (forced scalable
       // path): one range exchange + per-partition sweeps + N-row fix-ups
       run("merge_scalable_probe", k, e)

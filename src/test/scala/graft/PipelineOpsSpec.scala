@@ -1080,4 +1080,98 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("d94 SCD2 fold: one key shuffle, and the versions equal a JVM changelog fold") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the 100 TB claim: lag + row_number + lead all ride ONE hash exchange
+    // on user_id (the trailing orderBy's range exchange is presentation)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // traversable plan
+    try {
+      val df = SparkEntry.queries("d94")(spark, dir)
+      val hashEx = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size == 1,
+        s"expected one key shuffle, got ${hashEx.size}:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = SparkEntry.queries("d94")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    // JVM reference: per-user (ts, event_id)-ordered fold keeping change points
+    val expected = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (uid, evs) =>
+        val ordered = evs.sortBy(e => (e._4, e._2))
+        val changes = ordered.foldLeft(Vector.empty[(String, Long)]) {
+          case (acc, (_, _, st, t)) =>
+            if (acc.isEmpty || acc.last._1 != st) acc :+ ((st, t)) else acc
+        }
+        changes.zipWithIndex.map { case ((st, from), i) =>
+          val to = if (i + 1 < changes.length) Some(changes(i + 1)._2) else None
+          (uid, i + 1, st, from, to, to.isEmpty)
+        }
+      }
+    assert(got.toSeq == expected,
+      s"first diff: ${got.toSeq.zip(expected).find(p => p._1 != p._2)}")
+    // SCD2 invariants: consecutive states differ, exactly one open version
+    got.groupBy(_._1).foreach { case (uid, vs) =>
+      val seq = vs.sortBy(_._2)
+      assert(seq.map(_._2).toSeq == (1 to seq.length), s"user $uid versions not contiguous")
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $uid: consecutive versions share state ${a._3}")
+          assert(a._5.contains(b._4), s"user $uid: valid_to != next valid_from")
+        case _ =>
+      }
+      assert(seq.count(_._6) == 1, s"user $uid: open-version count != 1")
+    }
+  }
+
+  test("d95 quantile partials: __all__ merge equals the direct corpus-wide computation") {
+    val rows = SparkEntry.queries("d95")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val all = rows.find(_._1 == "__all__").get
+    // direct reference: bucket the raw corpus in one pass, no partials
+    val chars = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull).select(col("n_chars")).collect()
+      .map(_.getLong(0) / 64)
+    val n = chars.length.toLong
+    def q(p: Long): Long = {
+      val counts = chars.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      counts.collectFirst { case (b, c) if { cum += c; cum * 100 >= p * n } => b * 64 }.get
+    }
+    assert(all == (("__all__", n, q(50), q(90), q(99))),
+      s"merged row $all != direct (${q(50)}, ${q(90)}, ${q(99)}) over $n docs")
+    // partials really merge: per-source n_docs sums to the corpus row's
+    assert(rows.filter(_._1 != "__all__").map(_._2).sum == n)
+  }
+
+  test("d96 PPS sample: multiplicities sum to exactly m and match the single-line reference") {
+    val got = SparkEntry.queries("d96")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum == 50L, s"selection points lost: ${got.map(_._3).sum} != 50")
+    // JVM reference: the same ceil arithmetic over the single global
+    // cumulative-weight line (what the banded two-pass must reproduce)
+    val base = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("n_chars") + lit(1L)).as("w"),
+        md5(concat(lit("pps:"), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(e => (e._3, e._1))
+    val wtot = base.map(_._2).sum
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    var cum = 0L
+    val expected = base.flatMap { case (id, w, _) =>
+      val k = ceilDiv((cum + w) * 50, wtot) - ceilDiv(cum * 50, wtot)
+      cum += w
+      if (k > 0) Some((id, w, k)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      s"first diff: ${got.toSeq.zip(expected.toSeq).find(p => p._1 != p._2)}")
+  }
 }

@@ -63,6 +63,13 @@ CLASSES = {
     # the operator is still shuffle-banded; the bound reflects the output,
     # not a plan defect.
     "q116": ("pair-bound", 130.0),
+    # r15 assembly tier: d94 SCD2 fold (one user shuffle, three windows on
+    # one sort — disjoint user populations, measured 1.3x at 10x events);
+    # d95 quantile partials (scan + bucket-sized agg, ~flat); d96 PPS
+    # sampling (banded two-pass cumsum, 256 fixed bands x K rows, 1.2x)
+    "d94": ("linear", 15.0),
+    "d95": ("linear", 15.0),
+    "d96": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -97,6 +104,10 @@ BASELINE_1X = {
     "q120": 0.99,
     "q121": 0.68,
     "merge_scalable_probe": 0.81,
+    # r15 assembly tier, idle-box min-of-2 in one session
+    "d94": 0.59,
+    "d95": 0.78,
+    "d96": 0.59,
 }
 
 ROW = re.compile(
