@@ -28,6 +28,9 @@ case class OpenSess(startMicros: Long, lastMicros: Long, nEvents: Long)
   * constant-size regardless of history length. */
 case class RunStats(n: Long, sum: Double, sumSq: Double)
 
+/** The SCD2 fold's per-key state: the one OPEN version (scd2Stream). */
+case class OpenVersion(state: String, fromUs: Long, version: Int)
+
 /** All open session intervals of one user, disjoint, gap-separated,
   * ordered by start. More than one exists only while out-of-order events
   * inside the watermark tolerance are still arriving. */
@@ -663,6 +666,59 @@ object StreamingOps {
       .groupByKey(_._1)
       .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "event_id", "event_type", "n_prior_type")
+  }
+
+  /** Streaming SCD2 changelog fold — the incremental twin of the d94 batch
+    * fold (the CDC shape a live dimension/feature-store pipeline actually
+    * runs): per user the only state is the OPEN version
+    * (state, valid_from, version) — constant-size per key regardless of
+    * history. An arriving event whose type differs from the open state
+    * CLOSES the open version (emitted with valid_to = the event's time)
+    * and opens the next; equal-state events are no-ops (true SCD2).
+    * Append mode cannot retract, so only CLOSED versions are emitted —
+    * the batch mirror is d94's `is_current = false` rows; each key's open
+    * tail lives in the state store until the next change closes it.
+    * Same ordering contract as anomalyFlags (within-batch (ts, event_id)
+    * sort; cross-batch equality with the batch fold under
+    * event-time-ordered arrival — the replay/backfill regime, spec-gated).
+    * Output: (user_id, version, state, valid_from_us, valid_to_us). */
+  def scd2Stream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    class Scd2Processor
+        extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Int, String, Long, Long)] {
+      @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenVersion] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        open = getHandle.getValueState[OpenVersion]("open",
+          Encs.product[OpenVersion], TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, String)],
+          timerValues: TimerValues): Iterator[(Long, Int, String, Long, Long)] = {
+        var cur = if (open.exists()) Option(open.get()) else None
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, String, Long, Long)]
+        rows.toArray.sortBy(r => (r._3, r._2)).foreach { r =>
+          cur match {
+            case Some(o) if o.state == r._4 => // no change: no new version
+            case Some(o) =>
+              out += ((key, o.version, o.state, o.fromUs, r._3))
+              cur = Some(OpenVersion(r._4, r._3, o.version + 1))
+            case None =>
+              cur = Some(OpenVersion(r._4, r._3, 1))
+          }
+        }
+        cur.foreach(open.update)
+        out.iterator
+      }
+    }
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us")
   }
 
   /** TIMER-driven sessionization via transformWithState's event-time

@@ -258,6 +258,19 @@ object ScaleProbe {
       // window form, so this probe is what proves the lake-scale path's
       // growth class. Conf restored immediately: routing is decided at
       // operator-call time, before the probe's noop write runs.
+      // standing interval index: probe a FIXED base-sf point batch against
+      // an index built (outside timing) from the ×K interval history — the
+      // d64_probe/d65_probe economics for the temporal family: the index
+      // enters its join off the bucketed scan (no corpus reshuffle), so
+      // probe cost tracks the index SCAN + the ×K match volume (replicas
+      // share the time axis), never a corpus-wide shuffle
+      "ivx_probe" -> ((s, d) =>
+        graft.operators.IntervalIndex.probePoints(s,
+          s"scale_iv_idx_${tblSuffix(d)}",
+          graft.Tables.load(s, baseDir, "events")
+            .filter(col("user_id") % 4 === 2)
+            .select(col("event_id").as("pid"), col("ts").as("pt")),
+          "pt")),
       "merge_scalable_probe" -> ((s, d) => {
         val prev = s.conf.getOption("graft.mergeIntervals.globalWindowMaxBytes")
         s.conf.set("graft.mergeIntervals.globalWindowMaxBytes", "0")
@@ -528,7 +541,7 @@ object ScaleProbe {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
           "q113", "q114", "q115", "q116", "q117", "q119", "q120", "q121",
-          "d94", "merge_scalable_probe") &&
+          "d94", "ivx_probe", "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       if (k > 1 && wanted("q113", "q118") &&
@@ -590,6 +603,20 @@ object ScaleProbe {
       // the same sort — user populations disjoint per replica, so per-user
       // version chains stay fixed while rows grow ×K, honest linear
       run("d94", k, e)
+      // standing interval index: build once per factor (outside timing)
+      // from the ×K session history, probe the fixed base-sf point batch
+      if (wanted("ivx_probe")) {
+        if (!spark.catalog.tableExists(s"scale_iv_idx_${tblSuffix(e)}")) {
+          dropStaleIndex(s"scale_iv_idx_${tblSuffix(e)}")
+          graft.operators.IntervalIndex.write(spark,
+            graft.Tables.load(spark, e, "events")
+              .filter(col("user_id") % 4 === 1)
+              .select(col("event_id").as("rid"), col("ts").as("s_lo"),
+                (col("ts") + expr("INTERVAL 30 MINUTES")).as("s_hi")),
+            "s_lo", "s_hi", s"scale_iv_idx_${tblSuffix(e)}", 3600000000L)
+        }
+        run("ivx_probe", k, e)
+      }
       // the scale-safe global merge over ALL sessions (forced scalable
       // path): one range exchange + per-partition sweeps + N-row fix-ups
       run("merge_scalable_probe", k, e)

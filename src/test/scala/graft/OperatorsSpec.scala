@@ -1173,4 +1173,66 @@ class OperatorsSpec extends AnyFunSuite {
     val t2 = child.sql("SELECT current_timestamp() AS ts").rows.head.getTimestamp(0)
     assert(t2.after(t1))
   }
+
+  test("stored interval index: probe exchange-free on the index side, == pointInInterval; append == rebuild") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import graft.operators.{IntervalIndex, RangeJoin}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val w = 3600000000L // 1 h in µs — native TIMESTAMP family
+      val sessions = Tables.load(spark, dir, "events")
+        .filter(col("user_id") % 4 === 1)
+        .select(col("event_id").as("rid"), col("ts").as("s_lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("s_hi"))
+      val points = Tables.load(spark, dir, "events")
+        .filter(col("user_id") % 4 === 2)
+        .select(col("event_id").as("pid"), col("ts").as("pt"))
+      IntervalIndex.write(spark, sessions, "s_lo", "s_hi", "iv_idx", w, numBuckets = 8)
+      val probe = IntervalIndex.probePoints(spark, "iv_idx", points, "pt")
+      // structural claim: the index enters the probe join bucketed and
+      // WITHOUT an exchange — at 100 TB the interval history is the
+      // corpus-sized side; not reshuffling it per batch is the layout's win
+      val plan = probe.queryExecution.executedPlan
+      val idxSides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }
+        .flatten.filter(side =>
+          side.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty)
+      assert(idxSides.nonEmpty, s"no bucketed index scan under the probe join:\n$plan")
+      idxSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"the interval index was reshuffled before its probe join:\n$side")
+      }
+      // semantics: probing the STORED index == the in-memory banded operator
+      val stored = probe.select(col("pid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val inMem = RangeJoin.pointInInterval(points, sessions, "pt", "s_lo", "s_hi", w)
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(stored.nonEmpty, "probe matched nothing — scenario degenerate")
+      assert(stored == inMem,
+        s"stored probe diverges: ${stored.diff(inMem).take(3)} / ${inMem.diff(stored).take(3)}")
+      // day-2: append half the sessions to an index built from the other
+      // half; probe must equal the all-at-once index (and the full mirror)
+      IntervalIndex.write(spark, sessions.filter(col("rid") % 2 === 0),
+        "s_lo", "s_hi", "iv_idx_app", w, numBuckets = 8)
+      IntervalIndex.appendIntervals(spark, sessions.filter(col("rid") % 2 =!= 0),
+        "s_lo", "s_hi", "iv_idx_app")
+      val appended = IntervalIndex.probePoints(spark, "iv_idx_app", points, "pt")
+        .select(col("pid"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(appended == inMem,
+        s"append diverged from rebuild: ${appended.diff(inMem).take(3)}")
+      // width/family metadata round-trips; a mismatched probe family throws
+      val datePoints = points.select(col("pid"), col("pt").cast("date").as("pt"))
+      intercept[IllegalArgumentException] {
+        IntervalIndex.probePoints(spark, "iv_idx", datePoints, "pt")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      Seq("iv_idx", "iv_idx_app").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

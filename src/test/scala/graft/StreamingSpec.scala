@@ -506,6 +506,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 fold emits exactly the batch d94 CLOSED versions; open tails stay in state") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.runToMemorySink(
+        StreamingOps.scd2Stream(spark, StreamingOps.eventsStream(spark, dir)),
+        "scd2", OutputMode.Append)
+      try {
+        val streamed = spark.table("scd2")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy(t => (t._1, t._2))
+        // batch mirror: d94's closed versions (append mode cannot retract
+        // the open tail, so the stream emits exactly the is_current=false
+        // rows — valid_to_us is non-null on every one of them)
+        val batch = SparkEntry.queries("d94")(spark, dir)
+          .filter(!col("is_current"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getLong(3), r.getLong(4)))
+          .sortBy(t => (t._1, t._2))
+        assert(streamed.length == batch.length,
+          s"closed-version counts differ: ${streamed.length} vs ${batch.length}")
+        val bad = streamed.zip(batch).filter { case (a, b) => a != b }
+        assert(bad.isEmpty, s"first diffs: ${bad.take(3).mkString(", ")}")
+        assert(streamed.nonEmpty, "scenario degenerate: no versions closed")
+        // the open tails are exactly the batch is_current rows: one per user
+        val openUsers = SparkEntry.queries("d94")(spark, dir)
+          .filter(col("is_current")).select(col("user_id")).collect().map(_.getLong(0))
+        assert(openUsers.distinct.length == openUsers.length)
+        assert(streamed.map(_._1).toSet.subsetOf(openUsers.toSet),
+          "a user with closed versions lacks an open tail")
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("ListState rising-streak flags converge to the batch lag-window computation") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

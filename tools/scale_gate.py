@@ -70,6 +70,10 @@ CLASSES = {
     "d94": ("linear", 15.0),
     "d95": ("linear", 15.0),
     "d96": ("linear", 15.0),
+    # standing interval index: fixed probe batch vs x K stored history —
+    # the index side never reshuffles (0.0 shuffle MB at both factors);
+    # cost is the bucketed index scan + x K match volume (measured 1.3x)
+    "ivx_probe": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -108,6 +112,7 @@ BASELINE_1X = {
     "d94": 0.59,
     "d95": 0.78,
     "d96": 0.59,
+    "ivx_probe": 0.43,
 }
 
 ROW = re.compile(
