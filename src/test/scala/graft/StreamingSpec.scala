@@ -425,6 +425,87 @@ class StreamingSpec extends AnyFunSuite {
       s"the session spanning the kill point was not emitted intact: $longest")
   }
 
+  test("mid-stream kill + restart: SCD2 fold is exactly-once and the open version survives the failure") {
+    // the dimension-table production claim: a version OPENED before the
+    // failure and CLOSED after it must come out with the pre-kill
+    // valid_from — only possible if the ValueState open-version survived
+    // the restart. Same harness as the sessionization kill test: batch 0
+    // (first half by time) commits, an injected exception kills batch 1
+    // before its commit, the restart replays batch 1 from the checkpoint.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2kill-")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2kill-ckpt-")
+    try {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val closed = SparkEntry.queries("d94")(spark, dir)
+        .filter(!col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      // split at the median event time: versions opened in h1 and closed in
+      // h2 exist (asserted below), so state MUST cross the kill boundary
+      val times = ev.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+      val split = times(times.length / 2)
+      val spanning = closed.filter(v => v._4 <= split && v._5 > split).toSet
+      assert(spanning.nonEmpty, "scenario degenerate: no version spans the split")
+      val base = System.currentTimeMillis() - 600000
+      writeOneFile(ev.filter(unix_micros(col("ts")) <= split),
+        streamDir.resolve("h1.parquet"), base)
+      writeOneFile(ev.filter(unix_micros(col("ts")) > split),
+        streamDir.resolve("h2.parquet"), base + 60000)
+      val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val got = scala.collection.concurrent.TrieMap
+        .empty[Long, Array[(Long, Int, String, Long, Long)]]
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema("user_id long, event_id long, ts timestamp, event_type string")
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = StreamingOps.scd2Stream(spark, stream)
+          .writeStream.outputMode(OutputMode.Append)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: java.lang.Long) =>
+            val rows = df.collect().map(r => (r.getLong(0), r.getInt(1),
+              r.getString(2), r.getLong(3), r.getLong(4)))
+            if (id == 1L && !killed.getAndSet(true))
+              throw new RuntimeException("injected mid-stream kill")
+            got(id.toLong) = rows
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+      assert(killed.get && ex.toString.contains("injected mid-stream kill"),
+        s"run 1 did not die on the injected failure: $ex")
+      assert(got.contains(0L) && !got.contains(1L),
+        "batch 0 must have committed before the kill, batch 1 must not have")
+      runOnce() // restart: batch 1 replays against the recovered state
+      // (a) exactly-once: no version lands in two batches, none twice
+      val perBatch = got.toSeq.flatMap { case (id, rows) => rows.map(_ -> id) }
+      assert(perBatch.size == perBatch.map(_._1).distinct.size,
+        "a version was emitted twice across the failure boundary")
+      // (b) the combined emission is EXACTLY the batch fold's closed set
+      // (every closing event arrived by end-of-stream)
+      val emitted = perBatch.map(_._1).toSet
+      assert(emitted == closed.toSet,
+        s"missing: ${closed.toSet.diff(emitted).take(3)}; " +
+          s"extra: ${emitted.diff(closed.toSet).take(3)}")
+      // (c) the split-spanning versions came out with their PRE-KILL
+      // valid_from — the open-version state crossed the restart
+      assert(spanning.subsetOf(emitted),
+        s"state lost at the kill: ${spanning.diff(emitted).take(3)}")
+      assert(spanning.forall(v => got(1L).map(t => (t._1, t._2, t._3, t._4, t._5)).contains(v)),
+        "a spanning version was not emitted by the replayed batch 1")
+    } finally {
+      prevProv match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      ()
+    }
+  }
+
   /** Write `df` as ONE parquet file at `dest` with an explicit modification
     * time — the file source orders batches by (modTime, path), so ascending
     * stamps give deterministic multi-batch arrival order. */
