@@ -22,7 +22,7 @@ BASE=${BASE:-/root/testdata/sf0.1}
 X10=${X10:-/tmp/graft_x10}
 OUT=${OUT:-/tmp/graft_x10_verify}
 ARTIFACT=${ARTIFACT:-X10_CORRECTNESS.json}
-ROUND=${ROUND:-14}
+ROUND=${ROUND:-15}
 
 # frequency-threshold ops (d81 df, t55/t56 vocab min-counts, u65 heavy-hitter
 # survival, d71 window counts, t60 mixture normalizer, d86 prefix anchors,
