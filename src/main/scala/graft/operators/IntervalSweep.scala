@@ -48,6 +48,36 @@ object IntervalSweep {
     * intervals (hi < lo) are dropped. Output: keyCols ++ max_concurrent;
     * keys with no live interval are absent (max of nothing is undefined).
     */
+  /** Per (key, time bucket), how many intervals were ACTIVE during the
+    * bucket — the calendar-grid occupancy report ("concurrent sessions per
+    * hour per service", the monitoring/capacity twin of [[maxConcurrent]]'s
+    * single peak number). An interval [lo, hi] is active in bucket B iff it
+    * overlaps [B·W, (B+1)·W): exactly the bands RangeJoin's containment
+    * explosion covers, so the operator IS one band explode (len/W + 1 rows
+    * per interval) + one (key, bucket) count — scan → partial/final hash
+    * aggregate, no window, no join; shuffle rows ∝ covered buckets. Keys
+    * may be integral/DATE/TIMESTAMP (one TimeKeys family); `bucketWidth`
+    * is in the family's Long units, and `bucket_lo` comes back in the
+    * caller's own key type (bucket start). Empty intervals (hi < lo)
+    * drop. Output: keyCols ++ (bucket_lo, n_active). */
+  def occupancyByBucket(df: DataFrame, keyCols: Seq[String],
+      lo: String, hi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val keys = keyCols.map(col)
+    TimeKeys.requireSameFamily("occupancyByBucket", df, Seq(lo, hi))
+    val dt = df.schema(lo).dataType
+    def k(c: String) = TimeKeys.toLong(df, c)
+    df.filter(col(hi) >= col(lo))
+      .select(keys :+ explode(sequence(
+        RangeJoin.bandOf(k(lo), bucketWidth),
+        RangeJoin.bandOf(k(hi), bucketWidth))).as("__bkt"): _*)
+      .groupBy(keys :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("n_active"))
+      .select(keys :+
+        TimeKeys.fromLong(col("__bkt") * bucketWidth, dt).as("bucket_lo") :+
+        col("n_active"): _*)
+  }
+
   def maxConcurrent(df: DataFrame, keyCols: Seq[String],
       lo: String, hi: String): DataFrame = {
     val keys = keyCols.map(col)

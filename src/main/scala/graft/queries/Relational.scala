@@ -1310,6 +1310,23 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Calendar-grid occupancy (r15) — active sessions per (type, hour):
+    // the capacity/monitoring report next to q119's single peak number.
+    // One band explode + one (key, bucket) count — scan → partial/final
+    // agg, no window, no join; native TIMESTAMP bounds, bucket starts
+    // surfaced as epoch-µs for the oracle hash.
+    "q122_hourly_occupancy" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 1)
+        .select(col("event_type"), col("ts").as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 1799 SECONDS"))
+      graft.operators.IntervalSweep
+        .occupancyByBucket(iv, Seq("event_type"), "lo", "hi", 3600L * 1000000L)
+        .select(col("event_type"),
+          unix_micros(col("bucket_lo")).as("bucket_lo_us"), col("n_active"))
+        .orderBy(col("event_type"), col("bucket_lo_us"))
+    }),
+
     // PER-KEY interval-overlap join (r15) — which of THIS user's sessions
     // collide: the user key joins as an equality conjunct so the shuffle
     // co-partitions on (user, band) and candidates are bounded by per-key
@@ -2855,6 +2872,19 @@ object Relational {
         | GROUP BY 1, 2)
         |SELECT event_type, max(c) AS max_concurrent
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q122_hourly_occupancy" ->
+      """WITH iv AS (
+        | SELECT event_type, epoch_us(ts) AS lo,
+        |        epoch_us(ts) + 1799000000 AS hi
+        | FROM events WHERE user_id % 4 = 1),
+        |b AS (
+        | SELECT event_type,
+        |  unnest(range(lo // 3600000000, hi // 3600000000 + 1)) AS bkt
+        | FROM iv)
+        |SELECT event_type, bkt * 3600000000 AS bucket_lo_us,
+        | count(*) AS n_active
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q120_overlap_per_user" ->
       """WITH a AS (

@@ -46,6 +46,42 @@ class IntervalSweepSpec extends AnyFunSuite {
     assert(got.toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 3L))
   }
 
+  test("occupancyByBucket == brute-force per-bucket active counts, at 3 widths") {
+    val live = iv.filter(col("hi") >= col("lo")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (w <- Seq(3L, 7L, 64L)) {
+      val got = IntervalSweep.occupancyByBucket(iv, Seq("k"), "lo", "hi", w)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      // reference: an interval is active in bucket B iff it overlaps
+      // [B*w, (B+1)*w) — enumerate each interval's covered buckets
+      def bkt(x: Long) = Math.floorDiv(x, w)
+      val naive = live.flatMap { case (k, lo, hi) =>
+        (bkt(lo) to bkt(hi)).map(b => (k, b * w)) }
+        .groupBy(identity).map { case ((k, b), xs) => (k, b, xs.length.toLong) }
+        .toSeq.sorted
+      assert(got == naive, s"width $w: ${got.diff(naive).take(3)} / ${naive.diff(got).take(3)}")
+    }
+  }
+
+  test("occupancyByBucket on native TIMESTAMP bounds == manual epoch-µs path; bucket_lo in caller's type") {
+    val ts = iv.select(col("k"),
+      expr("timestamp_micros(lo * 1000000)").as("lo"),
+      expr("timestamp_micros(hi * 1000000)").as("hi"))
+    val w = 7L * 1000000L
+    val native = IntervalSweep.occupancyByBucket(ts, Seq("k"), "lo", "hi", w)
+    assert(native.schema("bucket_lo").dataType ==
+      org.apache.spark.sql.types.TimestampType, "bucket_lo not in caller's type")
+    val got = native
+      .select(col("k"), unix_micros(col("bucket_lo")).as("b"), col("n_active"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val manual = IntervalSweep.occupancyByBucket(
+      iv.select(col("k"), (col("lo") * 1000000L).as("lo"), (col("hi") * 1000000L).as("hi")),
+      Seq("k"), "lo", "hi", w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == manual)
+  }
+
   test("mergeIntervals covers exactly the input's integer points; island counts exact") {
     val islands = IntervalSweep.mergeIntervals(iv, Seq("k"), "lo", "hi")
     // islands are disjoint, non-adjacent, and their union of points equals

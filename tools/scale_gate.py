@@ -74,6 +74,9 @@ CLASSES = {
     # the index side never reshuffles (0.0 shuffle MB at both factors);
     # cost is the bucketed index scan + x K match volume (measured 1.3x)
     "ivx_probe": ("linear", 15.0),
+    # q122 calendar-grid occupancy: band explode + (key, bucket) count —
+    # x K intervals stack onto the same fixed hour grid (measured 1.1x)
+    "q122": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -113,6 +116,7 @@ BASELINE_1X = {
     "d95": 0.78,
     "d96": 0.59,
     "ivx_probe": 0.43,
+    "q122": 0.58,
 }
 
 ROW = re.compile(
