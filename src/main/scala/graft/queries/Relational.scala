@@ -1327,6 +1327,34 @@ object Relational {
         .orderBy(col("event_type"), col("bucket_lo_us"))
     }),
 
+    // Idle-gap report (r15) — the DUAL of the island merge: per key, the
+    // gaps BETWEEN merged busy islands (downtime count, longest outage,
+    // total idle µs). Composes mergeIntervals + one lead window + one agg,
+    // all partitioned by the same key — the merge's exchange satisfies
+    // every later clustering, so the whole report is ONE shuffle. Islands
+    // are disjoint and non-adjacent by the merge contract, so every gap
+    // is >= 1 µs; keys with a single island have no gaps and drop.
+    "q123_idle_gaps" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 1)
+        .select(col("event_type"), col("ts").as("lo"))
+        .withColumn("hi", col("lo") + expr("INTERVAL 1799 SECONDS"))
+      val islands = graft.operators.IntervalSweep
+        .mergeIntervals(iv, Seq("event_type"), "lo", "hi")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("island_lo"))
+      islands
+        .withColumn("next_lo", lead(unix_micros(col("island_lo")), 1).over(w))
+        .withColumn("gap_us",
+          col("next_lo") - unix_micros(col("island_hi")) - 1)
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap_us")).as("longest_gap_us"),
+          sum(col("gap_us")).as("idle_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // PER-KEY interval-overlap join (r15) — which of THIS user's sessions
     // collide: the user key joins as an equality conjunct so the shuffle
     // co-partitions on (user, band) and candidates are bounded by per-key
@@ -2872,6 +2900,37 @@ object Relational {
         | GROUP BY 1, 2)
         |SELECT event_type, max(c) AS max_concurrent
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same islands CTE discipline as q118 (unique eid tiebreak in both
+    // window sorts — see the q118 comment); the gap aggregates depend only
+    // on island EXTENTS, which are tie-order-free
+    "q123_idle_gaps" ->
+      """WITH iv AS (
+        | SELECT event_type, event_id AS eid, epoch_us(ts) AS lo,
+        |        epoch_us(ts) + 1799000000 AS hi
+        | FROM events WHERE user_id % 4 = 1),
+        |m AS (
+        | SELECT event_type, eid, lo, hi, max(hi) OVER (PARTITION BY event_type
+        |   ORDER BY lo, hi, eid
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv),
+        |f AS (
+        | SELECT event_type, lo, hi,
+        |  sum(CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY event_type ORDER BY lo, hi, eid
+        |         ROWS UNBOUNDED PRECEDING) AS isl
+        | FROM m),
+        |g AS (SELECT event_type, isl, min(lo) AS ilo, max(hi) AS ihi
+        |      FROM f GROUP BY 1, 2),
+        |l AS (
+        | SELECT event_type, ihi,
+        |  lead(ilo) OVER (PARTITION BY event_type ORDER BY ilo) AS next_lo
+        | FROM g)
+        |SELECT event_type, count(*) AS n_gaps,
+        | max(next_lo - ihi - 1) AS longest_gap_us,
+        | CAST(sum(next_lo - ihi - 1) AS BIGINT) AS idle_us
+        |FROM l WHERE next_lo IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q122_hourly_occupancy" ->
       """WITH iv AS (

@@ -541,7 +541,7 @@ object ScaleProbe {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
           "q113", "q114", "q115", "q116", "q117", "q119", "q120", "q121",
-          "d94", "ivx_probe", "q122", "merge_scalable_probe") &&
+          "d94", "ivx_probe", "q122", "q123", "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       if (k > 1 && wanted("q113", "q118") &&
@@ -603,6 +603,9 @@ object ScaleProbe {
       // count — x K intervals stack x K counts onto the same fixed hour
       // grid (replicas share the time axis); scan -> agg, honest linear
       run("q122", k, e)
+      // idle-gap report: mergeIntervals + lead + agg on ONE key exchange —
+      // x K sessions stack onto the same 8 type timelines (n log n sort)
+      run("q123", k, e)
       // SCD2 fold: one user_id shuffle, three stacked window functions on
       // the same sort — user populations disjoint per replica, so per-user
       // version chains stay fixed while rows grow ×K, honest linear

@@ -278,6 +278,17 @@ class IntervalSweepSpec extends AnyFunSuite {
         assert(ex.size == 1, s"$name: expected 1 exchange, got ${ex.size}:\n" +
           df.queryExecution.executedPlan)
       }
+      // the q123 composition (merge -> lead window -> gap agg) rides the
+      // SAME key exchange end to end: one hash exchange total (the
+      // contract query's trailing orderBy adds only a range exchange)
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val gaps = SparkEntry.queries("q123")(spark, "/root/testdata/sf0.001")
+      val hashEx = gaps.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size == 1, s"q123: expected 1 hash exchange, got " +
+        s"${hashEx.size}:\n${gaps.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -77,6 +77,9 @@ CLASSES = {
     # q122 calendar-grid occupancy: band explode + (key, bucket) count —
     # x K intervals stack onto the same fixed hour grid (measured 1.1x)
     "q122": ("linear", 15.0),
+    # q123 idle gaps: mergeIntervals + lead + agg on one key exchange —
+    # x K sessions on the same 8 type timelines (measured 1.3x)
+    "q123": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -117,6 +120,7 @@ BASELINE_1X = {
     "d96": 0.59,
     "ivx_probe": 0.43,
     "q122": 0.58,
+    "q123": 0.90,
 }
 
 ROW = re.compile(
