@@ -1493,22 +1493,8 @@ object DedupOps {
     // (user_id)/(t_us, event_id) window sort (plan-asserted single
     // exchange); timestamps surface as epoch-µs BIGINTs (the q117 parity
     // discipline).
-    "d94_scd2_versions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wSeq = Window.partitionBy(col("user_id"))
-        .orderBy(col("t_us"), col("event_id"))
-      Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          col("event_type").as("state"), unix_micros(col("ts")).as("t_us"))
-        .withColumn("prev", lag(col("state"), 1).over(wSeq))
-        .filter(col("prev").isNull || col("prev") =!= col("state"))
-        .withColumn("version", row_number().over(wSeq))
-        .withColumn("valid_to_us", lead(col("t_us"), 1).over(wSeq))
-        .select(col("user_id"), col("version"), col("state"),
-          col("t_us").as("valid_from_us"), col("valid_to_us"),
-          col("valid_to_us").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("version"))
-    }),
+    "d94_scd2_versions" -> ((s, dir) =>
+      scd2Versions(s, dir).orderBy(col("user_id"), col("version"))),
 
     // Mergeable EXACT histogram partials → quantiles without a rescan —
     // d88's stored-partials pattern for the OTHER non-algebraic aggregate
@@ -1876,6 +1862,26 @@ object DedupOps {
       .agg(min(col("idb")).as("dup_of"), count(lit(1)).as("n_matches"))
       .select(col("ida").as("doc_id"), col("dup_of"), col("n_matches"))
       .orderBy(col("doc_id"))
+
+  /** The d94 SCD2 fold (unordered) — ONE definition shared by the d94
+    * contract query and q124's point-in-time enrichment, so the dimension
+    * producer and its consumer cannot drift. Output: (user_id, version,
+    * state, valid_from_us, valid_to_us, is_current). */
+  private[graft] def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev", lag(col("state"), 1).over(wSeq))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("version", row_number().over(wSeq))
+      .withColumn("valid_to_us", lead(col("t_us"), 1).over(wSeq))
+      .select(col("user_id"), col("version"), col("state"),
+        col("t_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
 
   private[graft] def ingestDedup(s: SparkSession, dir: String, t: Double): DataFrame = {
     GraftFunctions.register(s)

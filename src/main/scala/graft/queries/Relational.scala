@@ -1327,6 +1327,30 @@ object Relational {
         .orderBy(col("event_type"), col("bucket_lo_us"))
     }),
 
+    // Point-in-time SCD2 enrichment (r15) — THE canonical consumer of the
+    // d94 fold: each probe event gets the dimension version ACTIVE at its
+    // time. Engine path: per-key as-of BACKWARD join on version starts
+    // (versions per user have strictly increasing valid_from with valid_to
+    // = next valid_from, so "latest valid_from <= t" IS "the interval
+    // containing t", open tail included). The oracle checks the
+    // INDEPENDENT validity-interval predicate (from <= t < to, null to =
+    // open) — the hash-match proves the as-of form and the interval
+    // semantics agree, the q114-style cross-check. One union-stream
+    // shuffle (AsofJoin's plan), dimension never broadcast.
+    "q124_point_in_time" -> ((s, dir) => {
+      val probes = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(4)) === 3)
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pt_us"))
+      val versions = graft.queries.DedupOps.scd2Versions(s, dir)
+      graft.operators.AsofJoin
+        .asof(probes, versions, Seq("user_id"), "pt_us", "valid_from_us",
+          direction = "backward")
+        .select(col("user_id"), col("pid"), col("pt_us"),
+          col("version"), col("state"))
+        .orderBy(col("pid"))
+    }),
+
     // Idle-gap report (r15) — the DUAL of the island merge: per key, the
     // gaps BETWEEN merged busy islands (downtime count, longest outage,
     // total idle µs). Composes mergeIntervals + one lead window + one agg,
@@ -2900,6 +2924,31 @@ object Relational {
         | GROUP BY 1, 2)
         |SELECT event_type, max(c) AS max_concurrent
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // independent oracle: the validity-interval predicate, NOT an argmax
+    // mirror of the engine's as-of form — the hash-match proves the two
+    // semantics agree (versions are disjoint per user, so <= 1 match)
+    "q124_point_in_time" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS t_us,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS prev
+        | FROM events),
+        |c AS (SELECT user_id, event_id, state, t_us FROM e
+        |      WHERE prev IS NULL OR prev <> state),
+        |v AS (
+        | SELECT user_id, state, t_us AS valid_from_us,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  lead(t_us) OVER w AS valid_to_us
+        | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |p AS (
+        | SELECT user_id, event_id AS pid, epoch_us(ts) AS pt_us
+        | FROM events WHERE user_id % 4 = 3)
+        |SELECT p.user_id, p.pid, p.pt_us, v.version, v.state
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        | AND v.valid_from_us <= p.pt_us
+        | AND (v.valid_to_us IS NULL OR p.pt_us < v.valid_to_us)
+        |ORDER BY p.pid""".stripMargin,
 
     // same islands CTE discipline as q118 (unique eid tiebreak in both
     // window sorts — see the q118 comment); the gap aggregates depend only

@@ -541,7 +541,7 @@ object ScaleProbe {
       val dir = s"$workDir/events_x$k"
       if (k > 1 && wanted("q64", "q65", "q66", "q67", "q108", "q109", "q111",
           "q113", "q114", "q115", "q116", "q117", "q119", "q120", "q121",
-          "d94", "ivx_probe", "q122", "q123", "merge_scalable_probe") &&
+          "d94", "ivx_probe", "q122", "q123", "q124", "merge_scalable_probe") &&
           !new java.io.File(s"$dir/events.parquet").exists())
         synthEvents(k, dir)
       if (k > 1 && wanted("q113", "q118") &&
@@ -610,6 +610,10 @@ object ScaleProbe {
       // the same sort — user populations disjoint per replica, so per-user
       // version chains stay fixed while rows grow ×K, honest linear
       run("d94", k, e)
+      // point-in-time SCD2 enrichment: the d94 fold + a per-user backward
+      // as-of — user populations disjoint per replica, probes and version
+      // chains both x K with per-user work fixed, honest linear
+      run("q124", k, e)
       // standing interval index: build once per factor (outside timing)
       // from the ×K session history, probe the fixed base-sf point batch
       if (wanted("ivx_probe")) {

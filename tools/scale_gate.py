@@ -80,6 +80,9 @@ CLASSES = {
     # q123 idle gaps: mergeIntervals + lead + agg on one key exchange —
     # x K sessions on the same 8 type timelines (measured 1.3x)
     "q123": ("linear", 15.0),
+    # q124 point-in-time SCD2 enrichment: fold + per-user backward as-of —
+    # disjoint user populations, per-user work fixed (measured 1.1x)
+    "q124": ("linear", 15.0),
 }
 
 # idle-box min-of-2 warm seconds at 1x (sf0.1, local[32]), measured r13
@@ -121,6 +124,7 @@ BASELINE_1X = {
     "ivx_probe": 0.43,
     "q122": 0.58,
     "q123": 0.90,
+    "q124": 1.16,
 }
 
 ROW = re.compile(
