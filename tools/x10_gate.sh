@@ -22,7 +22,12 @@ BASE=${BASE:-/root/testdata/sf0.1}
 X10=${X10:-/tmp/graft_x10}
 OUT=${OUT:-/tmp/graft_x10_verify}
 ARTIFACT=${ARTIFACT:-X10_CORRECTNESS.json}
-ROUND=${ROUND:-15}
+# default round = newest driver correctness artifact + 1 (the round being
+# built) — removes the every-round manual bump this line used to need
+ROUND=${ROUND:-$(ls CORRECTNESS_r*.json 2>/dev/null \
+  | sed 's/.*_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1 \
+  | awk '{print $1 + 1}')}
+ROUND=${ROUND:-1}
 
 # frequency-threshold ops (d81 df, t55/t56 vocab min-counts, u65 heavy-hitter
 # survival, d71 window counts, t60 mixture normalizer, d86 prefix anchors,
