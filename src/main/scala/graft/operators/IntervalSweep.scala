@@ -59,7 +59,14 @@ object IntervalSweep {
     * may be integral/DATE/TIMESTAMP (one TimeKeys family); `bucketWidth`
     * is in the family's Long units, and `bucket_lo` comes back in the
     * caller's own key type (bucket start). Empty intervals (hi < lo)
-    * drop. Output: keyCols ++ (bucket_lo, n_active). */
+    * drop. Output: keyCols ++ (bucket_lo, n_active).
+    *
+    * Precondition: keys must lie at or above Long.MinValue + bucketWidth
+    * (in the family's Long image). Band ids themselves are exact over the
+    * full Long domain, but the reconstructed bucket start `__bkt *
+    * bucketWidth` would wrap for a key within one bucket of Long.MinValue
+    * — every real time domain (epoch µs, days, u32/u48 ids) sits far
+    * above it. (ADVICE r15.) */
   def occupancyByBucket(df: DataFrame, keyCols: Seq[String],
       lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
@@ -278,15 +285,24 @@ object IntervalSweep {
     * frames (whose own windows order N rows, not data). Exact for any
     * partitioning because range partitions respect the (lo, hi) sweep
     * order — proven row-identical to the window form in
-    * IntervalSweepSpec, plan-asserted single-partition-window-free. */
+    * IntervalSweepSpec, plan-asserted single-partition-window-free.
+    *
+    * Barrier (r16, VERDICT r15 item 2): `base` feeds THREE subtrees (the
+    * carry stats, the flagged data pass, the island offsets) and its
+    * `spark_partition_id()` column is only meaningful if every subtree
+    * reads the SAME physical partitioning — exchange reuse made that hold
+    * in practice, but a non-deterministic upstream (a sampled or salted
+    * frame) or a disabled exchange cache would let each subtree re-sample
+    * range boundaries (and re-draw the rows themselves) independently,
+    * silently mis-stitching islands. The lazy localCheckpoint freezes
+    * (lo, hi, pid) once at first execution: block-level locking computes
+    * each partition exactly once, every branch reads the frozen copy, and
+    * the RDD-level persist is GC-cleaned by the ContextCleaner (no
+    * CacheManager entry to leak). Proven by the rand-salted-input spec in
+    * IntervalSweepSpec. */
   private def mergeGlobalScalable(df: DataFrame, lo: String, hi: String,
       dt: org.apache.spark.sql.types.DataType): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = df.filter(col(hi) >= col(lo))
-      .select(TimeKeys.toLong(col(lo), dt).as("__lo"),
-        TimeKeys.toLong(col(hi), dt).as("__hi"))
-      .repartitionByRange(n, col("__lo"), col("__hi"))
-      .withColumn("__pid", spark_partition_id())
+    val base = rangedBase(df, lo, hi, dt).localCheckpoint(eager = false)
     // per-partition stats: N rows; the prefix windows below order N rows
     // on one partition — bounded by the partition COUNT, not the data
     val wPrev = Window.orderBy(col("__pid"))
@@ -317,5 +333,19 @@ object IntervalSweep {
         TimeKeys.fromLong(max(col("__hi")), dt).as("island_hi"),
         count(lit(1)).as("n_intervals"))
       .select(col("island_lo"), col("island_hi"), col("n_intervals"))
+  }
+
+  /** The scalable merge's pre-barrier input: normalized Long bounds, range
+    * partitioned on (lo, hi), partition id frozen as a column. Split out so
+    * the spec can plan-assert the range exchange (the checkpoint hides it
+    * from the final plan). */
+  private[graft] def rangedBase(df: DataFrame, lo: String, hi: String,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.filter(col(hi) >= col(lo))
+      .select(TimeKeys.toLong(col(lo), dt).as("__lo"),
+        TimeKeys.toLong(col(hi), dt).as("__hi"))
+      .repartitionByRange(n, col("__lo"), col("__hi"))
+      .withColumn("__pid", spark_partition_id())
   }
 }

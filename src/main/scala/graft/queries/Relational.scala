@@ -1343,9 +1343,14 @@ object Relational {
         .select(col("user_id"), col("event_id").as("pid"),
           unix_micros(col("ts")).as("pt_us"))
       val versions = graft.queries.DedupOps.scd2Versions(s, dir)
+      // tieBreak = version: if two change events of one user land on the
+      // same microsecond, two versions share valid_from_us and the earlier
+      // is an EMPTY [T, T) interval under the oracle's strict t < valid_to
+      // — the max-version survivor is the only one the interval predicate
+      // can match, so the enrichment stays deterministic (ADVICE r15).
       graft.operators.AsofJoin
         .asof(probes, versions, Seq("user_id"), "pt_us", "valid_from_us",
-          direction = "backward")
+          direction = "backward", tieBreak = Some("version"))
         .select(col("user_id"), col("pid"), col("pt_us"),
           col("version"), col("state"))
         .orderBy(col("pid"))

@@ -246,13 +246,19 @@ class IntervalSweepSpec extends AnyFunSuite {
       val got = scal.collect().map(_.toString).sorted.toSeq
       assert(got == windowed && got.nonEmpty,
         s"extra=${got.diff(windowed).take(5)} missing=${windowed.diff(got).take(5)}")
-      // plan shape: the data path is RANGE-partitioned; any
-      // single-partition window orders only N-row per-partition STATS
-      // (an aggregate sits below it), never the data
-      val plan = scal.queryExecution.executedPlan
-      assert(plan.collect { case e: ShuffleExchangeExec
+      // plan shape: the data path is RANGE-partitioned. r16: the barrier
+      // localCheckpoint hides that exchange from the final plan (the three
+      // subtrees read the frozen RDD), so assert it on the pre-barrier
+      // base the operator checkpoints.
+      val basePlan = IntervalSweep
+        .rangedBase(raw, "lo", "hi", org.apache.spark.sql.types.LongType)
+        .queryExecution.executedPlan
+      assert(basePlan.collect { case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[RangePartitioning] => e }.nonEmpty,
-        s"no range exchange in scalable merge plan:\n$plan")
+        s"no range exchange in scalable merge base plan:\n$basePlan")
+      // any single-partition window in the final plan orders only N-row
+      // per-partition STATS (an aggregate sits below it), never the data
+      val plan = scal.queryExecution.executedPlan
       val globalWindows = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(globalWindows.nonEmpty, "expected N-row stats windows")
@@ -263,6 +269,37 @@ class IntervalSweepSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("graft.mergeIntervals.globalWindowMaxBytes")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  // r16 (VERDICT r15 item 2 / ADVICE): the scalable merge's base feeds
+  // three subtrees whose consistency used to lean on exchange reuse. With
+  // reuse DISABLED and a rand-salted repartition upstream (each recompute
+  // free to lay rows out differently, range boundaries re-sampled per
+  // branch), the localCheckpoint barrier must still yield islands
+  // identical to the one-window form — proving (lo, hi, __pid) is
+  // materialized once and shared, not recomputed per branch.
+  test("scalable global merge is stable under a non-deterministic upstream (barrier)") {
+    val raw = spark.range(400).select(
+      (col("id") * 10 + col("id") % 3).as("lo"),
+      (col("id") * 10 + col("id") % 3 + 12).as("hi"))
+      .unionAll(Seq((800L, 3000L)).toDF("lo", "hi"))
+    val expected = IntervalSweep.mergeIntervals(raw, Nil, "lo", "hi")
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.mergeIntervals.globalWindowMaxBytes", "0")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      for (round <- 1 to 3) {
+        val salted = raw.repartition(7, rand(seed = round))
+        val got = IntervalSweep.mergeIntervals(salted, Nil, "lo", "hi")
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == expected,
+          s"round $round: extra=${got.diff(expected).take(5)} " +
+            s"missing=${expected.diff(got).take(5)}")
+      }
+    } finally {
+      spark.conf.unset("graft.mergeIntervals.globalWindowMaxBytes")
+      spark.conf.unset("spark.sql.exchange.reuse")
     }
   }
 

@@ -65,18 +65,20 @@ BENCH_LINE=$(SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 echo "$BENCH_LINE"
 [ -n "$BENCH_LINE" ] && ! echo "$BENCH_LINE" | grep -q '"failed":\["'
 section_result "bench" $?
-# r15 (VERDICT r14 item 5): the distributed-serving floor is gated, not
-# informational — BASELINE.md records >= 20 q/s at sf0.1 local[32]; a
-# plan-cache regression on the real-job path (re-planning per call lands
-# near ~13 q/s) must turn the gate red. Reads the full-line copy in
-# BENCH.json (the stdout line carries the same field).
-python3 - <<'EOF'
-import json, sys
+# r16 (ADVICE r15): the distributed-serving floor reads the JUST-PRODUCED
+# bench line, never the checked-in BENCH.json — a failed/skipped bench step
+# can no longer satisfy the floor with a stale file. BASELINE.md records
+# >= 20 q/s at sf0.1 local[32]; a plan-cache regression on the real-job
+# path (re-planning per call lands near ~13 q/s) must turn the gate red.
+BENCH_LINE="$BENCH_LINE" python3 - <<'EOF'
+import json, os, sys
+line = os.environ.get("BENCH_LINE", "").strip()
+if not line:
+    print("[soak-gate] FAIL: bench produced no metric line"); sys.exit(1)
 try:
-    d = json.load(open("BENCH.json"))
-    q = d.get("soak_dist_qps", -1.0)
+    q = json.loads(line).get("soak_dist_qps", -1.0)
 except Exception as e:
-    print(f"[soak-gate] FAIL: cannot read BENCH.json: {e}"); sys.exit(1)
+    print(f"[soak-gate] FAIL: cannot parse bench line: {e}"); sys.exit(1)
 floor = 20.0
 if q < floor:
     print(f"[soak-gate] FAIL: soak_dist_qps {q} below the BASELINE.md floor {floor}")
@@ -87,6 +89,30 @@ section_result "soak_dist_floor" $?
 
 echo "== duckdb baseline (same session) =="
 python3 tools/bench_duck.py /root/testdata/sf0.1 /tmp/gate_verify1 2 2>/dev/null | tail -1
+# r16 (VERDICT r15 item 3): the 2x ratio is GATED, not just printed — warm
+# engine total vs DuckDB total over the queries BOTH sides timed (bench
+# times every contract query; DuckDB times only the oracle-backed ones).
+# BASELINE.json's contract is <= 2.0; above it the gate goes red.
+BENCH_LINE="$BENCH_LINE" python3 - <<'EOF'
+import json, os, sys
+line = os.environ.get("BENCH_LINE", "").strip()
+try:
+    bench = json.loads(line)["queries"]
+    duck = json.load(open("/tmp/gate_verify1/duck_times.json"))["queries"]
+except Exception as e:
+    print(f"[ratio-gate] FAIL: cannot load bench/duck times: {e}"); sys.exit(1)
+common = sorted(set(bench) & set(duck))
+if len(common) < 50:
+    print(f"[ratio-gate] FAIL: only {len(common)} common queries"); sys.exit(1)
+bt, dt = sum(bench[q] for q in common), sum(duck[q] for q in common)
+ratio = bt / dt if dt > 0 else float("inf")
+limit = 2.0
+verdict = "PASS" if ratio <= limit else "FAIL"
+print(f"[ratio-gate] {verdict}: engine {bt:.1f}s vs duckdb {dt:.1f}s over "
+      f"{len(common)} queries -> ratio {ratio:.2f}x (limit {limit}x)")
+sys.exit(0 if ratio <= limit else 1)
+EOF
+section_result "duckdb_ratio" $?
 
 if [ ${#FAILED_SECTIONS[@]} -eq 0 ]; then
   echo "== GATE GREEN =="
