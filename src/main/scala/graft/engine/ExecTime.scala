@@ -123,5 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi-joins instead of nested loops — exact for any band width,
     // plan-gated in RangeJoinRuleSpec
     e.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
+    // the row_number-over-theta-join AS-OF idiom plans as the one-shuffle
+    // union-stream window instead of the pair explosion — AsofRuleSpec
+    e.injectOptimizerRule(_ => graft.plans.AsofJoinRule)
   }
 }

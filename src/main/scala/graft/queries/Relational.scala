@@ -59,6 +59,15 @@ object Relational {
     sql(s, dir, q)
   }
 
+  /** `sql` with AsofJoinRule installed-on-demand — same contract and same
+    * leave-attached discipline as [[sqlBanded]] (GraftExtensions injects it
+    * session-wide; the driver's plain Verify session attaches here). */
+  private def sqlAsof(s: SparkSession, dir: String, q: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.AsofJoinRule))
+      s.experimental.extraOptimizations ++= Seq(graft.plans.AsofJoinRule)
+    sql(s, dir, q)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1354,6 +1363,30 @@ object Relational {
         .select(col("user_id"), col("pid"), col("pt_us"),
           col("version"), col("state"))
         .orderBy(col("pid"))
+    }),
+
+    // SQL-surface as-of join (r16: VERDICT r15 item 1) — the row_number-
+    // over-theta-join idiom a SQL user writes for "latest quote at or
+    // before each probe", rewritten by AsofJoinRule into the one-shuffle
+    // union-stream window (no pair explosion, no per-probe ranking window;
+    // plan-gated join-free in AsofRuleSpec). Quotes pre-aggregate to one
+    // row per (key, instant) so the winner is tie-free and DuckDB's NATIVE
+    // ASOF LEFT JOIN is an exact independent oracle.
+    "q125_asof_sql" -> ((s, dir) => {
+      sqlAsof(s, dir,
+        """WITH p AS (
+          | SELECT event_type AS k, event_id AS pid, unix_micros(ts) AS pt_us
+          | FROM events WHERE user_id % 4 = 2),
+          |q AS (
+          | SELECT event_type AS qk, unix_micros(ts) AS qt_us,
+          |        max(event_id) AS q_eid
+          | FROM events WHERE user_id % 4 = 3 GROUP BY 1, 2)
+          |SELECT k, pid, pt_us, qt_us, q_eid FROM (
+          | SELECT p.k, p.pid, p.pt_us, q.qt_us, q.q_eid,
+          |  row_number() OVER (PARTITION BY p.k, p.pid, p.pt_us
+          |    ORDER BY q.qt_us DESC) AS rn
+          | FROM p LEFT JOIN q ON p.k = q.qk AND q.qt_us <= p.pt_us) t
+          |WHERE rn = 1 ORDER BY pid""".stripMargin)
     }),
 
     // Idle-gap report (r15) — the DUAL of the island merge: per key, the
@@ -2954,6 +2987,23 @@ object Relational {
         | AND v.valid_from_us <= p.pt_us
         | AND (v.valid_to_us IS NULL OR p.pt_us < v.valid_to_us)
         |ORDER BY p.pid""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN as the independent oracle — the engine side
+    // is the row_number idiom rewritten to the union-stream window; the
+    // hash-match proves the rewrite implements exactly the as-of semantics
+    // DuckDB ships as syntax (ties excluded by the per-(key, instant)
+    // quote pre-aggregate)
+    "q125_asof_sql" ->
+      """WITH p AS (
+        | SELECT event_type AS k, event_id AS pid, epoch_us(ts) AS pt_us
+        | FROM events WHERE user_id % 4 = 2),
+        |q AS (
+        | SELECT event_type AS qk, epoch_us(ts) AS qt_us,
+        |        max(event_id) AS q_eid
+        | FROM events WHERE user_id % 4 = 3 GROUP BY 1, 2)
+        |SELECT p.k, p.pid, p.pt_us, q.qt_us, q.q_eid
+        |FROM p ASOF LEFT JOIN q ON p.k = q.qk AND p.pt_us >= q.qt_us
+        |ORDER BY pid""".stripMargin,
 
     // same islands CTE discipline as q118 (unique eid tiebreak in both
     // window sorts — see the q118 comment); the gap aggregates depend only
