@@ -27,10 +27,33 @@ object Tables {
     * generation produces the same TIMESTAMP column downstream. */
   private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
+  /** Per-session memo of the LOADED (schema-resolved) DataFrames, keyed on
+    * (dir, name). `spark.read.parquet` pays a driver-side file listing +
+    * footer/schema read on every call — ~90 ms/table here (r16 OverheadProbe)
+    * — and every query invocation re-paid it. The memo caches the resolved
+    * LOGICAL PLAN only: every action still scans parquet (tasks re-read row
+    * groups; nothing row-level is cached), exactly like the long-standing
+    * `registerAll` temp views the SQL-based queries already go through.
+    * Weak-keyed so a stopped session's entries are collectable. */
+  private val loadMemo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (spark.conf.getOption("graft.cache.tables").contains("true")) cached(spark, dir, name)
-    else raw(spark, dir, name)
+    if (spark.conf.getOption("graft.cache.tables").contains("true")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      cached(spark, dir, name)
+    } else loadMemo.synchronized {
+      var m = loadMemo.get(spark)
+      if (m == null) { m = new java.util.HashMap; loadMemo.put(spark, m) }
+      val k = (dir, name)
+      var df = m.get(k)
+      if (df == null) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = raw(spark, dir, name)
+        m.put(k, df)
+      }
+      df
+    }
   }
 
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
