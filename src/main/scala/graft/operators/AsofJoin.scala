@@ -95,7 +95,26 @@ object AsofJoin {
         all.withColumn("__m", first(col("__q"), ignoreNulls = true).over(wFwd))
       case "nearest" =>
         val b = last(col("__q"), ignoreNulls = true).over(wBack)
-        val f = first(col("__q"), ignoreNulls = true).over(wFwd)
+        // Without a tieBreak, the forward running-first can share wBack's
+        // ORDERING (only the frame differs): the two windows then collapse
+        // into ONE WindowExec over ONE sort (Spark groups window functions
+        // by (partition, order), frames evaluate in the same pass) — r16,
+        // guide §2.4: the nearest as-of drops a full per-partition re-sort
+        // + second window pass. Semantics are unchanged: the only rows the
+        // two orderings place differently are (a) same-instant quotes,
+        // which leave the probe's current..following frame — but backward's
+        // frame still holds them at distance 0, and the `bd <= fd` rule
+        // picks backward on any tie, so the match is identical; (b) null-
+        // time probes (nulls first vs last) — their match is nulled by the
+        // `__t` isNotNull guard below either way. With a tieBreak the
+        // forward survivor among same-(key, time) quotes must be the MAX
+        // tie-break, which needs the reversed tie order — keep the
+        // two-sort form exactly there.
+        val f =
+          if (tieBreak.isEmpty)
+            first(col("__q"), ignoreNulls = true).over(
+              wBack.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          else first(col("__q"), ignoreNulls = true).over(wFwd)
         val bd = col("__t") - col("__b")("__qt")
         val fd = col("__f")("__qt") - col("__t")
         all.withColumn("__b", b).withColumn("__f", f)

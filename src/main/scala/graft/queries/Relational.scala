@@ -32,9 +32,38 @@ object Relational {
 
   /** Exact sum of a double expression: round per-row to `scale` decimals
     * (exact when the source values have <= scale true decimals), sum as
-    * DECIMAL (exact, order-independent), emit DOUBLE (exact conversion). */
-  private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    * DECIMAL (exact, order-independent), emit DOUBLE (exact conversion).
+    *
+    * r16 (guide §1.2 "per-task work"): the obvious spelling
+    * `sum(c.cast(DecimalType(18, scale)))` pays a `Double.toString` +
+    * BigDecimal parse + setScale PER ROW inside the double→decimal cast
+    * (Decimal.fromDouble) — measured ~150 ms per column per 600k rows,
+    * the single largest per-row cost in the TPC-H-shape aggregates. The
+    * quantized form computes the same unscaled integer arithmetically
+    * (`floor(c·10^s + 0.5)` = HALF_UP at scale s) and sums it as a
+    * long-backed decimal; the final exact rescale by 10^-s and one
+    * decimal→double conversion are per-GROUP, not per-row.
+    *
+    * Value-identical on every domain these queries sum, provably: each
+    * input is an exact ≤s-decimal rational (corpus columns carry ≤2 true
+    * decimals — audited min/max/residue in OPTIMIZATION_r16.md — and
+    * products/differences of 2-decimal rationals at s = 4/6 stay exact
+    * s-decimal rationals), carried in a double within ~5e-11 of the exact
+    * value, while the nearest HALF_UP boundary is ≥ 0.5·10^-6 away — four
+    * orders of magnitude of margin, so the string-based cast and the
+    * arithmetic floor round to the SAME unscaled integer (and the .5 tie
+    * where they could differ cannot occur: an exact s-decimal rational is
+    * never at half of its own last digit). The decimal sum itself stays on
+    * Spark's compact long fast path (inputs are long-backed decimal(18,0));
+    * 10^-s rescale is an exact decimal multiply. Precondition (same as the
+    * old form's): finite inputs with ≤s true decimals — NaN/±Inf, which the
+    * old cast nulled, would floor to 0/Long.Max instead, so this helper is
+    * only for the audited clean-decimal columns. */
+  private def dsum(c: Column, scale: Int): Column = {
+    val m = math.pow(10, scale) // exact double for scale <= 22
+    (sum(floor(c * m + lit(0.5d)).cast(DecimalType(18, 0))) *
+      lit(java.math.BigDecimal.valueOf(1L, scale))).cast(DoubleType)
+  }
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
     Tables.registerAll(s, dir)

@@ -118,6 +118,28 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  // r16: tieBreak-free nearest shares one ordering across both frames, so
+  // the plan must carry ONE WindowExec over ONE sort (it was two of each);
+  // with a tieBreak the reversed forward tie order still needs two.
+  test("nearest without tieBreak is a single window pass (one sort)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SortExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = AsofJoin.asof(probes, quotes, Seq("k"), "pt", "qt", "nearest", None)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(wins.size == 1, s"expected 1 WindowExec, got ${wins.size}")
+      assert(sorts.size == 1, s"expected 1 SortExec, got ${sorts.size}")
+      val tied = AsofJoin.asof(probes,
+          quotes.withColumn("tag", col("px")), Seq("k"), "pt", "qt",
+          "nearest", None, tieBreak = Some("tag"))
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(tied.size == 2, s"tieBreak nearest must keep both orders: ${tied.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("asof is one shuffle for backward/forward (window exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
