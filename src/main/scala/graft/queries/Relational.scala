@@ -59,11 +59,26 @@ object Relational {
     * old form's): finite inputs with ≤s true decimals — NaN/±Inf, which the
     * old cast nulled, would floor to 0/Long.Max instead, so this helper is
     * only for the audited clean-decimal columns. */
-  private def dsum(c: Column, scale: Int): Column = {
-    val m = math.pow(10, scale) // exact double for scale <= 22
-    (sum(floor(c * m + lit(0.5d)).cast(DecimalType(18, 0))) *
-      lit(java.math.BigDecimal.valueOf(1L, scale))).cast(DoubleType)
-  }
+  private def dsum(c: Column, scale: Int): Column =
+    toDouble(usum(c, scale), scale)
+
+  /** The quantized-unscaled building blocks of [[dsum]], for queries that
+    * need the exact sum BEFORE the final double conversion (filters on the
+    * sum, max-equality, second-level sums, conditional ratios): `quant`
+    * is the per-row HALF_UP unscaled integer of a ≤scale-decimal double
+    * (same caveats as dsum), `usum` its exact decimal sum (long-backed
+    * fast path), `toDouble` the exact 10^-scale rescale + ONE
+    * decimal→double conversion — bit-identical to casting the old
+    * decimal(18,scale)-sum to double, because both convert the same exact
+    * decimal value exactly once. Comparisons against literals translate by
+    * scaling the literal (q > 60 ⇔ usum > 6000): exact integers, no
+    * rounding on either side. */
+  private def quant(c: Column, scale: Int): Column =
+    floor(c * math.pow(10, scale) + lit(0.5d))
+  private def usum(c: Column, scale: Int): Column =
+    sum(quant(c, scale).cast(DecimalType(18, 0)))
+  private def toDouble(unscaled: Column, scale: Int): Column =
+    (unscaled * lit(java.math.BigDecimal.valueOf(1L, scale))).cast(DoubleType)
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -328,8 +343,10 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType).as("running_total"))
+          // quantized running sum (r16): same exact decimal value, no
+          // per-row double→decimal cast — see dsum/quant
+          toDouble(sum(quant(col("o_totalprice"), 2)
+            .cast(DecimalType(18, 0))).over(w), 2).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -433,10 +450,11 @@ object Relational {
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
         // DECIMAL sum: the >60 HAVING cutoff must not depend on double
         // partial-sum order (exact today on integer-valued quantities,
-        // exact always this way)
+        // exact always this way); quantized-unscaled form (r16), so the
+        // cutoff scales with it: q > 60 ⇔ unscaled > 6000, exact both ways
         .groupBy(col("l_suppkey"), col("l_partkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
-        .filter(col("q") > 60)
+        .agg(usum(col("l_quantity"), 2).as("q"))
+        .filter(col("q") > 6000)
         .select(col("l_suppkey")) // no distinct: semi join ignores dup build rows
       t(s, dir, "supplier")
         .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -452,8 +470,7 @@ object Relational {
     "q75_acct_outliers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
-          count(lit(1))).as("ab"))
+        .agg((dsum(col("c_acctbal"), 2) / count(lit(1))).as("ab"))
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
         .select(col("o_custkey"))
       // bcast audit: BOUNDED — avgBal is a 1-row global aggregate
@@ -473,14 +490,16 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
         .groupBy(col("l_suppkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("rev_d"))
+        // quantized-unscaled revenue (r16): max/equality on the unscaled
+        // integers ⇔ on the decimal values (×10^4 bijection)
+        .agg(usum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("rev_d"))
       val mx = rev.agg(max(col("rev_d")).as("mx"))
       // bcast audit: BOUNDED — mx is a 1-row aggregate
       rev.join(broadcast(mx), col("rev_d") === col("mx"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
-          col("rev_d").cast(DoubleType).as("total_rev"))
+          toDouble(col("rev_d"), 4).as("total_rev"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -552,14 +571,15 @@ object Relational {
     // at runtime and broadcasts while small, degrading to a shuffle join
     // once it is not (plan-gated in OperatorsSpec).
     "q85_big_orders" -> ((s, dir) => {
+      // quantized-unscaled qty sum (r16): >300 ⇔ unscaled >30000, exact
       val q = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qd"))
-        .filter(col("qd") > 300)
+        .agg(usum(col("l_quantity"), 2).as("qd"))
+        .filter(col("qd") > 30000)
       t(s, dir, "orders").join(q, col("o_orderkey") === col("l_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
-          col("o_totalprice"), col("qd").cast(DoubleType).as("total_qty"))
+          col("o_totalprice"), toDouble(col("qd"), 2).as("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     }),
 
@@ -616,8 +636,9 @@ object Relational {
       // bcast audit: BOUNDED — nation, ≤25 rows at any SF
       val supNat = broadcast(nat
         .select(col("n_nationkey").as("snk"), col("n_name").as("sup_nation")))
-      val dvol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))
+      // quantized-unscaled (r16): same exact decimal values, no per-row
+      // double→decimal cast — see dsum/quant
+      val dvol = quant(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
       t(s, dir, "lineitem")
         // bcast audit: part is SF-proportional — no hard hint, AQE decides
         .join(t(s, dir, "part").filter(col("p_type") === "PROMO")
@@ -634,9 +655,9 @@ object Relational {
         .join(supNat, col("s_nationkey") === col("snk"))
         .groupBy(year(col("o_orderdate")).as("yr"))
         .agg(
-          (sum(when(col("sup_nation") === "NATION_1", dvol)
-            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) /
-            sum(dvol).cast(DoubleType)).as("mkt_share"),
+          (toDouble(sum(when(col("sup_nation") === "NATION_1", dvol)
+            .otherwise(lit(0L)).cast(DecimalType(18, 0))), 4) /
+            toDouble(sum(dvol.cast(DecimalType(18, 0))), 4)).as("mkt_share"),
           count(lit(1)).as("n"))
         .orderBy(col("yr"))
     }),
@@ -803,17 +824,19 @@ object Relational {
           .filter(col("n_name").isin("NATION_3", "NATION_8")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
+      // quantized-unscaled (r16) — see dsum/quant; the second-level total
+      // sums the exact unscaled integers, and both filter operands convert
+      // the same exact decimal values once, as before
       val per = t(s, dir, "lineitem")
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
-        .agg(sum((col("l_extendedprice") * col("l_quantity"))
-          .cast(DecimalType(18, 2))).as("value_d"))
+        .agg(usum(col("l_extendedprice") * col("l_quantity"), 2).as("value_d"))
       val tot = per.agg(sum(col("value_d")).as("total_d"))
       // bcast audit: BOUNDED — tot is a 1-row aggregate
       per.crossJoin(broadcast(tot))
-        .filter(col("value_d").cast(DoubleType) >
-          col("total_d").cast(DoubleType) * 0.0001)
-        .select(col("l_partkey"), col("value_d").cast(DoubleType).as("value"))
+        .filter(toDouble(col("value_d"), 2) >
+          toDouble(col("total_d"), 2) * 0.0001)
+        .select(col("l_partkey"), toDouble(col("value_d"), 2).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
 
@@ -840,8 +863,8 @@ object Relational {
     // left-associative in both engines ((100·a)/b), and both operands are
     // exact-decimal sums narrowed once, so the two IEEE ops match bitwise.
     "q96_promo_revenue" -> ((s, dir) => {
-      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))
+      // quantized-unscaled (r16) — see dsum/quant
+      val rev = quant(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-03-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
@@ -850,9 +873,9 @@ object Relational {
           .select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
-          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) /
-            sum(rev).cast(DoubleType)).as("promo_share"),
+          (lit(100.0) * toDouble(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0L)).cast(DecimalType(18, 0))), 4) /
+            toDouble(sum(rev.cast(DecimalType(18, 0))), 4)).as("promo_share"),
           count(lit(1)).as("n"))
     }),
 
@@ -2040,17 +2063,20 @@ object Relational {
       val c = t(s, dir, "customer")
       // bcast audit: BOUNDED — nation, ≤25 rows at any SF
       val n = broadcast(t(s, dir, "nation"))
+      // quantized-unscaled (r16) — see dsum/quant; both aggregation levels
+      // sum exact unscaled integers, the 10^-4 rescale + double cast happen
+      // once per output row, so the share is bit-identical
       val perOrder = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("rev_o"))
+        .agg(usum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("rev_o"))
       o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .groupBy(year(col("o_orderdate")).as("y"))
-        .agg((sum(when(col("n_name") === "CHINA", col("rev_o"))
-            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) /
-          sum(col("rev_o")).cast(DoubleType)).as("share"))
+        .agg((toDouble(sum(when(col("n_name") === "CHINA", col("rev_o"))
+            .otherwise(lit(0L).cast(DecimalType(28, 0)))), 4) /
+          toDouble(sum(col("rev_o")), 4)).as("share"))
         .orderBy(col("y"))
     }),
 
