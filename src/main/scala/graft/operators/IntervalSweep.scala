@@ -149,6 +149,47 @@ object IntervalSweep {
       idCol: String, leftKeys: Seq[String], islandKeys: Seq[String],
       lLo: String, lHi: String,
       iLo: String, iHi: String, bandWidth: Long): DataFrame = {
+    val (frags, keys, ldt) = clippedFrags(left, islands, idCol, leftKeys,
+      islandKeys, lLo, lHi, iLo, iHi, bandWidth)
+    frags.select((col(idCol) +: keys) :+
+        explode(col("__frags")).as("__f"): _*)
+      .select((col(idCol) +: keys) :+
+        TimeKeys.fromLong(col("__f.lo"), ldt).as("frag_lo") :+
+        TimeKeys.fromLong(col("__f.hi"), ldt).as("frag_hi"): _*)
+  }
+
+  /** Clip STATISTICS — one row per left interval (empty ones drop) with
+    * the fragment count and total covered length after subtracting its
+    * key's islands, computed on the collected fragment array WITHOUT
+    * exploding fragments into rows (r16, guide §1.2/§2.4: a caller that
+    * only wants per-row coverage totals — q115 — otherwise pays a
+    * Generate, a second shuffle to re-group by id, and a join back to the
+    * left table to restore fully-covered rows; here a fully-covered
+    * interval is simply an empty array → (0, 0)). `covered_units` is in
+    * the family's Long units (µs / days / the integers themselves),
+    * closed-interval lengths (hi − lo + 1) summed. Output: idCol ++
+    * leftKeys ++ (n_frag, covered_units). */
+  def subtractIntervalsStats(left: DataFrame, islands: DataFrame,
+      idCol: String, leftKeys: Seq[String], islandKeys: Seq[String],
+      lLo: String, lHi: String,
+      iLo: String, iHi: String, bandWidth: Long): DataFrame = {
+    val (frags, keys, _) = clippedFrags(left, islands, idCol, leftKeys,
+      islandKeys, lLo, lHi, iLo, iHi, bandWidth)
+    frags.select((col(idCol) +: keys) :+
+      size(col("__frags")).cast(LongType).as("n_frag") :+
+      expr("aggregate(__frags, 0L, (a, f) -> a + (f.hi - f.lo + 1L))")
+        .as("covered_units"): _*)
+  }
+
+  /** Shared clip core: bands, routes, collects and gap-walks — returns
+    * one row per (idCol, keys, lLo, lHi) group with `__frags` holding the
+    * allowed fragments as struct<lo,hi> Long images, plus the key columns
+    * and the left bound type for the caller to reconstruct. */
+  private def clippedFrags(left: DataFrame, islands: DataFrame,
+      idCol: String, leftKeys: Seq[String], islandKeys: Seq[String],
+      lLo: String, lHi: String, iLo: String, iHi: String,
+      bandWidth: Long): (DataFrame, Seq[Column],
+        org.apache.spark.sql.types.DataType) = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     require(leftKeys.size == islandKeys.size,
       "leftKeys and islandKeys must align positionally")
@@ -203,11 +244,7 @@ object IntervalSweep {
          |    THEN array_append(st.acc,
          |      named_struct('lo', st.cur, 'hi', __lhi))
          |    ELSE st.acc END)""".stripMargin))
-    frags.select((col(idCol) +: keys) :+
-        explode(col("__frags")).as("__f"): _*)
-      .select((col(idCol) +: keys) :+
-        TimeKeys.fromLong(col("__f.lo"), ldt).as("frag_lo") :+
-        TimeKeys.fromLong(col("__f.hi"), ldt).as("frag_hi"): _*)
+    (frags, keys, ldt)
   }
 
   /** Per key, the union of the closed intervals [lo, hi] as maximal
@@ -234,19 +271,28 @@ object IntervalSweep {
     val dt = df.schema(lo).dataType
     if (keyCols.isEmpty && estimatedBytes(df) > globalWindowMaxBytes(df))
       return mergeGlobalScalable(df, lo, hi, dt)
-    def kLo = TimeKeys.toLong(col(lo), dt)
-    def kHi = TimeKeys.toLong(col(hi), dt)
     val keys = keyCols.map(col)
-    val ord = Window.partitionBy(keys: _*).orderBy(kLo, kHi)
-    val prevMax = max(kHi).over(ord.rowsBetween(Window.unboundedPreceding, -1))
-    df.filter(col(hi) >= col(lo))
+    // r16 (guide §2.4: share the sort): materialize the Long key images
+    // ONCE as columns and order both windows by those attribute refs. With
+    // the ordering spelled as fresh cast-expressions the planner could not
+    // prove the second window's required ordering was already satisfied
+    // and planned TWO SortExecs for native DATE/TIMESTAMP keys; on
+    // attributes the orderings canonicalize equal and one sort feeds both
+    // windows and the final first-sorted groupBy.
+    val withK = df.filter(col(hi) >= col(lo))
+      .withColumn("__klo", TimeKeys.toLong(col(lo), dt))
+      .withColumn("__khi", TimeKeys.toLong(col(hi), dt))
+    val ord = Window.partitionBy(keys: _*).orderBy(col("__klo"), col("__khi"))
+    val prevMax =
+      max(col("__khi")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    withK
       .withColumn("__new",
-        when(prevMax.isNull || kLo > prevMax + 1, 1L).otherwise(0L))
+        when(prevMax.isNull || col("__klo") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new"))
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(keys :+ col("__island"): _*)
-      .agg(TimeKeys.fromLong(min(kLo), dt).as("island_lo"),
-        TimeKeys.fromLong(max(kHi), dt).as("island_hi"),
+      .agg(TimeKeys.fromLong(min(col("__klo")), dt).as("island_lo"),
+        TimeKeys.fromLong(max(col("__khi")), dt).as("island_hi"),
         count(lit(1)).as("n_intervals"))
       .drop("__island")
   }

@@ -1122,27 +1122,62 @@ object DedupOps {
         .withColumn("share", col("wq").cast(DoubleType) / col("wsum").cast(DoubleType))
         .withColumn("epochs", col("share") * col("tbudget").cast(DoubleType)
           / col("tok_src").cast(DoubleType))
-      val up = upsampleMixture(
-        kept.join(broadcast(withW.select(col("source"), col("epochs"))), "source"),
-        col("epochs"))
-      val finalN = up.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("n_clean")).as("n_tokens"))
+      // Audit tail, r16 (guide §1.2: don't compute rows you throw away,
+      // §2.4: fewer stages):
+      //  - finalN sums mixtureCopies arithmetically — bit-identical to
+      //    counting the exploded epoch rows (n_rows = Σ copies, n_tokens =
+      //    Σ n_clean·copies; docs with 0 copies contribute 0 to both), so
+      //    the epoch Generate + its re-agg disappear from the plan (the
+      //    real row-stream writer, upsampleMixture, still runs in d66);
+      //  - gatedN counts the CACHED strip output (tsh holds exactly one
+      //    row per gated doc) joined to the 2-column src projection,
+      //    instead of re-running the Gopher regex battery over the full
+      //    train text a second time;
+      //  - the five per-source audit legs (all ≤ source-count rows) union
+      //    into ONE grouped aggregate instead of four chained left joins —
+      //    every leg's sources ⊆ rawN's (gated ⊆ train, kept ⊆ decont ⊆
+      //    gated), so max-of-one-non-null + coalesce ≡ the old left-join
+      //    + coalesce row for row.
+      val finalN = kept
+        .join(broadcast(withW.select(col("source"), col("epochs"))), "source")
+        .select(col("source"), col("n_clean"),
+          mixtureCopies(col("epochs")).cast(LongType).as("n_copies"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_copies")).as("n_rows"),
+          sum(col("n_clean") * col("n_copies")).as("n_tokens"))
       val rawN = train.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
-      val gatedN = gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+      val gatedN = tsh.select(col("doc_id")).join(src, "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
       val decontN = decont.join(src, "doc_id").groupBy(col("source"))
         .agg(count(lit(1)).as("n_decontam"))
-      rawN.join(gatedN, Seq("source"), "left")
-        .join(decontN, Seq("source"), "left")
-        .join(withW.select(col("source"), col("n_kept"), col("epochs")),
-          Seq("source"), "left")
-        .join(finalN, Seq("source"), "left")
+      def leg(df: DataFrame, have: Map[String, Column]): DataFrame = {
+        val shape = Seq("n_raw" -> LongType, "n_gated" -> LongType,
+          "n_decontam" -> LongType, "n_kept" -> LongType,
+          "epochs" -> DoubleType, "n_rows" -> LongType,
+          "n_tokens" -> LongType)
+        df.select(col("source") +: shape.map { case (n, t) =>
+          have.getOrElse(n, lit(null).cast(t)).as(n) }: _*)
+      }
+      leg(rawN, Map("n_raw" -> col("n_raw")))
+        .unionByName(leg(gatedN, Map("n_gated" -> col("n_gated"))))
+        .unionByName(leg(decontN, Map("n_decontam" -> col("n_decontam"))))
+        .unionByName(leg(withW, Map("n_kept" -> col("n_kept"),
+          "epochs" -> col("epochs"))))
+        .unionByName(leg(finalN, Map("n_rows" -> col("n_rows"),
+          "n_tokens" -> col("n_tokens"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_raw")).as("n_raw"), max(col("n_gated")).as("g"),
+          max(col("n_decontam")).as("d"), max(col("n_kept")).as("k"),
+          max(col("epochs")).as("e"), max(col("n_rows")).as("r"),
+          max(col("n_tokens")).as("t"))
+        .filter(col("n_raw").isNotNull) // group keys == rawN's sources, as before
         .select(col("source"), col("n_raw"),
-          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
-          coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("epochs"), lit(0.0d)).as("epochs"),
-          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+          coalesce(col("g"), lit(0L)).as("n_gated"),
+          coalesce(col("d"), lit(0L)).as("n_decontam"),
+          coalesce(col("k"), lit(0L)).as("n_kept"),
+          coalesce(col("e"), lit(0.0d)).as("epochs"),
+          coalesce(col("r"), lit(0L)).as("n_rows"),
+          coalesce(col("t"), lit(0L)).as("n_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -1798,10 +1833,17 @@ object DedupOps {
     * shuffle, output rows ∝ Σw; at 100 TB this IS the epoch-expanded
     * dataset writer, and the expansion happens at write parallelism with
     * no data movement. */
-  def upsampleMixture(d: DataFrame, weight: Column, mod: Int = 1000): DataFrame = {
-    val copies = (floor(weight) +
+  /** upsampleMixture's deterministic per-doc copy count — factored out so
+    * audits that only need Σ copies (d82's n_rows/n_tokens tail) can sum
+    * it arithmetically instead of exploding epoch rows (guide §1.2: don't
+    * generate rows you immediately aggregate away). */
+  def mixtureCopies(weight: Column, mod: Int = 1000): Column =
+    (floor(weight) +
       when(pmod(col("doc_id"), lit(mod)) < (weight - floor(weight)) * mod, 1)
         .otherwise(0)).cast(IntegerType)
+
+  def upsampleMixture(d: DataFrame, weight: Column, mod: Int = 1000): DataFrame = {
+    val copies = mixtureCopies(weight, mod)
     // every input column survives (this IS the epoch-expanded dataset
     // writer — dropping `text` would make the output unwritable as a
     // corpus); callers wanting an audit projection select after. Requires

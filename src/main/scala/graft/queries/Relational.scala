@@ -1287,16 +1287,18 @@ object Relational {
       val islands = graft.operators.IntervalSweep
         .mergeIntervals(blk, Seq("bu"), "b_lo", "b_hi")
         .select(col("bu"), col("island_lo"), col("island_hi"))
-      val frags = graft.operators.IntervalSweep.subtractIntervals(
-        sess, islands, "sid", Seq("user_id"), Seq("bu"),
-        "s_lo", "s_hi", "island_lo", "island_hi", 3600L * 1000000L)
-      val agg = frags.groupBy(col("sid"))
-        .agg(count(lit(1)).as("n_frag"),
-          sum(unix_micros(col("frag_hi")) - unix_micros(col("frag_lo")) + 1)
-            .as("allowed_us"))
-      sess.join(agg, Seq("sid"), "left")
-        .select(col("sid"), coalesce(col("n_frag"), lit(0L)).as("n_frag"),
-          coalesce(col("allowed_us"), lit(0L)).as("allowed_us"))
+      // r16: stats straight off the collected fragment array (operator's
+      // subtractIntervalsStats) — value-identical to exploding fragments,
+      // re-grouping by sid and left-joining sess back (a fully-covered
+      // session is an empty array → (0, 0), exactly the old coalesce row;
+      // sessions are never empty so the left-join domain matches), minus
+      // one Generate, one shuffle and one join against a second events
+      // scan. covered_units is already closed-interval µs.
+      graft.operators.IntervalSweep.subtractIntervalsStats(
+          sess, islands, "sid", Seq("user_id"), Seq("bu"),
+          "s_lo", "s_hi", "island_lo", "island_hi", 3600L * 1000000L)
+        .select(col("sid"), col("n_frag"),
+          col("covered_units").as("allowed_us"))
         .orderBy(col("sid"))
     }),
 

@@ -328,4 +328,55 @@ class IntervalSweepSpec extends AnyFunSuite {
         s"${hashEx.size}:\n${gaps.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // r16: the no-explode stats variant must agree with the exploded form
+  // aggregated per id — INCLUDING fully-covered rows, which the exploded
+  // form only recovers via a join back to the left table (the shape
+  // subtractIntervalsStats exists to avoid).
+  test("subtractIntervalsStats == exploded-form per-id (count, covered), zero-frag rows included") {
+    val left = Seq(("u1", 0L, 10L, 1L), ("u2", 0L, 10L, 2L),
+      ("u1", 20L, 30L, 3L), ("u3", 5L, 8L, 4L), ("u2", 50L, 40L, 5L))
+      .toDF("u", "s_lo", "s_hi", "sid")
+    val islands = Seq(("u1", 2L, 4L), ("u2", 0L, 10L), ("u1", 25L, 27L),
+      ("u4", 0L, 100L)).toDF("iu", "i_lo", "i_hi")
+    for (w <- Seq(1L, 8L, 1024L)) {
+      val stats = IntervalSweep.subtractIntervalsStats(left, islands, "sid",
+        Seq("u"), Seq("iu"), "s_lo", "s_hi", "i_lo", "i_hi", w)
+        .select("sid", "n_frag", "covered_units")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val frags = IntervalSweep.subtractIntervals(left, islands, "sid",
+        Seq("u"), Seq("iu"), "s_lo", "s_hi", "i_lo", "i_hi", w)
+      val agg = frags.groupBy(col("sid"))
+        .agg(count(lit(1)).as("n"), sum(col("frag_hi") - col("frag_lo") + 1).as("c"))
+      val want = left.filter(col("s_hi") >= col("s_lo")).select(col("sid"))
+        .join(agg, Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("n"), lit(0L)), coalesce(col("c"), lit(0L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(stats == want, s"w=$w: got $stats want $want")
+      // u2's sid=2 is fully covered -> (0, 0) row PRESENT in the stats form
+      assert(stats.contains((2L, 0L, 0L)))
+    }
+  }
+
+  // r16 (guide §2.4): with the Long key images materialized as columns,
+  // both sweep windows order by the same attributes and share ONE sort —
+  // native DATE keys used to plan a second SortExec because the fresh
+  // cast-expressions defeated the ordering-satisfies check.
+  test("keyed mergeIntervals on native DATE keys plans exactly one sort") {
+    import org.apache.spark.sql.execution.SortExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val iv = spark.range(200).select((col("id") % 7).as("k"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          (col("id") % 50).cast("int")).as("lo"))
+        .withColumn("hi", date_add(col("lo"), 6))
+      val merged = IntervalSweep.mergeIntervals(iv, Seq("k"), "lo", "hi")
+      val sorts = merged.queryExecution.executedPlan
+        .collect { case s: SortExec => s }
+      assert(sorts.size == 1, s"expected 1 sort, got ${sorts.size}:\n" +
+        merged.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
