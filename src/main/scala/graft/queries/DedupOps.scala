@@ -439,23 +439,33 @@ object DedupOps {
     val wins = toks.select(col("doc_id"), explode(expr(
       s"transform(sequence(1, size(t) - ${w - 1}), " +
         s"i -> md5(cast(concat_ws(' ', slice(t, i, $w)) as binary)))")).as("wkey"))
+    // r16 (guide §2.3/§2.4: shuffle fewer bytes, reuse the exchange): fold
+    // the window stream to (wkey, doc_id, c) FIRST — map-side combine
+    // absorbs within-doc repeats before anything is shuffled, and both the
+    // repeat decision and the per-doc report derive from that one frame,
+    // so the explode+md5 pass runs ONCE (the g1 exchange is referenced by
+    // the rep agg and the join probe and Spark reuses it) instead of twice
+    // with the full per-occurrence stream shuffled for the join probe.
+    // Value-identical: n_win = Σ c, n_rep = Σ rep·c, and rep only needs
+    // distinct docs per key.
+    val g1 = wins.groupBy(col("wkey"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
     // "occurs in >= 2 DISTINCT docs" is decided by min(doc_id) ≠
     // max(doc_id) — a pure partial/final min/max agg — instead of
     // countDistinct, whose Expand rewrite doubled the shuffle and forced
     // the sort-based agg fallback (2.4 GB spill at the ×100 probe; the
     // min/max form spills zero and runs 2.3× faster, SCALE.md r8 table).
-    // The count join back stays co-partitioned with the agg on wkey.
-    val cnt = wins.groupBy(col("wkey"))
+    val cnt = g1.groupBy(col("wkey"))
       .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("rep"))
-    // SHUFFLE_HASH, not SMJ: the probe side is the full window stream and
-    // sort-merge would sort it (the remaining ×100 spill); the build side
-    // is one boolean per DISTINCT key — per-partition it stays hash-table
-    // sized at any corpus (keys/partitions, with partitions ∝ data), so
-    // hashing the small side and streaming the big one never sorts.
-    wins.join(cnt.hint("shuffle_hash"), "wkey")
+    // SHUFFLE_HASH, not SMJ: the probe side is the distinct (key, doc)
+    // stream and sort-merge would sort it; the build side is one boolean
+    // per DISTINCT key — per-partition it stays hash-table sized at any
+    // corpus (keys/partitions, with partitions ∝ data), so hashing the
+    // small side and streaming the big one never sorts.
+    g1.join(cnt.hint("shuffle_hash"), "wkey")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_win"),
-        sum(when(col("rep"), 1L).otherwise(0L)).as("n_rep"))
+      .agg(sum(col("c")).as("n_win"),
+        sum(when(col("rep"), col("c")).otherwise(0L)).as("n_rep"))
       .select(col("doc_id"), col("n_win"), col("n_rep"),
         (col("n_rep").cast(DoubleType) / col("n_win").cast(DoubleType)).as("rep_frac"))
       .orderBy(col("doc_id"))
@@ -550,14 +560,28 @@ object DedupOps {
       .join(g.select(col("doc_id").as("idb"), col("p").as("pb"), col("g")), Seq("g"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), col("pa"), col("pb"))
-    val w = Window.partitionBy(col("ida"), col("idb"), col("d")).orderBy(col("pa"))
+    // r16 (guide §2.4: avoid the sort): per (pair, offset) the aligned
+    // anchor positions are UNIQUE (each gram row pairs once) and bounded
+    // by the shorter doc's length, so maximal runs come from one
+    // hash-aggregated sorted array + a scan-local walk instead of a
+    // window over the sorted match stream (drops the big SortExec and the
+    // extra island-keyed aggregation; the run/maximal-run identity is
+    // unchanged: runs of consecutive pa, max + W−1, count of runs).
     m.withColumn("d", col("pa") - col("pb"))
-      .withColumn("isl", col("pa") - row_number().over(w))
-      .groupBy(col("ida"), col("idb"), col("d"), col("isl"))
-      .agg(count(lit(1)).as("run"))
+      .groupBy(col("ida"), col("idb"), col("d"))
+      .agg(sort_array(collect_list(col("pa"))).as("ps"))
+      .withColumn("rw", expr(
+        """aggregate(
+           |  ps,
+           |  named_struct('prev', -2, 'cur', 0L, 'mx', 0L, 'n', 0L),
+           |  (st, x) -> CASE WHEN x = st.prev + 1
+           |    THEN named_struct('prev', x, 'cur', st.cur + 1L,
+           |      'mx', greatest(st.mx, st.cur + 1L), 'n', st.n)
+           |    ELSE named_struct('prev', x, 'cur', 1L,
+           |      'mx', greatest(st.mx, 1L), 'n', st.n + 1L) END)""".stripMargin))
       .groupBy(col("ida"), col("idb"))
-      .agg((max(col("run")) + lit(W - 1)).as("longest_tok"),
-        count(lit(1)).as("n_spans"))
+      .agg((max(col("rw.mx")) + lit(W - 1)).as("longest_tok"),
+        sum(col("rw.n")).as("n_spans"))
       .orderBy(col("ida"), col("idb"))
   }
 

@@ -38,16 +38,27 @@ object TextOps {
   private[graft] def lexicalTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir)
-    val postings = d.filter(col("doc_id") >= 10)
-      .select(col("doc_id").as("did"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
-      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val qterms = d.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .distinct()
-    val scores = qterms.join(postings, "token").join(dfreq, "token")
+    // r16 (guide §2.3: shuffle fewer bytes / §3.2: pre-filter the big side):
+    // the query-term set is bounded (|Q| docs), so broadcast it and drop
+    // non-matching corpus tokens BEFORE the tf aggregation — the postings
+    // exchange then carries only matched-term occurrences instead of the
+    // whole corpus token stream. Scores are unchanged: for a matched term
+    // every one of its postings survives the semi-join, so tf per (did,
+    // token) and df per token computed on the matched subset equal the
+    // full-corpus values for every term that can reach the scoring join.
+    val qtok = qterms.select(col("token")).distinct()
+    val postings = d.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("did"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .join(broadcast(qtok), Seq("token"), "left_semi")
+      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scores = postings.join(broadcast(qterms), "token")
+      .join(broadcast(dfreq), "token")
       .groupBy(col("qid"), col("did"))
       // tf·w ≤ 1e3·1e9 and per-pair sums stay < 2^53, so the double cast
       // into the top-k aggregate is exact
@@ -640,19 +651,30 @@ object TextOps {
     // (length, head preview, exact id sum) to keep the cross-engine compare
     // on primitive columns.
     "t57_tokenize" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val toks = docs(s, dir)
         .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+"))
           .as(Seq("pos", "token")))
+      // r16 (guide §2.3: aggregate before you shuffle): the report needs
+      // only (count, sum, first-10-by-pos) — the bounded graft_topk_pairs
+      // heap on score = −pos replaces collect_list of EVERY (pos, tid) +
+      // sort_array, so the doc_id exchange ships a 10-entry partial per
+      // (doc, map partition) instead of the whole matched token stream.
+      // Value-identical: pos is unique per doc (no ties), top-10 by −pos
+      // descending IS the first 10 positions ascending, and count/sum are
+      // the same rows.
       toks.join(rankedVocab(s, dir).select(col("token"), col("rnk").as("tid")),
           "token")
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("ps"))
-        .select(col("doc_id"),
-          size(col("ps")).as("n_tok"),
+        .agg(count(lit(1)).cast(IntegerType).as("n_tok"),
+          expr("graft_topk_pairs(cast(-pos as double), cast(tid as bigint), 10)")
+            .as("head10"),
+          sum(col("tid").cast(LongType)).as("ids_sum"))
+        .select(col("doc_id"), col("n_tok"),
           concat_ws(" ",
-            expr("transform(slice(ps, 1, 10), x -> cast(x.tid AS string))"))
+            expr("transform(head10, x -> cast(x.id AS string))"))
             .as("ids_head"),
-          expr("aggregate(ps, 0L, (acc, x) -> acc + x.tid)").as("ids_sum"))
+          col("ids_sum"))
         .orderBy(col("doc_id"))
     }),
 
@@ -700,19 +722,26 @@ object TextOps {
     // shape; persisting the token-level bigram frame would cost corpus
     //-sized storage to save one cheap generator re-run.
     "t71_lm_quality" -> ((s, dir) => {
-      val db = docs(s, dir).select(col("doc_id"),
+      // r16 (guide §2.3/§2.4): fold the bigram stream to (doc_id, bg, c)
+      // FIRST — one explode pass whose exchange is shared (reused) by the
+      // model-count branch and the scoring probe, instead of re-running
+      // the generator for each and shuffling every bigram OCCURRENCE
+      // through the scoring join. Value-identical: cnt = Σ c per bg,
+      // n_bigrams = Σ c per doc, sum_pq = Σ c·pq (pq constant per bg).
+      val dbc = docs(s, dir).select(col("doc_id"),
         explode(QueryUtil.wordNgrams(split(trim(col("text")), "\\s+"), 2))
           .as("bg"))
-      val cnt = db.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      val cnt = dbc.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
       val tot = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
       val lm = cnt.join(tot, "w1")
         .select(col("bg"),
           floor(col("cnt").cast(DoubleType) / col("tot") * lit(1e9))
             .cast(LongType).as("pq"))
-      db.join(lm, "bg")
+      dbc.join(lm, "bg")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
+        .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("pq")).as("sum_pq"))
         .select(col("doc_id"), col("n_bigrams"),
           ((col("sum_pq").cast(DoubleType) / col("n_bigrams")) / lit(1e9))
             .as("lm_score"))
