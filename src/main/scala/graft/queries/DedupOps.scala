@@ -439,33 +439,27 @@ object DedupOps {
     val wins = toks.select(col("doc_id"), explode(expr(
       s"transform(sequence(1, size(t) - ${w - 1}), " +
         s"i -> md5(cast(concat_ws(' ', slice(t, i, $w)) as binary)))")).as("wkey"))
-    // r16 (guide §2.3/§2.4: shuffle fewer bytes, reuse the exchange): fold
-    // the window stream to (wkey, doc_id, c) FIRST — map-side combine
-    // absorbs within-doc repeats before anything is shuffled, and both the
-    // repeat decision and the per-doc report derive from that one frame,
-    // so the explode+md5 pass runs ONCE (the g1 exchange is referenced by
-    // the rep agg and the join probe and Spark reuses it) instead of twice
-    // with the full per-occurrence stream shuffled for the join probe.
-    // Value-identical: n_win = Σ c, n_rep = Σ rep·c, and rep only needs
-    // distinct docs per key.
-    val g1 = wins.groupBy(col("wkey"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
+    // r16 note: a (wkey, doc_id, c) pre-fold before the count-join was
+    // tried and MEASURED SLOWER at sf0.1 (1.91 -> 2.31 s): 8-gram windows
+    // are near-unique within a doc, so the extra hash aggregate reduced
+    // nothing — reverted (guide §1: measure).
     // "occurs in >= 2 DISTINCT docs" is decided by min(doc_id) ≠
     // max(doc_id) — a pure partial/final min/max agg — instead of
     // countDistinct, whose Expand rewrite doubled the shuffle and forced
     // the sort-based agg fallback (2.4 GB spill at the ×100 probe; the
     // min/max form spills zero and runs 2.3× faster, SCALE.md r8 table).
-    val cnt = g1.groupBy(col("wkey"))
+    // The count join back stays co-partitioned with the agg on wkey.
+    val cnt = wins.groupBy(col("wkey"))
       .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("rep"))
-    // SHUFFLE_HASH, not SMJ: the probe side is the distinct (key, doc)
-    // stream and sort-merge would sort it; the build side is one boolean
-    // per DISTINCT key — per-partition it stays hash-table sized at any
-    // corpus (keys/partitions, with partitions ∝ data), so hashing the
-    // small side and streaming the big one never sorts.
-    g1.join(cnt.hint("shuffle_hash"), "wkey")
+    // SHUFFLE_HASH, not SMJ: the probe side is the full window stream and
+    // sort-merge would sort it (the remaining ×100 spill); the build side
+    // is one boolean per DISTINCT key — per-partition it stays hash-table
+    // sized at any corpus (keys/partitions, with partitions ∝ data), so
+    // hashing the small side and streaming the big one never sorts.
+    wins.join(cnt.hint("shuffle_hash"), "wkey")
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_win"),
-        sum(when(col("rep"), col("c")).otherwise(0L)).as("n_rep"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("n_rep"))
       .select(col("doc_id"), col("n_win"), col("n_rep"),
         (col("n_rep").cast(DoubleType) / col("n_win").cast(DoubleType)).as("rep_frac"))
       .orderBy(col("doc_id"))
@@ -704,9 +698,14 @@ object DedupOps {
       val merged = partials.groupBy(col("idx")).agg(max(col("mr")).as("mr"))
         .select(lit("__all__").as("g"), col("idx"), col("mr"))
       val ests = HllMirror.estimateDf(partials.unionByName(merged), p)
-      val exact = docs.groupBy(col("source").as("g"))
-        .agg(countDistinct(col("text")).as("n_exact"))
-        .unionByName(docs.agg(countDistinct(col("text")).as("n_exact"))
+      // r16 (guide §2.4: don't re-scan for a second distinct): one shared
+      // (source, text) distinct feeds the per-source counts AND the
+      // corpus-wide distinct (re-deduped across sources) — same values as
+      // the two countDistinct scans, one docs pass and no Expand rewrite.
+      val dt = docs.select(col("source").as("g"), col("text")).distinct()
+      val exact = dt.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+        .unionByName(dt.select(col("text")).distinct()
+          .agg(count(lit(1)).as("n_exact"))
           .select(lit("__all__").as("g"), col("n_exact")))
       ests.join(exact, "g")
         .select(col("g").as("source"), col("est"), col("n_exact"))

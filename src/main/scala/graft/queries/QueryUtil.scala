@@ -108,7 +108,18 @@ private[graft] object QueryUtil {
     val hit = perSession.get(key)
     if (hit != null) hit
     else {
-      val built = mk.persist()
+      // r16 (guide §3.3/§7.3: very large plans make PLANNING the
+      // bottleneck): lazy localCheckpoint instead of persist() — the
+      // memoized frame comes back as a LogicalRDD LEAF, so every consumer
+      // query analyzes a one-node subtree instead of re-walking the whole
+      // builder DAG on each invocation (d82 alone paid ~1.0 s of Catalyst
+      // per run on the old InMemoryRelation path, whose logical plan stays
+      // full-sized). Same laziness (computed at first action, once —
+      // block-level locking), stats carried over (Dataset.localCheckpoint
+      // preserves originStats, so broadcast decisions are unchanged), and
+      // the RDD persist is GC-cleaned by the ContextCleaner after memo
+      // eviction, which the cc:/scc:/ivf: builders already rely on.
+      val built = mk.localCheckpoint(eager = false)
       val (winner, evicted) = perSession.putIfAbsent(key, built, cap)
       // Cross-uncache guard (mirrors the loser path below): CacheManager
       // keys cache entries by logical-plan sameResult, so if a SURVIVING

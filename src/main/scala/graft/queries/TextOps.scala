@@ -722,26 +722,23 @@ object TextOps {
     // shape; persisting the token-level bigram frame would cost corpus
     //-sized storage to save one cheap generator re-run.
     "t71_lm_quality" -> ((s, dir) => {
-      // r16 (guide §2.3/§2.4): fold the bigram stream to (doc_id, bg, c)
-      // FIRST — one explode pass whose exchange is shared (reused) by the
-      // model-count branch and the scoring probe, instead of re-running
-      // the generator for each and shuffling every bigram OCCURRENCE
-      // through the scoring join. Value-identical: cnt = Σ c per bg,
-      // n_bigrams = Σ c per doc, sum_pq = Σ c·pq (pq constant per bg).
-      val dbc = docs(s, dir).select(col("doc_id"),
+      // r16 note: a (doc_id, bg, c) pre-fold before the scoring join was
+      // tried and MEASURED SLOWER at sf0.1 (1.44 -> 2.33 s): doc bigrams
+      // are near-unique within a doc, so the extra hash aggregate reduced
+      // nothing and just added a pass — reverted (guide §1: measure).
+      val db = docs(s, dir).select(col("doc_id"),
         explode(QueryUtil.wordNgrams(split(trim(col("text")), "\\s+"), 2))
           .as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      val cnt = dbc.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
+      val cnt = db.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
       val tot = cnt.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
       val lm = cnt.join(tot, "w1")
         .select(col("bg"),
           floor(col("cnt").cast(DoubleType) / col("tot") * lit(1e9))
             .cast(LongType).as("pq"))
-      dbc.join(lm, "bg")
+      db.join(lm, "bg")
         .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("pq")).as("sum_pq"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("sum_pq"))
         .select(col("doc_id"), col("n_bigrams"),
           ((col("sum_pq").cast(DoubleType) / col("n_bigrams")) / lit(1e9))
             .as("lm_score"))

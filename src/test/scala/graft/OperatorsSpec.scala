@@ -192,15 +192,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p81.contains("HashJoin"), s"q81 <=> not a hash join:\n$p81")
     assert(!p81.contains("BroadcastNestedLoop") && !p81.toLowerCase.contains("cartesian"),
       s"q81 degraded to a non-equi join:\n$p81")
-    // d83's anchor join is an equi-join on the gram string + window + two
-    // partial/final aggregates — no cartesian anywhere
+    // d83's anchor join is an equi-join on the gram string + the collected
+    // run walk (r16: the islands window was replaced by a hash-aggregated
+    // sorted position array + scan-local walk — no SortExec, no window) —
+    // no cartesian anywhere
     val d83 = SparkEntry.queries("d83")(spark, dir)
     d83.collect()
     val p83 = d83.queryExecution.executedPlan.toString
     assert(!p83.contains("BroadcastNestedLoop") && !p83.toLowerCase.contains("cartesian"),
       s"d83 anchor join fell off the equi-join path:\n$p83")
-    assert(p83.contains("WindowGroupLimit") || p83.contains("Window"),
-      s"d83 lost its islands window:\n$p83")
+    assert(p83.contains("collect_list"),
+      s"d83 lost its collected run walk:\n$p83")
   }
 
   test("r10 TPC-H shapes: q83 one equi hash join, q84 semi+anti, q86 outer join kept (plan gates)") {
@@ -1107,7 +1109,6 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("persistKeyed caps per-session entries by LRU; evicted keys rebuild correctly") {
-    import org.apache.spark.storage.StorageLevel
     import graft.queries.QueryUtil
     val s2 = spark.newSession()
     s2.conf.set("graft.persist.maxEntries", "2")
@@ -1117,45 +1118,48 @@ class OperatorsSpec extends AnyFunSuite {
     QueryUtil.persistKeyed(s2, "lru_b", mk(20))
     val b = QueryUtil.persistKeyed(s2, "lru_b", mk(20)) // hit — no rebuild
     assert(builds == 2, "memo hit must not rebuild")
-    QueryUtil.persistKeyed(s2, "lru_a", mk(10)) // touch a: b becomes LRU
+    assert(b.count() == 20)
+    val a2 = QueryUtil.persistKeyed(s2, "lru_a", mk(10)) // touch a: b becomes LRU
+    assert(a2 eq a, "touch must return the memoized frame, not rebuild")
     QueryUtil.persistKeyed(s2, "lru_c", mk(30)) // cap 2 -> evicts b
-    assert(b.storageLevel == StorageLevel.NONE, "LRU entry was not unpersisted")
-    assert(a.storageLevel != StorageLevel.NONE, "recently-used entry was evicted")
-    // evicted key rebuilds through the same memo and still answers correctly
+    // r16: entries are lazy localCheckpoints — eviction drops the memo's
+    // strong reference (the RDD persist is GC-cleaned by the
+    // ContextCleaner), so the contract asserts are behavioral: the
+    // survivor still HITS, the evicted key REBUILDS.
+    assert(QueryUtil.persistKeyed(s2, "lru_a", mk(10)) eq a,
+      "recently-used entry was evicted")
+    assert(builds == 3, "survivor hit must not rebuild")
     val b2 = QueryUtil.persistKeyed(s2, "lru_b", mk(20))
-    assert(builds == 4)
+    assert(builds == 4, "evicted key must rebuild through the memo")
     assert(b2.count() == 20)
   }
 
-  test("unpersistKeyed evicts only the prefix; survivor with a sameResult plan keeps the cache entry") {
-    import org.apache.spark.storage.StorageLevel
+  test("unpersistKeyed evicts only the prefix; survivors keep answering without rebuild") {
     import graft.queries.QueryUtil
     val s2 = spark.newSession()
     var builds = 0
     def mk(n: Int) = { builds += 1; s2.range(n).toDF("v") }
     val p1 = QueryUtil.persistKeyed(s2, "probe:x:grams", mk(11))
-    val p2 = QueryUtil.persistKeyed(s2, "probe:x:res", mk(12))
+    QueryUtil.persistKeyed(s2, "probe:x:res", mk(12))
     val other = QueryUtil.persistKeyed(s2, "shared:docs", mk(13))
-    // a survivor OUTSIDE the prefix whose plan sameResults a removed entry:
-    // CacheManager keys cache by plan, so unpersisting the removed twin
-    // would silently uncache the survivor — the guard must keep it
-    val twin = QueryUtil.persistKeyed(s2, "probe:x:twin", s2.range(13).toDF("v"))
+    // a survivor OUTSIDE the prefix whose builder plan matches a removed
+    // entry — prefix removal must not disturb it (r16: entries are lazy
+    // localCheckpoints; removal drops the memo reference and the RDD
+    // persist is GC-cleaned, so the asserts are behavioral)
+    QueryUtil.persistKeyed(s2, "probe:x:twin", s2.range(13).toDF("v"))
     QueryUtil.unpersistKeyed(s2, "probe:x:")
-    assert(p1.storageLevel == StorageLevel.NONE && p2.storageLevel == StorageLevel.NONE,
-      "prefix entries were not unpersisted")
-    assert(other.storageLevel != StorageLevel.NONE,
-      "entry outside the prefix was evicted")
-    assert(twin.storageLevel != StorageLevel.NONE || other.count() == 13)
-    // sameResult guard: 'shared:docs' must still be CACHED (its plan
-    // sameResults the removed twin)
-    assert(s2.sharedState.cacheManager
-      .lookupCachedData(other.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .isDefined,
-      "survivor's cache entry was cross-uncached by the prefix eviction")
-    // removed keys rebuild fresh through the memo
+    // entries outside the prefix still HIT (same frame, no rebuild) and
+    // still answer
     val before = builds
-    QueryUtil.persistKeyed(s2, "probe:x:grams", mk(11))
+    assert(QueryUtil.persistKeyed(s2, "shared:docs", mk(13)) eq other,
+      "entry outside the prefix was evicted")
+    assert(builds == before, "survivor hit must not rebuild")
+    assert(other.count() == 13,
+      "survivor stopped answering after the prefix eviction")
+    // removed keys rebuild fresh through the memo (a new frame, not p1)
+    val p1b = QueryUtil.persistKeyed(s2, "probe:x:grams", mk(11))
     assert(builds == before + 1, "removed key did not rebuild")
+    assert(!(p1b eq p1) && p1b.count() == 11)
   }
 
   test("newSession isolates temp views but keeps clock semantics") {
