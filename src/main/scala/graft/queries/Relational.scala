@@ -2035,32 +2035,29 @@ object Relational {
     // semi/anti joins reuse the same partitioning; the unique tiebreak on
     // s_name keeps the LIMIT deterministic.
     "q69_blame_supplier" -> ((s, dir) => {
-      // r16 (guide §2.4: fewer passes/shuffles): the semi ("some other
-      // supplier in the order") and anti ("no other LATE supplier")
-      // probes are per-order statistics, so aggregate once instead of
-      // re-joining lineitem twice more. Per (order, supplier): nlate =
-      // late-line count; per order: nlatesupp = distinct late suppliers
-      // (rows of the late agg), nsupp = distinct suppliers over ALL lines.
-      // A late line of supplier sk qualifies iff nsupp >= 2 (the old
-      // left_semi with sk != sk2) and nlatesupp == 1 (the old left_anti:
-      // the only distinct late supplier is sk itself) — numwait then sums
-      // nlate, one count per qualifying late LINE, exactly the row set the
-      // semi/anti form counted. Oracle-hash-matched at both SFs.
+      // r16 note: a per-order-statistics rewrite (aggregate late lines per
+      // (order, supplier), derive the semi/anti decisions from
+      // nsupp/nlatesupp counts) was tried TWICE — full-lineitem suppStats
+      // and a late-order semi-filtered variant — and both MEASURED SLOWER
+      // at sf0.1 (1.23 -> 2.06 and -> 1.89 s): the late set is small, so
+      // the original semi/anti probes are cheap while the extra
+      // distinct-supplier aggregate is a full-width pass. Kept the
+      // original shape (guide §1: measure first).
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val sup = t(s, dir, "supplier")
-      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val l1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
-        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .agg(count(lit(1)).as("nlate"))
-      val lateStats = late.groupBy(col("ok")).agg(count(lit(1)).as("nlatesupp"))
-      val suppStats = li.groupBy(col("l_orderkey").as("ok2"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
-      late.join(lateStats.filter(col("nlatesupp") === 1), "ok")
-        .join(suppStats.filter(col("nsupp") >= 2), col("ok") === col("ok2"), "left_semi")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val withOther = l1.join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      val lateOthers = l1.select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+      withOther.join(lateOthers,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
         .join(sup, col("sk") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(sum(col("nlate")).as("numwait"))
+        .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
     }),
