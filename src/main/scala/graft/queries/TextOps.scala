@@ -37,28 +37,26 @@ object TextOps {
     * (SCALE.md window-vs-aggregate rule). */
   private[graft] def lexicalTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     GraftFunctions.register(s)
+    // r16 note: a broadcast-qterms semi-filter of the corpus token stream
+    // BEFORE the tf aggregation (guide §3.2's pre-filter) was tried and
+    // A/B-measured SLOWER at sf0.1 (tools-era T73AB: orig min 992 ms vs
+    // prefiltered 1243 ms — the extra broadcast-build jobs outweigh the
+    // smaller exchange at bench scale). The ad-hoc form keeps the full
+    // postings aggregate; the genuine 100 TB serving shape is the STORED
+    // token-bucketed index ([[writePostingsIndex]]/[[probePostingsIndex]]),
+    // where probes are query-term-bounded with no corpus aggregation at
+    // all. (guide §1: measure first.)
     val d = docs(s, dir)
+    val postings = d.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("did"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val qterms = d.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .distinct()
-    // r16 (guide §2.3: shuffle fewer bytes / §3.2: pre-filter the big side):
-    // the query-term set is bounded (|Q| docs), so broadcast it and drop
-    // non-matching corpus tokens BEFORE the tf aggregation — the postings
-    // exchange then carries only matched-term occurrences instead of the
-    // whole corpus token stream. Scores are unchanged: for a matched term
-    // every one of its postings survives the semi-join, so tf per (did,
-    // token) and df per token computed on the matched subset equal the
-    // full-corpus values for every term that can reach the scoring join.
-    val qtok = qterms.select(col("token")).distinct()
-    val postings = d.filter(col("doc_id") >= 10)
-      .select(col("doc_id").as("did"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
-      .join(broadcast(qtok), Seq("token"), "left_semi")
-      .groupBy(col("did"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scores = postings.join(broadcast(qterms), "token")
-      .join(broadcast(dfreq), "token")
+    val scores = qterms.join(postings, "token").join(dfreq, "token")
       .groupBy(col("qid"), col("did"))
       // tf·w ≤ 1e3·1e9 and per-pair sums stay < 2^53, so the double cast
       // into the top-k aggregate is exact
