@@ -698,14 +698,14 @@ object DedupOps {
       val merged = partials.groupBy(col("idx")).agg(max(col("mr")).as("mr"))
         .select(lit("__all__").as("g"), col("idx"), col("mr"))
       val ests = HllMirror.estimateDf(partials.unionByName(merged), p)
-      // r16 (guide §2.4: don't re-scan for a second distinct): one shared
-      // (source, text) distinct feeds the per-source counts AND the
-      // corpus-wide distinct (re-deduped across sources) — same values as
-      // the two countDistinct scans, one docs pass and no Expand rewrite.
-      val dt = docs.select(col("source").as("g"), col("text")).distinct()
-      val exact = dt.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
-        .unionByName(dt.select(col("text")).distinct()
-          .agg(count(lit(1)).as("n_exact"))
+      // r16 note: a shared (source, text) distinct feeding both count
+      // branches was tried and A/B-measured marginally SLOWER at sf0.1
+      // (ABProbe min 200 vs 222 ms on this branch) — the partial-distinct
+      // countDistinct aggregates dedupe map-side just as well without the
+      // second text re-shuffle. Kept as-is (guide §1: measure first).
+      val exact = docs.groupBy(col("source").as("g"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+        .unionByName(docs.agg(countDistinct(col("text")).as("n_exact"))
           .select(lit("__all__").as("g"), col("n_exact")))
       ests.join(exact, "g")
         .select(col("g").as("source"), col("est"), col("n_exact"))
