@@ -61,7 +61,11 @@ section_result "scale_gate" $?
 
 echo "== bench sf0.1 =="
 BENCH_LINE=$(SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"')
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -n 1)
+# head -n 1: Bench emits TWO metric lines (the full per-query line first,
+# then the short family-totals line) — the soak/ratio parsers below need
+# exactly the full one; two concatenated lines are not valid JSON (first
+# full-gate run of these r16 sections caught this).
 echo "$BENCH_LINE"
 [ -n "$BENCH_LINE" ] && ! echo "$BENCH_LINE" | grep -q '"failed":\["'
 section_result "bench" $?
