@@ -241,6 +241,25 @@ object Bench {
     System.out.flush()
     System.err.println(line)
     System.err.flush()
+    // r17 (VERDICT r16 item 6): the driver's per-query comparator and the
+    // scaling block came back EMPTY in r16 — the full per-query line (~3.5
+    // KB at 247 queries) overflows the driver's ~2 KB tail window, so no
+    // line carrying "queries" ever parsed. Emit a third, COMPACT line with
+    // only the top-20 warm per-query seconds (≈0.5 KB — fits the window
+    // even alongside the short line): the heavy movers are exactly the
+    // queries a per-round diff needs, and "n_queries" marks the map as a
+    // truncated subset so a schema-aware consumer can't mistake it for the
+    // full inventory. Emitted BEFORE the short family line, which stays the
+    // absolute last program line (the proven-parsing contract line).
+    val top = ok.sortBy(n => -warm.getOrElse(n, 0.0)).take(20)
+    val topJs = top.map(n => "\"" + n + "\":" + num(warm(n), 3))
+      .mkString("{", ",", "}")
+    val topLine =
+      s"""{"metric":"top_queries","unit":"sec","queries":$topJs,"n_queries":${ok.size},"value":${num(total, 3)},"per_query_detail":"BENCH.json"}"""
+    println(topLine)
+    System.out.flush()
+    System.err.println(topLine)
+    System.err.flush()
     // Final fix for the 9-rounds-running `parsed: null`. The r9 capture
     // settles the channel question: BENCH_r09.json's 2000-char tail ends
     // `…full line → [success]` with NO stderr copy and NO `[error]`-prefixed

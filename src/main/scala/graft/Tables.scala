@@ -34,15 +34,40 @@ object Tables {
     * LOGICAL PLAN only: every action still scans parquet (tasks re-read row
     * groups; nothing row-level is cached), exactly like the long-standing
     * `registerAll` temp views the SQL-based queries already go through.
-    * Weak-keyed so a stopped session's entries are collectable. */
+    *
+    * PRECONDITION (r16 ADVICE): inputs under `dir` are immutable for the
+    * session's lifetime — the memo pins the first call's file listing and
+    * schema snapshot, so a tool that rewrites the corpus mid-session must
+    * either use a fresh session or go through [[raw]]. Eviction (r16
+    * ADVICE): the map is weak-KEYED, but a DataFrame value strongly
+    * references its session (Dataset.sparkSession), so weak keys alone
+    * would never collect an entry — the application-end listener below
+    * drops a stopped context's entries explicitly, the same lifecycle
+    * QueryUtil.hookEviction gives the persist memo. */
   private val loadMemo =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[(String, String), DataFrame]]()
+
+  private val evictionHooked =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+
+  private def hookEviction(sc: org.apache.spark.SparkContext): Unit =
+    if (evictionHooked.put(sc, java.lang.Boolean.TRUE) == null) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          loadMemo.synchronized {
+            val it = loadMemo.keySet().iterator()
+            while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+          }
+      })
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (spark.conf.getOption("graft.cache.tables").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       cached(spark, dir, name)
     } else loadMemo.synchronized {
+      hookEviction(spark.sparkContext)
       var m = loadMemo.get(spark)
       if (m == null) { m = new java.util.HashMap; loadMemo.put(spark, m) }
       val k = (dir, name)

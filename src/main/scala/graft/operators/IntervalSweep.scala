@@ -348,7 +348,11 @@ object IntervalSweep {
     * IntervalSweepSpec. */
   private def mergeGlobalScalable(df: DataFrame, lo: String, hi: String,
       dt: org.apache.spark.sql.types.DataType): DataFrame = {
-    val base = rangedBase(df, lo, hi, dt).localCheckpoint(eager = false)
+    // r17: the freeze barrier routes through QueryUtil.barrier — reliable
+    // checkpoint on clusters that configure a checkpoint dir (an executor
+    // loss must not kill the frozen base mid-merge), localCheckpoint locally.
+    val base = graft.queries.QueryUtil.barrier(
+      df.sparkSession, rangedBase(df, lo, hi, dt))
     // per-partition stats: N rows; the prefix windows below order N rows
     // on one partition — bounded by the partition COUNT, not the data
     val wPrev = Window.orderBy(col("__pid"))

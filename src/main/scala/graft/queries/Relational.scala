@@ -59,7 +59,7 @@ object Relational {
     * old form's): finite inputs with ≤s true decimals — NaN/±Inf, which the
     * old cast nulled, would floor to 0/Long.Max instead, so this helper is
     * only for the audited clean-decimal columns. */
-  private def dsum(c: Column, scale: Int): Column =
+  private[graft] def dsum(c: Column, scale: Int): Column =
     toDouble(usum(c, scale), scale)
 
   /** The quantized-unscaled building blocks of [[dsum]], for queries that
@@ -72,12 +72,22 @@ object Relational {
     * decimal(18,scale)-sum to double, because both convert the same exact
     * decimal value exactly once. Comparisons against literals translate by
     * scaling the literal (q > 60 ⇔ usum > 6000): exact integers, no
-    * rounding on either side. */
-  private def quant(c: Column, scale: Int): Column =
-    floor(c * math.pow(10, scale) + lit(0.5d))
-  private def usum(c: Column, scale: Int): Column =
+    * rounding on either side.
+    *
+    * r17 (VERDICT r16 item 5): NaN/±Inf are nulled BEFORE the floor — the
+    * old `cast(double as decimal)` nulled them, while a bare
+    * floor(double)→BIGINT would coerce NaN→0 and +Inf→Long.MaxValue,
+    * silently corrupting a sum if a non-audited column ever joins this
+    * helper. The guard is two codegen'd comparisons per row (measured
+    * nil on q01); overflow parity needs no guard — |x|·10^s ≥ 10^18
+    * exceeds decimal(18,0) and nulls in the cast, exactly like the old
+    * decimal(18,s) cast nulled it (RelationalHelpersSpec proves both). */
+  private[graft] def quant(c: Column, scale: Int): Column =
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null))
+      .otherwise(floor(c * math.pow(10, scale) + lit(0.5d)))
+  private[graft] def usum(c: Column, scale: Int): Column =
     sum(quant(c, scale).cast(DecimalType(18, 0)))
-  private def toDouble(unscaled: Column, scale: Int): Column =
+  private[graft] def toDouble(unscaled: Column, scale: Int): Column =
     (unscaled * lit(java.math.BigDecimal.valueOf(1L, scale))).cast(DoubleType)
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
@@ -1298,6 +1308,13 @@ object Relational {
       // sessions are never empty so the left-join domain matches), minus
       // one Generate, one shuffle and one join against a second events
       // scan. covered_units is already closed-interval µs.
+      // PRECONDITION (r16 ADVICE): sess bounds are non-null and
+      // non-inverted — s_lo = ts is NOT NULL in this corpus and
+      // s_hi = ts + const ≥ s_lo by construction. A null/inverted-bounds
+      // left row would be DROPPED by the stats operator's clip filter,
+      // where the old explode+left-join surfaced it as a (0, 0) row; null-
+      // guard the ts upstream before pointing this operator at a corpus
+      // that can carry null session times.
       graft.operators.IntervalSweep.subtractIntervalsStats(
           sess, islands, "sid", Seq("user_id"), Seq("bu"),
           "s_lo", "s_hi", "island_lo", "island_hi", 3600L * 1000000L)

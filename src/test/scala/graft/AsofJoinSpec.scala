@@ -140,6 +140,77 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  // r17 (VERDICT r16 item 1): the range-partitioned hot-key-safe form must
+  // be row-identical to the keyed window form — the same naive-argmin
+  // battery, forced through `graft.asof.mode=range`.
+  for (dir <- Seq("backward", "forward", "nearest");
+       tol <- Seq(None, Some(6L)))
+    test(s"scalable (range) asof $dir tolerance=$tol == naive argmin") {
+      spark.conf.set("graft.asof.mode", "range")
+      try {
+        val got = AsofJoin.asof(probes, quotes, Seq("k"), "pt", "qt", dir, tol)
+          .select(col("k"), col("pt"), col("pid"), col("qt"), col("px"))
+          .collect().map(_.toString).sorted.toSeq
+        val want = naive(dir, tol)
+        assert(got == want && got.nonEmpty,
+          s"extra=${got.diff(want)} missing=${want.diff(got)}")
+      } finally spark.conf.set("graft.asof.mode", "auto")
+    }
+
+  test("scalable asof: hot key spanning many range partitions == window form") {
+    // one hot key owns 600 of 740 rows — the 100 TB skew shape the range
+    // form exists for; quote times unique per key so the survivor is
+    // deterministic and the two forms must agree exactly
+    val rnd = new scala.util.Random(17)
+    val hotP = (1 to 400).map(i => (1L, Some(rnd.nextInt(2000).toLong), 1000L + i))
+    val hotQ = rnd.shuffle((0 until 2200 by 11).toList).take(200)
+      .map(t => (1L, t.toLong, t * 1.5))
+    val coldP = (1 to 140).map(i =>
+      (2L + i % 20, Some(rnd.nextInt(500).toLong), 5000L + i))
+    val coldQ = (0 until 20).flatMap(k => Seq((2L + k, 100L, k * 1.0),
+      (2L + k, 400L, k * 2.0)))
+    val p = (hotP ++ coldP).toDF("k", "pt", "pid")
+    val q = (hotQ ++ coldQ).toDF("k", "qt", "px")
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(25L))) {
+      def run(mode: String): Seq[String] = {
+        spark.conf.set("graft.asof.mode", mode)
+        try AsofJoin.asof(p, q, Seq("k"), "pt", "qt", dir, tol)
+          .select(col("pid"), col("qt"), col("px"))
+          .collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("graft.asof.mode", "auto")
+      }
+      val range = run("range")
+      val window = run("window")
+      assert(range == window && range.size == 540,
+        s"$dir tol=$tol: extra=${range.diff(window)} missing=${window.diff(range)}")
+    }
+  }
+
+  test("scalable asof plan: range exchange, windows keyed (partition, key) — no whole-key sort funnel") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    spark.conf.set("graft.asof.mode", "range")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AsofJoin.asof(probes, quotes, Seq("k"), "pt", "qt", "nearest", None)
+      df.collect() // materialize the lazy barrier so the final plan is real
+      val plan = df.queryExecution.executedPlan
+      val rangeEx = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(rangeEx.nonEmpty, s"expected a range exchange on (key, time):\n$plan")
+      // the data-path windows must include __pid in their partition spec —
+      // a hot key then NEVER funnels into one task
+      import org.apache.spark.sql.execution.window.WindowExec
+      val dataWins = plan.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.exists(_.toString.contains("__pid")))
+      assert(dataWins.nonEmpty, s"expected (__pid, key)-scoped windows:\n$plan")
+    } finally {
+      spark.conf.set("graft.asof.mode", "auto")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("asof is one shuffle for backward/forward (window exchange only)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
